@@ -1,0 +1,26 @@
+"""spark_streaming_dis_plugin_spark — a PySpark-native analytics engine with the
+query and data-processing capabilities of huaweicloud/spark-streaming-dis-plugin.
+
+The reference (read-only at /root/reference) is a Spark *Streaming* connector
+for a partitioned, offset-addressable log service (DIS, Kafka-compatible).
+This package re-expresses its capabilities Spark-first:
+
+- ``sources/``   — the DIS-shaped log: offsets JSON codec, sentinel resolution,
+  lag-proportional rate limiting, an on-disk partitioned log, and a Spark 4
+  Python DataSource (``format("dis")``) for bounded batch reads and
+  Structured Streaming micro-batch reads.
+- ``operators/`` — the declared query surface: relational operators (joins,
+  aggregation, windows, grouping sets, set ops), dedup (exact/MinHash/SimHash/
+  n-gram Jaccard), similarity search (brute-force + IVF), text analysis.
+- ``functions/`` — reusable Column-expression helpers (portable hashing,
+  tokenization, vector math).
+- ``streaming/`` — Structured Streaming query builders and the DIS sink.
+- ``plans/``     — the query registry that backs ``__spark_entry__.py``.
+
+Everything is DataFrame/Catalyst-native; no RDD hot paths, no driver-side
+loops over data. Designed for 100 TB scale: aggregations are partial+final,
+joins broadcast dimension tables explicitly, and all custom operators are
+shuffle-parallel.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,287 @@
+"""Connector-surface queries over the DIS record envelope (SURVEY.md §2a/§2b).
+
+These exercise, as oracle-checkable DataFrame queries, the semantics the
+reference implements natively: the envelope schema, offset-range bounded
+scans with -1/-2 sentinels, metadata count arithmetic, take/limit, the
+demos' word-count pipeline, and payload (JSON) parsing.
+
+The *physical* connector (on-disk log + Python DataSource, sentinel
+resolution against real log bounds, file pruning, streaming lifecycle) is
+exercised in tests/; here the envelope is derived as a pure transform of
+the ``events`` fixture so DuckDB can derive the identical log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources.dis_log import DEFAULT_NUM_PARTITIONS, envelope, envelope_sql
+from ..tables import load
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+_ENV = envelope_sql()
+
+
+def _envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return envelope(load(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------- full scan
+
+@register(
+    "dis_scan_envelope",
+    oracle=f"""
+    SELECT stream, "partition", "offset", "key", "value",
+           strftime("timestamp", '{TS_FMT_DUCK}') AS ts_utc
+    FROM ({_ENV})
+    """,
+    tags=("connector", "scan"), bench=True)
+def dis_scan_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full envelope scan — the record shape of ConsumerRecord
+    (/root/reference/.../DISSparkRDDExample.scala:41)."""
+    return _envelope(spark, sf_dir).select(
+        "stream", "partition", "offset", "key", "value",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc"))
+
+
+# ------------------------------------------------------ offset-range reads
+
+@register(
+    "dis_offset_range_read",
+    oracle=f"""
+    SELECT "partition", "offset", "key", "value"
+    FROM ({_ENV})
+    WHERE ("partition" = 0 AND "offset" >= 100 AND "offset" < 200)
+       OR ("partition" = 1 AND "offset" >= 0 AND "offset" < 50)
+       OR ("partition" = 2)   -- [-2, -1] = earliest..latest resolves to all
+    """,
+    tags=("connector", "scan"))
+def dis_offset_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded read over ranges {"0":[100,200],"1":[0,50],"2":[-2,-1]} —
+    the createRDD dialect (DISUtils.scala:240-303, JsonUtils.scala:74-86).
+    Sentinels resolve against log bounds; partition 2's [-2,-1] is the
+    whole partition."""
+    env = _envelope(spark, sf_dir)
+    p, o = F.col("partition"), F.col("offset")
+    return env.where(
+        ((p == 0) & (o >= 100) & (o < 200))
+        | ((p == 1) & (o >= 0) & (o < 50))
+        | (p == 2)
+    ).select("partition", "offset", "key", "value")
+
+
+@register(
+    "dis_count_pushdown",
+    oracle=f"""
+    SELECT "partition", COUNT(*) AS n
+    FROM ({_ENV})
+    GROUP BY "partition"
+    """,
+    tags=("connector", "metadata"))
+def dis_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition record counts. In the physical source this is offset
+    arithmetic with zero I/O (DISRDD.scala:89-94, verified in
+    tests/test_dis_batch.py); this query asserts the arithmetic agrees
+    with a real scan."""
+    return _envelope(spark, sf_dir).groupBy("partition").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "dis_take",
+    oracle=f"""
+    SELECT "partition", "offset", "value"
+    FROM ({_ENV})
+    ORDER BY "partition", "offset"
+    LIMIT 25
+    """,
+    tags=("connector", "limit"))
+def dis_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """take(25) in offset order — the reference plans per-partition take
+    counts from offsets and scans only needed partitions
+    (DISRDD.scala:114-144); Catalyst's CollectLimitExec does the
+    incremental partition scan for us."""
+    return (_envelope(spark, sf_dir)
+            .orderBy("partition", "offset")
+            .select("partition", "offset", "value")
+            .limit(25))
+
+
+# ------------------------------------------------- the demo word-count path
+
+@register(
+    "dis_wordcount",
+    oracle=f"""
+    SELECT word, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex("value", '[^a-zA-Z0-9_]+')) AS word
+      FROM ({_ENV})
+    )
+    WHERE word != ''
+    GROUP BY word
+    """,
+    tags=("connector", "agg"), bench=True)
+def dis_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference demo pipeline — stream.map(_.value).flatMap(_.split)
+    .map((_,1)).reduceByKey(_+_) (DISSparkStreamingSubscribeExample.scala:46)
+    — as a DataFrame: explode(split) + hash agg (partial+final via
+    Catalyst)."""
+    env = _envelope(spark, sf_dir)
+    return (env
+            .select(F.explode(F.split("value", "[^a-zA-Z0-9_]+")).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+
+
+# --------------------------------------------------------- payload parsing
+
+@register(
+    "dis_json_payload",
+    oracle=f"""
+    SELECT "partition",
+           CAST(SUM(CAST(json_extract("value", '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM ({_ENV})
+    GROUP BY "partition"
+    """,
+    tags=("connector", "json"))
+def dis_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed payload parsing — the rebuild's replacement for user-side
+    deserializer classes (DISUtils.scala:379-380): from_json on the value
+    column, then aggregate the extracted field."""
+    env = _envelope(spark, sf_dir)
+    parsed = env.select(
+        "partition",
+        F.from_json("value", "k BIGINT").alias("payload"))
+    return (parsed.groupBy("partition")
+            .agg(F.sum("payload.k").alias("sum_k"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# ------------------------------------------- rate-limited micro-batch plan
+
+@register(
+    "dis_microbatch_plan",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT "partition", COUNT(*) AS latest
+      FROM ({_ENV}) GROUP BY "partition"
+    ), lag AS (
+      SELECT "partition", latest,
+             "partition" * 10 AS current_offset,
+             latest - "partition" * 10 AS lag
+      FROM bounds
+    ), total AS (SELECT SUM(lag) AS total_lag FROM lag)
+    SELECT l."partition",
+           l.current_offset AS from_offset,
+           LEAST(l.current_offset + GREATEST(CAST(FLOOR(
+                 CAST(l.lag AS DOUBLE) / t.total_lag * 100.0) AS BIGINT),
+                 CASE WHEN l.lag > 0 THEN 1 ELSE 0 END), l.latest)
+             AS until_offset
+    FROM lag l CROSS JOIN total t
+    """,
+    tags=("connector", "rate"))
+def dis_microbatch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lag-proportional clamp (DirectDISInputDStream.scala:129-161,
+    223-232) expressed declaratively: given current offsets (partition*10)
+    and a 100-records/trigger budget, compute each partition's next batch
+    end = min(current + share, latest), share ∝ lag with a floor of 1.
+
+    The same math runs imperatively inside the streaming reader
+    (sources/rate.py); this query pins the two implementations together
+    under the oracle.
+    """
+    env = _envelope(spark, sf_dir)
+    bounds = env.groupBy("partition").agg(F.count(F.lit(1)).alias("latest"))
+    lag = bounds.select(
+        "partition", "latest",
+        (F.col("partition") * 10).alias("current_offset"),
+        (F.col("latest") - F.col("partition") * 10).alias("lag"))
+    total = lag.agg(F.sum("lag").alias("total_lag"))
+    share = F.floor(F.col("lag").cast("double") / F.col("total_lag") * 100.0)
+    alloc = F.greatest(
+        share.cast("bigint"),
+        F.when(F.col("lag") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"))
+    return (lag.crossJoin(total)
+            .select("partition",
+                    F.col("current_offset").alias("from_offset"),
+                    F.least(F.col("current_offset") + alloc,
+                            F.col("latest")).alias("until_offset")))
+
+
+# ------------------------------------------------------- windowing (events)
+
+@register(
+    "dis_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST("value" AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("connector", "window", "streaming-equivalent"))
+def dis_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window + agg — the batch equivalent of the
+    streaming windowed aggregation (streaming/queries.py runs the same plan
+    under a watermark; the reference only *warns* about windowing,
+    DirectDISInputDStream.scala:76-80)."""
+    events = load(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(27,4)"))
+                  .cast("double").alias("sum_value"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                     .alias("window_start"),
+                    "event_type", "n", "sum_value"))
+
+
+@register(
+    "dis_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("connector", "window", "sessionization"))
+def dis_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag + cumsum of
+    gap-breaks per user. Streaming twin: session_window(ts, '30 minutes')
+    (streaming/queries.py)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = (Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    gap = F.col("ts") - F.lag("ts").over(w)
+    gaps = events.withColumn(
+        "new_session",
+        F.when(gap > F.expr("INTERVAL 30 MINUTE"), F.lit(1))
+         .otherwise(F.lit(0)))
+    sess = gaps.withColumn("session_id",
+                           F.sum("new_session").over(wcum).cast("bigint"))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.date_format(F.min("ts"), TS_FMT_SPARK)
+                  .alias("session_start")))
+
+
+NUM_PARTITIONS = DEFAULT_NUM_PARTITIONS

@@ -1,0 +1,104 @@
+"""Multimodal columns (SURVEY.md §2c): opaque binary payloads with typed
+metadata, processed by Arrow-batched Pandas functions over mapInPandas.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic stub (clearly marked); everything Spark-side is real and
+tested: binary column schema, metadata extraction, Arrow batch shapes,
+partition-parallel mapInPandas plumbing (tests/test_multimodal.py).
+
+At 100 TB: binary payloads stay columnar in parquet (never hit the JVM
+heap as strings), decode fans out per input split, and frame-sampling /
+resizing emit one row per artifact (flatMap-shaped mapInPandas).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..tables import load
+
+ARTIFACT_SCHEMA = ("doc_id bigint, payload binary, media_type string, "
+                   "byte_len bigint")
+
+DECODED_SCHEMA = ("doc_id bigint, media_type string, byte_len bigint, "
+                  "fake_width int, fake_height int, checksum string")
+
+
+def artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a multimodal artifact table from documents: payload is the
+    UTF-8 bytes of the text (standing in for image/audio bytes), with a
+    deterministic media_type. Real pipelines read this shape straight from
+    parquet (payload as BINARY column)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+         .when(F.col("doc_id") % 3 == 1, "audio/wav")
+         .otherwise("video/mp4").alias("media_type"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("bigint")
+         .alias("byte_len"))
+
+
+def decode_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode: the real implementation would call PIL/librosa/ffmpeg
+    here — not present in this container. Emits deterministic fake
+    dimensions derived from the payload so the plumbing (Arrow batches in,
+    typed rows out, partition-parallel) is fully exercised.
+    """
+    import hashlib
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        payloads = pdf["payload"]
+        checksums = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+        byte_lens = payloads.map(len).astype("int64")
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "media_type": pdf["media_type"],
+            "byte_len": byte_lens,
+            # deterministic fake decode — replace with real codec output
+            "fake_width": (byte_lens % 1920 + 1).astype("int32"),
+            "fake_height": (byte_lens % 1080 + 1).astype("int32"),
+            "checksum": checksums,
+        })
+
+
+def decode(df: DataFrame) -> DataFrame:
+    """Partition-parallel decode over Arrow batches (mapInPandas)."""
+    return df.mapInPandas(decode_stub, schema=DECODED_SCHEMA)
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS checksum,
+           CAST(octet_length(encode(text)) % 1920 + 1 AS INT) AS fake_width,
+           CAST(octet_length(encode(text)) % 1080 + 1 AS INT) AS fake_height
+    FROM documents
+    """,
+    tags=("multimodal",))
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads, including the decode
+    stub's deterministic outputs — the oracle reproduces the stub exactly,
+    proving the mapInPandas path computes what it claims. (The JVM-side
+    twin of decode() — same math as Column expressions — would be the
+    production fast path only when the 'decode' is trivial; real codecs
+    need the Pandas path.)"""
+    art = artifacts(spark, sf_dir)
+    decoded = decode(art)
+    return decoded.select(
+        "doc_id", "media_type", "byte_len", "checksum",
+        "fake_width", "fake_height")

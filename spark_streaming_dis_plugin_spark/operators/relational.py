@@ -1,0 +1,754 @@
+"""Declared relational surface (SURVEY.md §2b / §7 Phase 2).
+
+The reference hands users a raw record stream and delegates *all* relational
+processing to Spark (its demos run map/flatMap/reduceByKey word counts —
+DISSparkStreamingSubscribeExample.scala:46). Our engine makes that delegated
+surface first-class and verified: every operator family below is a declared
+query with a DuckDB oracle.
+
+Float determinism: every double aggregate goes through the decimal-cast sum
+(functions/portable.dsum) so results are bit-identical across engines *and*
+across partition orders — which is also the only reproducible way to sum
+floats on a 1000-executor cluster.
+
+Scale notes per query are inline; the common rules:
+- dimension tables (region/nation/supplier/part) are broadcast explicitly;
+- fact-fact joins shuffle on the join key and rely on AQE for skew;
+- aggregations are expressed so Catalyst plans partial+final hash aggs;
+- top-k uses window row_number bounded by rank, which pushes a per-partition
+  limit before the final sort at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import davg, davg_sql, dsum, dsum_sql
+from ..plans.registry import register
+from ..tables import load
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load(spark, sf_dir, n) for n in names]
+
+
+# --------------------------------------------------------------- TPC-H Q1
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 2)} AS sum_qty,
+           {dsum_sql('l_extendedprice', 2)} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {davg_sql('l_quantity', 2)} AS avg_qty,
+           {davg_sql('l_extendedprice', 2)} AS avg_price,
+           {davg_sql('l_discount', 2)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg"), bench=True)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan + filter + 2-key hash agg with 8 aggregates.
+    Filter pushes to parquet; agg is partial+final; no joins, no shuffle
+    beyond the 2-key agg — the plan survives any scale."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum("l_quantity", 2).alias("sum_qty"),
+                 dsum("l_extendedprice", 2).alias("sum_base_price"),
+                 dsum(disc_price, 6).alias("sum_disc_price"),
+                 dsum(charge, 6).alias("sum_charge"),
+                 davg("l_quantity", 2).alias("avg_qty"),
+                 davg("l_extendedprice", 2).alias("avg_price"),
+                 davg("l_discount", 2).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+# --------------------------------------------------------------- TPC-H Q3
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, o_orderkey
+    LIMIT 10
+    """,
+    tags=("relational", "join", "topk"), bench=True)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + agg + top-10. customer⋈orders shuffles on
+    custkey (both fact-sized at 100 TB); orders⋈lineitem on orderkey; the
+    final ORDER BY ... LIMIT is a TakeOrderedAndProject (per-partition
+    top-k then driver merge of 10-row heaps — no global sort)."""
+    customer, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (customer.where(F.col("c_mktsegment") == "BUILDING")
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .where(F.col("o_orderdate") < "1995-03-15 00:00:00")
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .where(F.col("l_shipdate") > "1995-03-15 00:00:00")
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(dsum(revenue, 6).alias("revenue"))
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                    "revenue")
+            .orderBy(F.desc("revenue"), "orderdate", "o_orderkey")
+            .limit(10))
+
+
+# --------------------------------------------------------------- TPC-H Q5
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("relational", "join"), bench=True)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-table join. supplier/nation/region are broadcast (they
+    stay dimension-sized at any SF), so only the two fact joins shuffle;
+    region filter prunes before the broadcast."""
+    customer, orders, li, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem",
+        "supplier", "nation", "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (customer
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .where((F.col("o_orderdate") >= "1994-01-01 00:00:00")
+                   & (F.col("o_orderdate") < "1996-01-01 00:00:00"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supplier),
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(dsum(revenue, 6).alias("revenue")))
+
+
+# --------------------------------------------------------------- TPC-H Q6
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount', 6)} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "filter"), bench=True)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global agg. All four predicates push to the
+    parquet scan (row-group stats pruning); the agg is a single partial+
+    final reduction — the cheapest possible 100 TB query shape."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= "1994-01-01 00:00:00")
+                     & (F.col("l_shipdate") < "1995-01-01 00:00:00")
+                     & (F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 6)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# ------------------------------------------------------------------ windows
+
+@register(
+    "window_top_customers_per_nation",
+    oracle="""
+    SELECT n_name, c_name, c_acctbal, rnk
+    FROM (
+      SELECT n_name, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    WHERE rnk <= 3
+    """,
+    tags=("relational", "window", "topk"))
+def window_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group via row_number — Spark plans a per-partition
+    WindowGroupLimit before the shuffle at scale, so the full sort never
+    materializes. nation is broadcast."""
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (customer.join(F.broadcast(nation),
+                          F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("n_name", "c_name", "c_acctbal",
+                    F.row_number().over(w).alias("rnk"))
+            .where(F.col("rnk") <= 3))
+
+
+@register(
+    "window_running_order_total",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           RANK() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           COALESCE(CAST(LAG(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS BIGINT), -1) AS prev_orderkey
+    FROM orders
+    """,
+    tags=("relational", "window"))
+def window_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + rank + lag in one window family. The decimal-cast
+    running sum keeps the frame fold exact (order-dependent double folds
+    are not reproducible across engines or reruns)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                 "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+         .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+         .cast("double").alias("running_total"),
+        F.rank().over(wp).alias("price_rank"),
+        F.coalesce(F.lag("o_orderkey").over(wo).cast("bigint"),
+                   F.lit(-1)).alias("prev_orderkey"))
+
+
+@register(
+    "window_ntile_lead",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           COALESCE(LEAD(c_custkey) OVER (ORDER BY c_acctbal DESC, c_custkey),
+                    -1) AS next_custkey,
+           CAST(100.0 * (DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1)
+                AS DOUBLE) AS seg_code
+    FROM customer
+    """,
+    tags=("relational", "window"))
+def window_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / lead / dense_rank — global (unpartitioned) windows; at scale
+    these single-partition sorts are the anti-pattern, so they exist here
+    for surface coverage while partitioned variants above are the scale
+    path."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    return customer.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.coalesce(F.lead("c_custkey").over(w), F.lit(-1)).alias("next_custkey"),
+        (100.0 * (F.dense_rank().over(Window.orderBy("c_mktsegment")) - 1))
+        .cast("double").alias("seg_code"))
+
+
+# --------------------------------------------------------- grouping sets
+
+@register(
+    "rollup_lineitem_flags",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           {dsum_sql('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "rollup"))
+def rollup_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — Catalyst expands to a single Expand+Agg (one shuffle for
+    all grouping sets)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_quantity", 2).alias("sum_qty"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "n", "sum_qty"))
+
+
+@register(
+    "cube_order_status_priority",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           {dsum_sql('o_totalprice', 2)} AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "cube"))
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice", 2).alias("total"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n", "total"))
+
+
+@register(
+    "grouping_sets_explicit",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           {dsum_sql('l_extendedprice', 2)} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("relational", "grouping-sets"))
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst plan as the
+    DataFrame rollup/cube)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               {dsum_sql('l_extendedprice', 2)} AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+# ----------------------------------------------------------------- set ops
+
+@register(
+    "set_ops_nations",
+    oracle="""
+    SELECT 'both' AS tag, k FROM
+      (SELECT c_nationkey AS k FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS tag, k FROM
+      (SELECT c_nationkey AS k FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'all_distinct' AS tag, k FROM
+      (SELECT c_nationkey AS k FROM customer
+       UNION SELECT s_nationkey FROM supplier)
+    """,
+    tags=("relational", "setops"))
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION DISTINCT in one result, tagged."""
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    c = customer.select(F.col("c_nationkey").alias("k"))
+    s = supplier.select(F.col("s_nationkey").alias("k"))
+    tag = lambda df, t: df.select(F.lit(t).alias("tag"), "k")  # noqa: E731
+    return (tag(c.intersect(s), "both")
+            .unionByName(tag(c.subtract(s), "customer_only"))
+            .unionByName(tag(c.union(s).distinct(), "all_distinct")))
+
+
+# ------------------------------------------------------------- join zoology
+
+@register(
+    "semi_anti_join_customers",
+    oracle="""
+    SELECT 'with_orders' AS tag, c_mktsegment, COUNT(*) AS n
+    FROM customer WHERE EXISTS
+      (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'without_orders' AS tag, c_mktsegment, COUNT(*) AS n
+    FROM customer WHERE NOT EXISTS
+      (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("relational", "join", "semi", "anti"))
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left-semi / left-anti joins. At scale these
+    shuffle only the join key (no payload duplication) and AQE converts to
+    broadcast when the filtered side collapses."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    on = F.col("o_custkey") == F.col("c_custkey")
+    semi = (customer.join(orders, on, "left_semi")
+            .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("with_orders").alias("tag"), "c_mktsegment", "n"))
+    anti = (customer.join(orders, on, "left_anti")
+            .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("without_orders").alias("tag"), "c_mktsegment", "n"))
+    return semi.unionByName(anti)
+
+
+@register(
+    "outer_join_order_counts",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(27,2))), 0)
+                AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("relational", "join", "outer"))
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + agg preserving zero-order customers."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return (customer.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                          "left")
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(27,2)")),
+                            F.lit(0)).cast("double").alias("total_spent")))
+
+
+@register(
+    "full_outer_nation_coverage",
+    oracle="""
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust
+          FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS n_supp
+          FROM supplier GROUP BY 1) s
+    ON c.k = s.k
+    """,
+    tags=("relational", "join", "outer"))
+def full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    c = customer.groupBy(F.col("c_nationkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n_cust"))
+    s = supplier.groupBy(F.col("s_nationkey").alias("sk")).agg(
+        F.count(F.lit(1)).alias("n_supp"))
+    return (c.join(s, c.ck == s.sk, "full_outer")
+            .select(F.coalesce("ck", "sk").alias("nationkey"),
+                    F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+                    F.coalesce("n_supp", F.lit(0)).alias("n_supp")))
+
+
+@register(
+    "broadcast_star_join",
+    oracle=f"""
+    SELECT p_brand, n_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size <= 15
+    GROUP BY p_brand, n_name
+    """,
+    tags=("relational", "join", "broadcast"), bench=True)
+def broadcast_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: one fact table, three broadcast dimensions — zero
+    shuffles until the final two-key agg. This is the 100 TB join shape:
+    the fact table never moves."""
+    li, part, supplier, nation = _t(spark, sf_dir, "lineitem", "part",
+                                    "supplier", "nation")
+    return (li.join(F.broadcast(part.where(F.col("p_size") <= 15)),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supplier),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("p_brand", "n_name")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+# ------------------------------------------------------------- subqueries
+
+@register(
+    "subquery_above_nation_avg",
+    oracle="""
+    WITH nation_avg AS (
+      SELECT c_nationkey AS k, AVG(c_acctbal) AS avg_bal
+      FROM customer GROUP BY 1
+    )
+    SELECT c_nationkey, COUNT(*) AS n_above
+    FROM customer JOIN nation_avg ON c_nationkey = nation_avg.k
+    WHERE c_acctbal > avg_bal
+    GROUP BY c_nationkey
+    """,
+    tags=("relational", "subquery"))
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery semantics (customers above their nation's
+    average balance), decorrelated into agg+join — the plan Catalyst
+    produces for the correlated form. avg comparison stays in double on
+    both sides (comparison, not output, so float-exactness is not
+    load-bearing... but both engines compute avg() the same way over the
+    same partition-order-free sum? No: output only counts rows strictly
+    above, and avg differs at most 1 ulp — documented epsilon risk accepted
+    for a comparison 60k values away from any boundary)."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    avg_bal = customer.groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.avg("c_acctbal").alias("avg_bal"))
+    return (customer.join(avg_bal, F.col("c_nationkey") == F.col("k"))
+            .where(F.col("c_acctbal") > F.col("avg_bal"))
+            .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_above")))
+
+
+@register(
+    "in_subquery_hot_parts",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_retailprice > 1500)
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "subquery", "semi"))
+def in_subquery_hot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) == left-semi join against the filtered dimension
+    (broadcast: the filter collapses part to dimension size)."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    hot = part.where(F.col("p_retailprice") > 1500).select("p_partkey")
+    return (li.join(F.broadcast(hot),
+                    F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+            .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ----------------------------------------------------- pivot / conditional
+
+@register(
+    "pivot_linestatus",
+    oracle=f"""
+    SELECT l_returnflag,
+           {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS qty_O,
+           {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 2)} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "pivot"))
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (explicit lists keep the plan a
+    single pass at scale; value discovery would need an extra job).
+    Expressed as conditional aggregation — identical plan to .pivot()."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return (li.groupBy("l_returnflag")
+            .agg(dsum(F.when(F.col("l_linestatus") == "O", q), 2).alias("qty_O"),
+                 dsum(F.when(F.col("l_linestatus") == "F", q), 2).alias("qty_F")))
+
+
+# ------------------------------------------------------- distinct / having
+
+@register(
+    "distinct_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg", "distinct"))
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple exact COUNT(DISTINCT) — Catalyst plans these with Expand
+    (one shuffle), not N self-joins. The approximate path
+    (approx_count_distinct/HLL) is the 100 TB default but is not
+    oracle-comparable; covered in tests instead."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+                 F.countDistinct("l_partkey").alias("n_parts"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+@register(
+    "having_big_orders",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice', 2)} AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+       AND CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) > 10000
+    """,
+    tags=("relational", "agg", "having"))
+def having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over aggregates; the predicate reuses the exact decimal sum so
+    the boundary decision is identical in both engines."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (orders.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 dsum("o_totalprice", 2).alias("spend"))
+            .where((F.col("n_orders") >= 3) & (F.col("spend") > 10000)))
+
+
+# --------------------------------------------------------- scalar functions
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lower(c_mktsegment) AS lseg,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS tagged,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           replace(c_name, 'Customer', 'Cust') AS shortname,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           trim('  x  ') AS trimmed,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one,
+           CAST(starts_with(c_name, 'Customer') AS INT) AS is_cust
+    FROM customer
+    """,
+    tags=("relational", "scalar", "string"))
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family (all JVM codegen'd, zero UDFs)."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"),
+                 F.col("c_custkey").cast("string")).alias("tagged"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust"))
+         .alias("shortname"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
+        F.startswith(F.col("c_name"), F.lit("Customer")).cast("int")
+         .alias("is_cust"))
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')
+             AS days_to_98,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')
+             AS plus30
+    FROM orders
+    """,
+    tags=("relational", "scalar", "date"))
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("y"),
+        F.month(d).cast("int").alias("m"),
+        F.dayofmonth(d).cast("int").alias("d"),
+        F.quarter(d).cast("int").alias("q"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd")
+         .alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date"))
+         .alias("days_to_98"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd")
+         .alias("plus30"))
+
+
+@register(
+    "math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 1000.0) AS abs_diff,
+           CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+           sqrt(l_quantity) AS sq,
+           l_quantity * l_quantity AS q2,
+           CAST(l_orderkey % 7 AS BIGINT) AS mod7,
+           CAST(sign(l_discount - 0.05) AS INT) AS sgn,
+           greatest(l_tax, l_discount) AS gt,
+           least(l_tax, l_discount) AS lt
+    FROM lineitem
+    """,
+    tags=("relational", "scalar", "math"))
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family. sqrt/abs/floor/ceil are IEEE-exact and thus
+    bit-identical across engines; transcendentals (exp/ln/pow) are
+    last-ulp libm-dependent, so they're exercised in unit tests with
+    tolerance rather than hash-compared."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_diff"),
+        F.floor("l_extendedprice").alias("fl"),
+        F.ceil("l_extendedprice").alias("ce"),
+        F.sqrt("l_quantity").alias("sq"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("q2"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sgn"),
+        F.greatest("l_tax", "l_discount").alias("gt"),
+        F.least("l_tax", "l_discount").alias("lt"))
+
+
+@register(
+    "case_and_null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 5000 THEN 'big'
+                WHEN o_totalprice > 1000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_decoded,
+           CAST(o_totalprice IS NOT NULL AS INT) AS has_price,
+           IFNULL(NULL, CAST(o_custkey AS VARCHAR)) AS cust_str
+    FROM orders
+    """,
+    tags=("relational", "scalar", "conditional"))
+def case_and_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.when(p > 5000, "big").when(p > 1000, "mid").otherwise("small")
+         .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN"))
+         .alias("status_decoded"),
+        p.isNotNull().cast("int").alias("has_price"),
+        F.ifnull(F.lit(None), F.col("o_custkey").cast("string"))
+         .alias("cust_str"))
+
+
+# ------------------------------------------------------------ order / limit
+
+@register(
+    "order_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15 OFFSET 5
+    """,
+    tags=("relational", "sort", "limit"))
+def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ORDER BY + LIMIT + OFFSET (unique tie-break key)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .select("o_orderkey", "o_totalprice")
+            .offset(5).limit(15))

@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (SURVEY.md §2c).
+
+- brute-force top-k cosine: the exactness baseline. Query set broadcast
+  against the corpus; per-query top-k via window row_number (Spark plans a
+  per-partition group-limit before the shuffle, so the corpus is never
+  globally sorted).
+- IVF (inverted-file) ANN: the scale path. Assign every vector to its
+  nearest centroid (one broadcast join against C centroids), then search
+  only the probed cluster(s). At 100 TB: centroids come from a sampled
+  k-means (driver-sized), assignment is a single linear pass, and each
+  query touches |corpus| / C * n_probe vectors.
+
+Both are pure DataFrame plans — vector math is array lambdas
+(functions/portable.dot), JVM-side, no Python in the hot path. A
+pandas_udf variant of the dot product is provided for wide vectors (Arrow
+batches beat per-element codegen beyond ~1k dims) in functions/vectorized.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import cosine, cosine_sql
+from ..plans.registry import register
+from ..tables import load
+
+N_QUERIES = 10       # query set: vec_id < 10
+TOP_K = 5
+N_CENTROIDS = 8      # IVF: centroids = vec_id < 8 (deterministic stand-in
+                     # for sampled k-means centroids)
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, len({a}) + 1), "
+            f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+            f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+            f"(acc, x) -> acc + x)")
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cosine_sql('q.embedding', 'c.embedding')} AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "topk"), bench=True)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 10).
+    The query set is broadcast, so the corpus scan is a single map-side
+    pass; per-query top-k folds through a window group-limit."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ce"))
+    cos = cosine(F.col("qe"), F.col("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", cos.alias("cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 4).alias("cos"), "rnk"))
+
+
+@register(
+    "sim_ivf_assign",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ), dists AS (
+      SELECT v.vec_id, c.centroid_id,
+             {_l2sq_sql('v.embedding', 'c.ce')} AS d2
+      FROM embeddings v CROSS JOIN cent c
+    )
+    SELECT vec_id, centroid_id
+    FROM (
+      SELECT vec_id, centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, centroid_id) AS rnk
+      FROM dists
+    )
+    WHERE rnk = 1
+    """,
+    tags=("similarity", "ann", "ivf"))
+def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build step: nearest-centroid assignment (L2). Centroids are
+    broadcast; assignment is one linear pass over the corpus — the
+    partitioning that makes ANN queries touch 1/C of the data."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (emb.where(F.col("vec_id") < N_CENTROIDS)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("ce")))
+    d2 = _l2sq(F.col("embedding"), F.col("ce"))
+    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    return (emb.crossJoin(F.broadcast(cent))
+            .select("vec_id", "centroid_id", d2.alias("d2"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select("vec_id", "centroid_id"))
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS ce
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ), assign AS (
+      SELECT vec_id, centroid_id, embedding FROM (
+        SELECT v.vec_id, c.centroid_id, v.embedding,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_l2sq_sql('v.embedding', 'c.ce')},
+                                           c.centroid_id) AS rnk
+        FROM embeddings v CROSS JOIN cent c
+      ) WHERE rnk = 1
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cosine_sql('q.embedding', 'c.embedding')} AS cos
+      FROM assign q JOIN assign c
+        ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+    tags=("similarity", "ann", "ivf", "topk"))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN query: search only the query's own cluster (n_probe=1).
+    Recall vs sim_bruteforce_topk is the standard IVF tradeoff; the join
+    is co-partitioned on centroid_id so each cluster scans independently."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (emb.where(F.col("vec_id") < N_CENTROIDS)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("ce")))
+    d2 = _l2sq(F.col("embedding"), F.col("ce"))
+    wv = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    assign = (emb.crossJoin(F.broadcast(cent))
+              .select("vec_id", "embedding", "centroid_id", d2.alias("d2"))
+              .withColumn("rnk", F.row_number().over(wv))
+              .where(F.col("rnk") == 1)
+              .select("vec_id", "embedding", "centroid_id"))
+    q = (assign.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe"),
+                 F.col("centroid_id").alias("qc")))
+    c = assign.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("ce2"),
+                      F.col("centroid_id").alias("cc"))
+    cos = cosine(F.col("qe"), F.col("ce2"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (c.join(F.broadcast(q), (F.col("qc") == F.col("cc"))
+                   & (F.col("query_id") != F.col("neighbor_id")))
+            .select("query_id", "neighbor_id", cos.alias("cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 4).alias("cos"), "rnk"))

@@ -1,0 +1,192 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2c).
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprinting —
+all pure Column expressions (JVM codegen, no UDFs), shuffle-free per-row
+transforms that scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.portable import (
+    portable_hash, portable_hash_sql, tokens, tokens_sql,
+)
+from ..plans.registry import register
+from ..tables import load
+
+# Tiny per-language stopword lists (public common words). The fixture's
+# synthetic text is English-ish vocab, so 'en' dominates — the point is the
+# *operator* (argmax of per-language hit ratios), verified exactly.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans", "pour"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+}
+
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+FP_PRIME = 1_000_000_007
+FP_MULT = 1_000_003
+
+
+def _lang_hits(toks, lang: str):
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _lang_hits_sql(toks_expr: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({toks_expr}, t -> t IN ({words})))"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len({tokens_sql('text')}) AS n_word_tokens,
+           len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    tags=("text", "tokenize"), bench=True)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, word tokens, and a
+    BPE-ish regex (letter runs / digit runs / single punctuation) — the
+    pre-tokenizer shape used by byte-pair encoders."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).alias("n_ws_tokens"),
+        F.size(tokens("text")).alias("n_word_tokens"),
+        F.regexp_count("text", F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"))
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_hits_sql(tokens_sql('text'), 'en')} AS hits_en,
+             {_lang_hits_sql(tokens_sql('text'), 'de')} AS hits_de,
+             {_lang_hits_sql(tokens_sql('text'), 'fr')} AS hits_fr,
+             {_lang_hits_sql(tokens_sql('text'), 'es')} AS hits_es
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN hits_en >= hits_de AND hits_en >= hits_fr
+                  AND hits_en >= hits_es THEN 'en'
+             WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+             WHEN hits_fr >= hits_es THEN 'fr'
+             ELSE 'es'
+           END AS predicted_lang,
+           hits_en, hits_de, hits_fr, hits_es
+    FROM scored
+    """,
+    tags=("text", "language-id"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: per-language stopword hit
+    counts, argmax with a fixed precedence (en > de > fr > es) for
+    deterministic ties."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        _lang_hits(toks, "en").alias("hits_en"),
+        _lang_hits(toks, "de").alias("hits_de"),
+        _lang_hits(toks, "fr").alias("hits_fr"),
+        _lang_hits(toks, "es").alias("hits_es"))
+    en, de, fr, es = (F.col(f"hits_{lang}") for lang in ("en", "de", "fr", "es"))
+    pred = (F.when((en >= de) & (en >= fr) & (en >= es), "en")
+            .when((de >= fr) & (de >= es), "de")
+            .when(fr >= es, "fr")
+            .otherwise("es"))
+    return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"),
+                         "hits_en", "hits_de", "hits_fr", "hits_es")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({tokens_sql('text')}) AS n_tokens,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+             {_lang_hits_sql(tokens_sql('text'), 'en')} AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(
+             CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END
+             + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1
+                    THEN 1 ELSE 0 END
+             + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.01
+                    THEN 1 ELSE 0 END
+           AS INT) AS quality
+    FROM feats
+    """,
+    tags=("text", "quality"))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length / punctuation-ratio / stopword-
+    ratio features and a 0-3 rule-based score — the classic pre-filter
+    for web-scraped training text."""
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(tokens("text")).alias("n_tokens"),
+        F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]")).alias("n_punct"),
+        _lang_hits(tokens("text"), "en").alias("n_stop"))
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    quality = (
+        F.when(F.col("n_tokens") >= 20, 1).otherwise(0)
+        + F.when(punct_ratio < 0.1, 1).otherwise(0)
+        + F.when(stop_ratio > 0.01, 1).otherwise(0)).cast("int")
+    return feats.select(
+        "doc_id", "n_chars", "n_tokens",
+        (F.col("n_chars").cast("double") / F.col("n_tokens"))
+        .alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {portable_hash_sql('text')} AS content_hash,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({tokens_sql('text')},
+                 t -> {portable_hash_sql('t')} % {FP_PRIME})),
+             (acc, h) -> (acc * {FP_MULT} + h) % {FP_PRIME}) AS rolling_fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: a whole-content hash plus an order-
+    sensitive rolling (polynomial) hash over the token stream — equal
+    fingerprints <=> equal token sequences, the cheap first pass of any
+    dedup pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    tok_hashes = F.transform(tokens("text"),
+                             lambda t: portable_hash(t) % FP_PRIME)
+    rolling = F.aggregate(
+        tok_hashes, F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * FP_MULT + h) % FP_PRIME)
+    return docs.select(
+        "doc_id",
+        portable_hash(F.col("text")).alias("content_hash"),
+        rolling.alias("rolling_fp"))

@@ -1,0 +1,57 @@
+"""Central registry of declared queries and their DuckDB oracles.
+
+Every operator this engine claims (SURVEY.md §2) registers here as a
+:class:`QuerySpec`: a PySpark query callable ``(spark, sf_dir) -> DataFrame``
+plus (where SQL-expressible) the equivalent ANSI SQL the DuckDB oracle runs
+on the same parquet. The driver executes both and hash-compares results —
+column names are aliased identically on both sides by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None = None   # DuckDB SQL; None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False         # include in bench.py headline set
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None,
+             tags: tuple[str, ...] = (), bench: bool = False):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every operator module exactly once (they register on import)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from ..operators import (  # noqa: F401
+        connector, dedup, multimodal, relational, similarity, text,
+    )
+    _LOADED = True

@@ -1,0 +1,364 @@
+"""``format("dis")`` — a Spark 4 Python DataSource over the DIS-shaped log.
+
+The Spark-first re-expression of the reference's whole streaming lifecycle
+(SURVEY.md §3.1): Structured Streaming's MicroBatchExecution drives our
+reader exactly as the DStream JobGenerator drove DirectDISInputDStream —
+we implement only the source hooks, Spark owns the loop:
+
+  reference (DStream)                         rebuild (this file)
+  ---------------------------------           ------------------------------
+  start() + ConsumerStrategy seek             initialOffset()
+  latestOffsets() + clamp()                   latestOffset()  (rate-limited)
+  compute(validTime) -> DISRDD ranges         partitions(start, end)
+  DISRDDIterator sequential read              read(partition)
+  commitAll() / checkpointData                commit(end) + Spark offset log
+  StreamInputInfo reporting                   StreamingQueryProgress (free)
+
+Batch (createRDD) maps onto the batch reader with ``offsetRanges`` /
+``startingOffsets`` / ``endingOffsets`` options; the producer sink maps
+onto the writer, with offset assignment serialized through the log's
+append protocol (cf. DISSink.scala:23-55).
+
+Readers emit pyarrow RecordBatches (Arrow path — no per-row Python cost);
+each offset range becomes one InputPartition, so a stream partition's
+backlog parallelizes across executors.
+
+Options:
+  path / stream        log root directory / stream name
+  startingOffsets      "earliest" | "latest" | {"stream":{"0":23}} JSON
+  endingOffsets        "latest" | JSON (batch only)
+  offsetRanges         {"0":[from,until]} JSON (batch only; sentinels ok)
+  maxOffsetsPerTrigger total records per micro-batch, split across
+                       partitions proportionally to lag (rate.py)
+  maxRatePerPartition  records/sec/partition cap (0 = unlimited)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource, DataSourceReader, DataSourceStreamReader, DataSourceWriter,
+    InputPartition, WriterCommitMessage,
+)
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from .dis_log import DisLog
+from .offsets import (
+    EARLIEST, LATEST, OffsetRange,
+    offset_ranges_from_json, partition_offsets_from_json, resolve_sentinels,
+)
+from .rate import clamp, max_messages_per_partition
+
+ENVELOPE_SCHEMA = StructType([
+    StructField("stream", StringType()),
+    StructField("partition", IntegerType()),
+    StructField("offset", LongType()),
+    StructField("key", StringType()),
+    StructField("value", StringType()),
+    StructField("timestamp", TimestampType()),
+])
+
+
+@dataclasses.dataclass
+class RangePartition(InputPartition):
+    """One half-open offset range = one Spark input partition
+    (1:1 with DISRDDPartition, DISRDDPartition.scala:27-36)."""
+    partition: int
+    from_offset: int
+    until_offset: int
+    paths: tuple[str, ...]
+    stream: str
+
+
+def _read_range_batches(part: RangePartition):
+    """Arrow-native scan of one offset range: segment files were pruned by
+    name at planning; the residual offset filter applies per batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for path in part.paths:
+        table = pq.read_table(path)
+        off = table.column("offset")
+        mask = pc.and_(pc.greater_equal(off, part.from_offset),
+                       pc.less(off, part.until_offset))
+        table = table.filter(mask)
+        if table.num_rows == 0:
+            continue
+        n = table.num_rows
+        table = pa.table({
+            "stream": pa.array([part.stream] * n, pa.string()),
+            "partition": pa.array([part.partition] * n, pa.int32()),
+            "offset": table.column("offset").cast(pa.int64()),
+            "key": table.column("key").cast(pa.string()),
+            "value": table.column("value").cast(pa.string()),
+            "timestamp": table.column("timestamp").cast(pa.timestamp("us")),
+        })
+        yield from table.to_batches()
+
+
+def _plan_partitions(log: DisLog, ranges: list[OffsetRange]) -> list[RangePartition]:
+    out = []
+    for r in ranges:
+        if r.until_offset <= r.from_offset:
+            continue  # empty ranges planned away (DISRDD.scala:190-193)
+        paths = tuple(log.segments_for_range(r.partition, r.from_offset,
+                                             r.until_offset))
+        if paths:
+            out.append(RangePartition(r.partition, r.from_offset,
+                                      r.until_offset, paths, r.stream))
+    return out
+
+
+class DisDataSource(DataSource):
+    """spark.read/readStream/writeStream ``.format("dis")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dis"
+
+    def schema(self) -> StructType:
+        return ENVELOPE_SCHEMA
+
+    def _log(self) -> DisLog:
+        root = self.options.get("path") or self.options.get("root")
+        stream = self.options.get("stream", "events")
+        if not root:
+            raise ValueError("option 'path' (log root) is required")
+        return DisLog(root, stream)
+
+    def reader(self, schema: StructType) -> "DisBatchReader":
+        return DisBatchReader(self._log(), self.options)
+
+    def streamReader(self, schema: StructType) -> "DisStreamReader":
+        return DisStreamReader(self._log(), self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "DisWriter":
+        if overwrite:
+            raise ValueError("dis sink is append-only (a log)")
+        return DisWriter(self._log())
+
+
+# ------------------------------------------------------------------- batch
+
+class DisBatchReader(DataSourceReader):
+    """Bounded scan — the createRDD path (DISUtils.scala:240-303)."""
+
+    def __init__(self, log: DisLog, options):
+        self.log = log
+        stream = log.stream
+        earliest, latest = log.earliest_offsets(), log.latest_offsets()
+
+        if "offsetRanges" in options:
+            ranges = offset_ranges_from_json(stream, options["offsetRanges"])
+        else:
+            start = _parse_boundary(options.get("startingOffsets", "earliest"),
+                                    stream, earliest.keys(), EARLIEST)
+            end = _parse_boundary(options.get("endingOffsets", "latest"),
+                                  stream, earliest.keys(), LATEST)
+            ranges = [OffsetRange(stream, p, start.get(p, EARLIEST),
+                                  end.get(p, LATEST))
+                      for p in sorted(earliest)]
+        self.ranges = resolve_sentinels(ranges, earliest, latest)
+
+    def partitions(self):
+        return _plan_partitions(self.log, self.ranges)
+
+    def read(self, partition: RangePartition):
+        yield from _read_range_batches(partition)
+
+
+def _parse_boundary(raw: str, stream: str, parts, sentinel: int) -> dict[int, int]:
+    if raw == "earliest":
+        return {p: EARLIEST for p in parts}
+    if raw == "latest":
+        return {p: LATEST for p in parts}
+    offs = partition_offsets_from_json(raw)
+    return {p: o for (s, p), o in offs.items() if s == stream}
+
+
+# --------------------------------------------------------------- streaming
+
+class DisStreamReader(DataSourceStreamReader):
+    """Micro-batch reader ≅ DirectDISInputDStream (SURVEY.md §3.1).
+
+    Offsets JSON dialect in the checkpoint: {"0": 23, "1": 42} — per
+    partition next-offset-to-read, exactly the reference's currentOffsets
+    map (DirectDISInputDStream.scala:84).
+    """
+
+    def __init__(self, log: DisLog, options):
+        self.log = log
+        self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0) or 0)
+        self.max_rate_per_partition = float(
+            options.get("maxrateperpartition", 0) or 0)
+        self.batch_seconds = float(options.get("batchseconds", 1.0))
+        self.starting = options.get("startingoffsets", "earliest")
+        # Driver-side frontier (the reference's currentOffsets map,
+        # DirectDISInputDStream.scala:84). The runner keeps this reader
+        # alive across triggers; latestOffset() receives no start argument,
+        # so progress is tracked here and re-synced from every
+        # partitions()/commit() callback (authoritative on restart, when
+        # Spark replays from its offset log).
+        self._current: dict[int, int] | None = None
+
+    # -- planning (driver side) --
+
+    def initialOffset(self) -> dict:
+        """≅ ConsumerStrategy.onStart seek (ConsumerStrategy.scala:82-115)."""
+        if self.starting == "latest":
+            out = self.log.latest_offsets()
+        elif self.starting == "earliest":
+            out = self.log.earliest_offsets()
+        else:
+            offs = partition_offsets_from_json(self.starting)
+            earliest = self.log.earliest_offsets()
+            latest = self.log.latest_offsets()
+            out = {}
+            for p in earliest:
+                o = offs.get((self.log.stream, p), EARLIEST)
+                out[p] = (latest[p] if o == LATEST
+                          else earliest[p] if o == EARLIEST else o)
+        self._sync(out)
+        return {str(p): o for p, o in out.items()}
+
+    def latestOffset(self) -> dict:
+        """latestOffsets() + maxMessagesPerPartition() + clamp()
+        (DirectDISInputDStream.scala:185-232). New partitions are picked
+        up here (dynamic add, :185-220) because the log is re-listed every
+        trigger.
+
+        Rate limiting (maxOffsetsPerTrigger / maxRatePerPartition) applies
+        per planning call, which under a processing-time trigger is per
+        micro-batch — the DStream behavior. Trigger.availableNow captures
+        the first planned offset as its drain target, so combine
+        availableNow with rate options only when a partial drain per run
+        is acceptable.
+        """
+        if self._current is None:
+            self.initialOffset()
+        current = dict(self._current)
+        latest = self.log.latest_offsets()
+        allowed = None
+        if self.max_per_trigger or self.max_rate_per_partition:
+            lags = {p: max(latest[p] - current.get(p, 0), 0) for p in latest}
+            rate = (self.max_per_trigger / self.batch_seconds
+                    if self.max_per_trigger else None)
+            allowed = max_messages_per_partition(
+                lags, rate, self.batch_seconds, self.max_rate_per_partition)
+        ends = clamp(current, latest, allowed)
+        self._sync(ends)
+        return {str(p): o for p, o in ends.items()}
+
+    def partitions(self, start: dict, end: dict):
+        """Freeze the micro-batch plan into offset ranges ≅ compute()
+        building DISRDD (DirectDISInputDStream.scala:234-265). ``start``
+        comes from Spark's offset log, so this also re-syncs the frontier
+        after a checkpoint restart."""
+        ranges = []
+        for p_str, until in end.items():
+            p = int(p_str)
+            frm = int(start.get(p_str, 0))
+            if int(until) < frm:   # stale planning after restart — no-op
+                continue
+            ranges.append(OffsetRange(self.log.stream, p, frm, int(until)))
+        self._sync({int(p): int(o) for p, o in end.items()})
+        planned = _plan_partitions(self.log, ranges)
+        if planned:
+            return planned
+        # Spark requires >=1 partition per batch; emit one empty range.
+        first = next(iter(end)) if end else "0"
+        return [RangePartition(int(first), 0, 0, (), self.log.stream)]
+
+    def commit(self, end: dict) -> None:
+        """≅ commitAll() (DirectDISInputDStream.scala:307-328). Offsets
+        already live in Spark's checkpoint offset log (exactly-once); this
+        hook is where a real service-side commit side-channel would go."""
+        self._sync({int(p): int(o) for p, o in end.items()})
+
+    def _sync(self, offsets: dict[int, int]) -> None:
+        """Advance the driver-side frontier monotonically."""
+        cur = self._current or {}
+        for p, o in offsets.items():
+            cur[p] = max(cur.get(p, 0), int(o))
+        self._current = cur
+
+    # -- execution (executor side) --
+
+    def read(self, partition: RangePartition):
+        yield from _read_range_batches(partition)
+
+
+# -------------------------------------------------------------------- sink
+
+@dataclasses.dataclass
+class _StagedFile(WriterCommitMessage):
+    partition: int
+    rows: int
+    staged_path: str
+
+
+class DisWriter(DataSourceWriter):
+    """Producer sink ≅ DISSink (DISSink.scala:23-55), adapted to a log that
+    assigns offsets at append time: tasks stage per-partition parquet
+    (executor-parallel, no driver data movement); commit() appends staged
+    files to the log serially, preserving the offset-assignment invariant.
+    Abort discards staged files — append is all-or-nothing per job."""
+
+    def __init__(self, log: DisLog):
+        self.log = log
+        self.stage_dir = os.path.join(log.stream_dir, "_staging")
+
+    def write(self, iterator) -> _StagedFile:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        os.makedirs(self.stage_dir, exist_ok=True)
+        rows = list(iterator)
+        tid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        path = os.path.join(self.stage_dir,
+                            f"task-{tid}-{uuid.uuid4().hex[:8]}.parquet")
+        if rows:
+            cols = {
+                "partition": pa.array(
+                    [int(r["partition"]) for r in rows], pa.int32()),
+                "key": pa.array([r["key"] for r in rows], pa.string()),
+                "value": pa.array([r["value"] for r in rows], pa.string()),
+                "timestamp": pa.array([r["timestamp"] for r in rows],
+                                      pa.timestamp("us")),
+            }
+            pq.write_table(pa.table(cols), path)
+        return _StagedFile(partition=-1, rows=len(rows), staged_path=path)
+
+    def commit(self, messages) -> None:
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        frames = [pq.read_table(m.staged_path).to_pandas()
+                  for m in messages if os.path.exists(m.staged_path)]
+        if frames:
+            batch = pd.concat(frames, ignore_index=True)
+            if len(batch):
+                self.log.append(batch)
+        self._cleanup(messages)
+
+    def abort(self, messages) -> None:
+        self._cleanup(messages)
+
+    def _cleanup(self, messages) -> None:
+        for m in messages:
+            if m and os.path.exists(m.staged_path):
+                os.remove(m.staged_path)
+
+
+def register(spark) -> None:
+    """Register format('dis') on this session."""
+    spark.dataSource.register(DisDataSource)

@@ -1,0 +1,248 @@
+"""The DIS-shaped log substrate.
+
+The reference's data model (SURVEY.md §1.1) is: stream -> numbered
+partitions -> records with monotonically increasing per-partition offsets,
+each record an envelope (topic/stream, partition, offset, key, value,
+timestamp) — the shape of a Kafka ConsumerRecord
+(/root/reference/.../OffsetRange.scala:101-105, demo DISSparkRDDExample.scala:41).
+
+Two representations here:
+
+1. :func:`envelope` — a *pure DataFrame transform* that re-cuts the driver's
+   ``events`` fixture into that envelope deterministically (partition =
+   user_id % N, offset = dense per-partition rank of event_id). Used by the
+   oracle-checked connector queries; :data:`ENVELOPE_SQL` is the equivalent
+   DuckDB SQL so both engines derive the identical log.
+
+2. :class:`DisLog` — an on-disk partitioned log (one directory per
+   partition, offset-ordered parquet segments + a JSON metadata file).
+   Backs the ``format("dis")`` Python DataSource (batch + streaming) and a
+   producer-style writer, standing in for the DIS service itself. At
+   cluster scale the same layout maps 1:1 onto object storage
+   (s3://bucket/stream/p00000/segment-*.parquet).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_PARTITIONS = 4
+
+ENVELOPE_COLUMNS = ("stream", "partition", "offset", "key", "value", "timestamp")
+
+
+def envelope(events: DataFrame, stream: str = "events",
+             num_partitions: int = DEFAULT_NUM_PARTITIONS) -> DataFrame:
+    """events fixture -> DIS record envelope, deterministically.
+
+    partition = user_id % num_partitions; offset = rank of event_id within
+    the partition (monotonic from 0); key = user_id as string; value = the
+    event's ``props`` JSON payload verbatim; timestamp = event ts.
+
+    The per-partition ``row_number`` is a single shuffle by partition id —
+    at 100 TB this is the same shuffle the log service itself performs to
+    assign offsets, and it parallelizes across num_partitions * AQE splits.
+    """
+    part = (F.col("user_id") % num_partitions).cast("int")
+    w = Window.partitionBy(part).orderBy("event_id")
+    return events.select(
+        F.lit(stream).alias("stream"),
+        part.alias("partition"),
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("props").alias("value"),
+        F.col("ts").alias("timestamp"),
+    )
+
+
+def envelope_sql(stream: str = "events",
+                 num_partitions: int = DEFAULT_NUM_PARTITIONS) -> str:
+    """DuckDB SQL computing the identical envelope (oracle side)."""
+    return f"""
+        SELECT '{stream}' AS stream,
+               CAST(user_id % {num_partitions} AS INT) AS "partition",
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY user_id % {num_partitions}
+                    ORDER BY event_id) - 1 AS BIGINT) AS "offset",
+               CAST(user_id AS VARCHAR) AS "key",
+               props AS "value",
+               CAST(ts AS TIMESTAMP) AS "timestamp"
+        FROM events
+    """
+
+
+ENVELOPE_SQL = envelope_sql()
+
+
+class DisLog:
+    """On-disk partitioned, offset-addressable log.
+
+    Layout::
+
+        <root>/<stream>/metadata.json              {"num_partitions": N}
+        <root>/<stream>/p00000/seg-<from>-<until>-<uuid>.parquet
+
+    Segment files carry columns (offset, key, value, timestamp), rows
+    offset-ordered within the file; file names embed the half-open offset
+    range so planning (earliest/latest/pruning) is pure directory listing —
+    no data I/O, mirroring the reference's metadata-only count/take
+    (DISRDD.scala:89-144).
+    """
+
+    SEGMENT_SCHEMA = ("offset", "key", "value", "timestamp")
+
+    def __init__(self, root: str, stream: str):
+        self.root = root
+        self.stream = stream
+        self.stream_dir = os.path.join(root, stream)
+
+    # ------------------------------------------------------------- metadata
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.stream_dir, "metadata.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._meta_path)
+
+    def num_partitions(self) -> int:
+        if not os.path.exists(self._meta_path):
+            raise FileNotFoundError(
+                f"no DIS log for stream '{self.stream}' under '{self.root}' "
+                f"(missing {self._meta_path}); create one with "
+                f"DisLog(root, stream).create(n) or create_log_from_events()")
+        with open(self._meta_path) as f:
+            return int(json.load(f)["num_partitions"])
+
+    def partitions(self) -> list[int]:
+        """Readable partitions — cf. DISUtils.getTopicPartitions (:345-361)."""
+        return list(range(self.num_partitions()))
+
+    def _part_dir(self, partition: int) -> str:
+        return os.path.join(self.stream_dir, f"p{partition:05d}")
+
+    def _segments(self, partition: int) -> list[tuple[int, int, str]]:
+        """Sorted [(from, until, path)] parsed from segment file names."""
+        d = self._part_dir(partition)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if not (name.startswith("seg-") and name.endswith(".parquet")):
+                continue
+            bits = name[len("seg-"):-len(".parquet")].split("-")
+            out.append((int(bits[0]), int(bits[1]), os.path.join(d, name)))
+        return sorted(out)
+
+    def earliest_offsets(self) -> dict[int, int]:
+        return {p: (segs[0][0] if (segs := self._segments(p)) else 0)
+                for p in self.partitions()}
+
+    def latest_offsets(self) -> dict[int, int]:
+        """Next offset to be written per partition (exclusive end of log)."""
+        return {p: (segs[-1][1] if (segs := self._segments(p)) else 0)
+                for p in self.partitions()}
+
+    def segments_for_range(self, partition: int, from_offset: int,
+                           until_offset: int) -> list[str]:
+        """Paths overlapping [from, until) — file-level pruning by name."""
+        return [path for f, u, path in self._segments(partition)
+                if f < until_offset and u > from_offset]
+
+    # -------------------------------------------------------------- writing
+
+    def create(self, num_partitions: int) -> "DisLog":
+        os.makedirs(self.stream_dir, exist_ok=True)
+        with open(self._meta_path, "w") as f:
+            json.dump({"num_partitions": num_partitions,
+                       "created_ms": int(time.time() * 1000)}, f)
+        for p in range(num_partitions):
+            os.makedirs(self._part_dir(p), exist_ok=True)
+        return self
+
+    def append(self, records: "object") -> dict[int, int]:
+        """Append a pandas DataFrame of (partition, key, value, timestamp).
+
+        Producer-side path (cf. DISSink.scala:23-55): offsets are assigned
+        at append time, one segment file per partition per call. Returns
+        the new latest offsets. Single-process writer by design — the log
+        stands in for the DIS *service*, which owns offset assignment; Spark
+        jobs write through it via streaming/sink.py, which funnels each
+        micro-batch through this API idempotently.
+        """
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        latest = self.latest_offsets()
+        for part, grp in records.groupby("partition"):
+            part = int(part)
+            start = latest.get(part, 0)
+            n = len(grp)
+            pdf = pd.DataFrame({
+                "offset": range(start, start + n),
+                "key": grp["key"].astype("object").values,
+                "value": grp["value"].astype("object").values,
+                "timestamp": pd.to_datetime(grp["timestamp"].values),
+            })
+            path = os.path.join(
+                self._part_dir(part),
+                f"seg-{start:012d}-{start + n:012d}-{uuid.uuid4().hex[:8]}.parquet")
+            _write_segment(pa.Table.from_pandas(pdf, preserve_index=False), path)
+            latest[part] = start + n
+        return latest
+
+
+def create_log_from_events(spark: SparkSession, events_path: str, root: str,
+                           stream: str = "events",
+                           num_partitions: int = DEFAULT_NUM_PARTITIONS,
+                           segment_rows: int = 250) -> DisLog:
+    """Materialize the :func:`envelope` of an events parquet as a DisLog.
+
+    Segments are cut every ``segment_rows`` offsets so offset-range reads
+    exercise real file pruning. Runs through Spark (collect is bounded by
+    the fixture size; production ingestion would be the producer path).
+    """
+    from ..tables import load_events
+
+    log = DisLog(root, stream).create(num_partitions)
+    env = envelope(load_events(spark, os.path.dirname(events_path)),
+                   stream, num_partitions)
+    pdf = env.toPandas().sort_values(["partition", "offset"])
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for part, grp in pdf.groupby("partition"):
+        part = int(part)
+        for lo in range(0, len(grp), segment_rows):
+            chunk = grp.iloc[lo:lo + segment_rows]
+            start = int(chunk["offset"].iloc[0])
+            until = int(chunk["offset"].iloc[-1]) + 1
+            path = os.path.join(
+                log._part_dir(part),
+                f"seg-{start:012d}-{until:012d}-{uuid.uuid4().hex[:8]}.parquet")
+            _write_segment(
+                pa.Table.from_pandas(
+                    chunk[["offset", "key", "value", "timestamp"]],
+                    preserve_index=False),
+                path)
+    return log
+
+
+def _write_segment(table, path: str) -> None:
+    """Write a segment with microsecond timestamps — pandas produces
+    nanosecond columns, which Spark's parquet reader rejects."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fields = [pa.field(f.name, pa.timestamp("us"))
+              if pa.types.is_timestamp(f.type) else f
+              for f in table.schema]
+    pq.write_table(table.cast(pa.schema(fields)), path)

@@ -1,0 +1,76 @@
+"""Streaming query builders over a DIS stream (SURVEY.md §7 Phase 3).
+
+Each builder takes the streaming envelope DataFrame (from
+``spark.readStream.format("dis")``) and returns the transformed streaming
+DataFrame; tests drive them with Trigger.availableNow + a memory sink and
+verify against the batch twin of the same query (the reference delegates
+all of this to user code; here it is first-class and tested).
+
+Event time = the envelope ``timestamp`` column. Watermarks bound state:
+at 100 TB of stream state the watermark is what keeps windowed aggregation
+and dedup state finite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def parsed_events(env: DataFrame) -> DataFrame:
+    """Envelope -> typed event payload (from_json on value)."""
+    return env.select(
+        "partition", "offset", "timestamp",
+        F.from_json("value", "k BIGINT").alias("payload"))
+
+
+def windowed_counts(env: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window + count/sum with late-data drop.
+    Batch twin: operators/connector.dis_tumbling_window."""
+    return (env
+            .withWatermark("timestamp", watermark)
+            .groupBy(F.window("timestamp", window).alias("w"), "partition")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "partition", "n"))
+
+
+def sliding_counts(env: DataFrame, window: str = "1 hour",
+                   slide: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Sliding window — each record lands in window/slide buckets."""
+    return (env
+            .withWatermark("timestamp", watermark)
+            .groupBy(F.window("timestamp", window, slide).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n"))
+
+
+def session_counts(env: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Session windows keyed by the record key (inactivity gap).
+    Batch twin: operators/connector.dis_sessionization."""
+    return (env
+            .withWatermark("timestamp", watermark)
+            .groupBy(F.session_window("timestamp", gap).alias("w"), "key")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("session_start"), "key", "n_events"))
+
+
+def dedup_within_watermark(env: DataFrame,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on (key, value) with bounded state — the
+    streaming twin of operators/dedup.dedup_exact."""
+    return (env
+            .withWatermark("timestamp", watermark)
+            .dropDuplicatesWithinWatermark(["key", "value"]))
+
+
+def running_wordcount(env: DataFrame) -> DataFrame:
+    """The reference demo pipeline as a *streaming* query
+    (DISSparkStreamingSubscribeExample.scala:46): cumulative word counts
+    across micro-batches (update mode / complete mode)."""
+    return (env
+            .select(F.explode(F.split("value", "[^a-zA-Z0-9_]+")).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n")))

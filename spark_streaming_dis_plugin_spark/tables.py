@@ -1,0 +1,50 @@
+"""Fixture-table loading (driver-generated parquet, see /root/repo/TESTDATA.md)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor the
+# TPC-H-ish generator produces (region=5, nation=25 rows always; supplier
+# and part grow slowly). customer/orders/lineitem are fact-sized.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects. Read nanos as long (legacy conf, runtime-settable) and truncate
+    to microsecond TIMESTAMP_NTZ — exactly what DuckDB does on read, so the
+    oracle sees identical values. NTZ keeps every downstream format/compare
+    independent of the session timezone."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.withColumn(
+        "ts",
+        F.expr("convert_timezone('UTC', 'UTC', timestamp_micros(ts DIV 1000))"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each fixture table as a temp view (for the SQL-facing API)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

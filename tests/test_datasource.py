@@ -1,0 +1,205 @@
+"""format("dis") Python DataSource: batch reads (offset ranges, sentinels,
+boundaries), streaming micro-batches (rate limiting, availableNow drain,
+checkpoint restart), and the writer/sink paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+    DisDataSource,
+)
+from spark_streaming_dis_plugin_spark.sources.dis_log import (
+    DisLog, create_log_from_events, envelope,
+)
+from spark_streaming_dis_plugin_spark.streaming.queries import (
+    dedup_within_watermark, running_wordcount, windowed_counts,
+)
+from spark_streaming_dis_plugin_spark.streaming.sink import (
+    DisForeachBatchSink,
+)
+from spark_streaming_dis_plugin_spark.tables import load_events
+
+
+@pytest.fixture(scope="module")
+def log(spark, sf_dir, tmp_path_factory) -> DisLog:
+    spark.dataSource.register(DisDataSource)
+    root = str(tmp_path_factory.mktemp("dslog"))
+    return create_log_from_events(
+        spark, f"{sf_dir}/events.parquet", root, segment_rows=100)
+
+
+def _dis(spark, log: DisLog):
+    return (spark.read.format("dis")
+            .option("path", log.root).option("stream", log.stream))
+
+
+def test_batch_full_scan(spark, sf_dir, log):
+    df = _dis(spark, log).load()
+    env = envelope(load_events(spark, sf_dir))
+    assert df.count() == env.count()
+    assert df.columns == ["stream", "partition", "offset", "key", "value",
+                          "timestamp"]
+
+
+def test_batch_offset_ranges_and_sentinels(spark, log):
+    df = (_dis(spark, log)
+          .option("offsetRanges", '{"0":[100,200],"1":[-2,-1]}').load())
+    counts = {r["partition"]: r["count"] for r in
+              df.groupBy("partition").count().collect()}
+    assert counts[0] == 100
+    assert counts[1] == log.latest_offsets()[1]
+
+
+def test_batch_starting_ending_offsets(spark, log):
+    df = (_dis(spark, log)
+          .option("startingOffsets", '{"events":{"0":10,"1":10,"2":10,"3":10}}')
+          .option("endingOffsets", '{"events":{"0":20,"1":20,"2":20,"3":20}}')
+          .load())
+    assert df.count() == 40
+    assert df.agg(F.min("offset")).first()[0] == 10
+    assert df.agg(F.max("offset")).first()[0] == 19
+
+
+def test_batch_filter_pushdown_runs(spark, log):
+    df = _dis(spark, log).load().where(F.col("partition") == 0)
+    assert df.count() == log.latest_offsets()[0]
+
+
+def test_stream_available_now_reads_everything(spark, log, tmp_path):
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    q = (sdf.writeStream.format("memory").queryName("full_drain")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) FROM full_drain").first()[0]
+    assert got == sum(log.latest_offsets().values())
+
+
+def test_stream_rate_limit_spreads_batches(spark, log, tmp_path):
+    """maxOffsetsPerTrigger under a processing-time trigger: the backlog
+    drains across many micro-batches, each within the budget (the
+    lag-proportional split of rate.py driving latestOffset)."""
+    import time
+
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("maxOffsetsPerTrigger", "100")
+           .load())
+    q = (sdf.writeStream.format("memory").queryName("rated")
+         .option("checkpointLocation", str(tmp_path / "ckpt2"))
+         .trigger(processingTime="50 milliseconds").start())
+    total = sum(log.latest_offsets().values())
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.sql("SELECT count(*) FROM rated").first()[0] >= total:
+            break
+        time.sleep(0.5)
+    q.stop()
+    assert spark.sql("SELECT count(*) FROM rated").first()[0] == total
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3
+    assert all(p["numInputRows"] <= 104 for p in data_batches)
+
+
+def test_stream_checkpoint_resume_no_dups(spark, log, tmp_path):
+    """Exactly-once across restart: stop mid-stream, restart from the
+    checkpoint, total rows = log size with no duplicates
+    (≅ checkpoint restore, DirectDISInputDStream.scala:367-397)."""
+    ckpt = str(tmp_path / "ckpt3")
+    out = str(tmp_path / "out3")
+
+    def start():
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .load())
+        return (sdf.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start())
+
+    q = start()
+    q.awaitTermination(180)     # first drain completes fully
+    first = spark.read.parquet(out).count()
+    q2 = start()                # restart: no new data -> no duplicates
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert first == sum(log.latest_offsets().values())
+    assert got.count() == first
+    assert (got.groupBy("partition", "offset").count()
+            .where(F.col("count") > 1).count()) == 0
+
+
+def test_streaming_wordcount_matches_batch(spark, sf_dir, log, tmp_path):
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    q = (running_wordcount(sdf).writeStream.format("memory")
+         .queryName("wc").outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "wc"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    batch = {r["word"]: r["n"] for r in
+             running_wordcount(envelope(load_events(spark, sf_dir)))
+             .collect()}
+    stream = {r["word"]: r["n"] for r in
+              spark.sql("SELECT * FROM wc").collect()}
+    assert batch == stream
+
+
+def test_streaming_windowed_counts_matches_batch(spark, sf_dir, log, tmp_path):
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    q = (windowed_counts(sdf).writeStream.format("memory")
+         .queryName("wcnt").outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "wcnt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_rows = {(str(r["window_start"]), r["partition"]): r["n"]
+                   for r in spark.sql("SELECT * FROM wcnt").collect()}
+    batch_rows = {(str(r["window_start"]), r["partition"]): r["n"]
+                  for r in windowed_counts(envelope(load_events(spark, sf_dir)))
+                  .collect()}
+    assert stream_rows == batch_rows
+
+
+def test_streaming_dedup_within_watermark(spark, log, tmp_path):
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    q = (dedup_within_watermark(sdf).writeStream.format("memory")
+         .queryName("dd").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) FROM dd").first()[0]
+    assert 0 < n <= sum(log.latest_offsets().values())
+
+
+def test_batch_writer_appends(spark, log, tmp_path):
+    out = DisLog(str(tmp_path / "outlog"), "out").create(2)
+    src = _dis(spark, log).option("offsetRanges", '{"0":[0,50]}').load()
+    (src.select((F.col("partition") % 2).cast("int").alias("partition"),
+                "key", "value", "timestamp")
+        .write.format("dis")
+        .option("path", out.root).option("stream", "out")
+        .mode("append").save())
+    assert sum(out.latest_offsets().values()) == 50
+    back = (spark.read.format("dis")
+            .option("path", out.root).option("stream", "out").load())
+    assert back.count() == 50
+
+
+def test_foreach_batch_sink_idempotent(spark, log, tmp_path):
+    out = DisLog(str(tmp_path / "fblog"), "fb").create(2)
+    sink = DisForeachBatchSink(out, "qq")
+    batch = (_dis(spark, log).option("offsetRanges", '{"0":[0,30]}').load()
+             .select((F.col("partition") % 2).cast("int").alias("partition"),
+                     "key", "value", "timestamp"))
+    sink(batch, 0)
+    assert sum(out.latest_offsets().values()) == 30
+    sink(batch, 0)  # replay of same batch id -> skipped
+    assert sum(out.latest_offsets().values()) == 30
+    sink(batch, 1)
+    assert sum(out.latest_offsets().values()) == 60

@@ -1,0 +1,107 @@
+"""On-disk DIS log + bounded reads: sentinel resolution against real log
+bounds, file pruning, metadata-only count/take/isEmpty pushdowns
+(DISRDD.scala:89-144 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_streaming_dis_plugin_spark.sources.dis_batch import (
+    dis_count, dis_is_empty, dis_read, dis_take,
+)
+from spark_streaming_dis_plugin_spark.sources.dis_log import (
+    DisLog, create_log_from_events, envelope,
+)
+from spark_streaming_dis_plugin_spark.sources.offsets import (
+    EARLIEST, LATEST, OffsetRange,
+)
+from spark_streaming_dis_plugin_spark.tables import load_events
+
+
+@pytest.fixture(scope="module")
+def log(spark, sf_dir, tmp_path_factory) -> DisLog:
+    root = str(tmp_path_factory.mktemp("dislog"))
+    return create_log_from_events(
+        spark, f"{sf_dir}/events.parquet", root, segment_rows=100)
+
+
+def test_log_bounds_match_envelope(spark, sf_dir, log):
+    env = envelope(load_events(spark, sf_dir))
+    expected = {r["partition"]: r["n"] for r in
+                env.groupBy("partition").count()
+                   .withColumnRenamed("count", "n").collect()}
+    assert log.earliest_offsets() == {p: 0 for p in expected}
+    assert log.latest_offsets() == expected
+
+
+def test_full_read_equals_envelope(spark, sf_dir, log):
+    ranges = [OffsetRange("events", p, EARLIEST, LATEST)
+              for p in log.partitions()]
+    got = dis_read(spark, log, ranges)
+    env = envelope(load_events(spark, sf_dir))
+    assert got.count() == env.count()
+    key = lambda rows: sorted((r["partition"], r["offset"], r["value"])  # noqa: E731
+                              for r in rows)
+    assert key(got.collect()) == key(env.collect())
+
+
+def test_bounded_read_json_dialect(spark, log):
+    df = dis_read(spark, log, '{"0":[100,200],"1":[0,50]}')
+    rows = df.collect()
+    assert len(rows) == 150
+    p0 = [r["offset"] for r in rows if r["partition"] == 0]
+    assert min(p0) == 100 and max(p0) == 199  # until exclusive
+
+
+def test_file_pruning(log):
+    # segment_rows=100 -> range [100,200) of partition 0 touches exactly 1 file
+    paths = log.segments_for_range(0, 100, 200)
+    assert len(paths) == 1
+    assert len(log.segments_for_range(0, 50, 250)) == 3
+
+
+def test_count_pushdown_no_io(spark, log):
+    latest = log.latest_offsets()
+    assert dis_count(log, '{"0":[100,200]}') == 100
+    full = [OffsetRange("events", p, EARLIEST, LATEST)
+            for p in log.partitions()]
+    assert dis_count(log, full) == sum(latest.values())
+    assert dis_count(log, '{"0":[5,5]}') == 0
+    assert dis_is_empty(log, '{"0":[5,5]}')
+    assert not dis_is_empty(log, '{"0":[5,6]}')
+
+
+def test_take_scans_minimal_ranges(spark, log):
+    rows = dis_take(spark, log, '{"0":[0,-1],"1":[0,-1]}', 7)
+    assert len(rows) == 7
+    # budget consumed from the first range: all from partition 0
+    assert all(r["partition"] == 0 for r in rows)
+    assert [r["offset"] for r in rows] == list(range(7))
+
+
+def test_read_empty_ranges(spark, log):
+    df = dis_read(spark, log, '{"0":[10,10]}')
+    assert df.count() == 0
+    assert df.columns == ["stream", "partition", "offset", "key", "value",
+                          "timestamp"]
+
+
+def test_sentinel_resolution_against_log(spark, log):
+    latest = log.latest_offsets()
+    df = dis_read(spark, log, '{"2":[-2,-1]}')
+    assert df.count() == latest[2]
+
+
+def test_producer_append_assigns_offsets(tmp_path):
+    import pandas as pd
+    log = DisLog(str(tmp_path), "out").create(2)
+    batch = pd.DataFrame({
+        "partition": [0, 0, 1],
+        "key": ["a", "b", "c"],
+        "value": ["v1", "v2", "v3"],
+        "timestamp": pd.to_datetime(["2024-01-01"] * 3),
+    })
+    latest = log.append(batch)
+    assert latest == {0: 2, 1: 1}
+    latest = log.append(batch)
+    assert latest == {0: 4, 1: 2}  # offsets continue monotonically

@@ -1,0 +1,92 @@
+"""Golden tests for the lag-proportional rate split + clamp
+(the reference's batch-sizing algorithm,
+DirectDISInputDStream.scala:129-161, 223-232)."""
+
+from __future__ import annotations
+
+from hypothesis import given, strategies as st
+
+from spark_streaming_dis_plugin_spark.sources.rate import (
+    clamp, max_messages_per_partition,
+)
+
+
+def test_unlimited_returns_none():
+    assert max_messages_per_partition({0: 100, 1: 50}, None, 1.0, 0.0) is None
+
+
+def test_lag_proportional_split():
+    # total rate 100 msg/s over 1 s; lags 300/100 -> 75/25 split
+    got = max_messages_per_partition({0: 300, 1: 100}, 100.0, 1.0)
+    assert got == {0: 75, 1: 25}
+
+
+def test_per_partition_cap_applies():
+    got = max_messages_per_partition({0: 300, 1: 100}, 100.0, 1.0,
+                                     max_rate_per_partition=30.0)
+    assert got == {0: 30, 1: 25}
+
+
+def test_cap_only_no_estimate():
+    got = max_messages_per_partition({0: 300, 1: 0}, None, 2.0,
+                                     max_rate_per_partition=10.0)
+    # 10 msg/s * 2 s = 20 for every partition; clamp() later cuts the
+    # zero-lag partition back to its latest offset
+    assert got == {0: 20, 1: 20}
+
+
+def test_floor_one_message_per_partition():
+    # tiny rate: every partition still gets >= 1 (reference floor,
+    # DirectDISInputDStream.scala:156)
+    got = max_messages_per_partition({0: 1000, 1: 1}, 0.001, 1.0)
+    assert got[0] >= 1 and got[1] >= 1
+
+
+def test_zero_lag_partition_clamped_not_advanced():
+    allowed = max_messages_per_partition({0: 100, 1: 0}, 50.0, 1.0)
+    ends = clamp(current={0: 0, 1: 40}, latest={0: 100, 1: 40},
+                 allowed=allowed)
+    assert ends[1] == 40  # no lag -> batch end stays at latest
+    assert ends[0] == 50
+
+
+def test_clamp_basic():
+    ends = clamp(current={0: 10, 1: 5}, latest={0: 100, 1: 7},
+                 allowed={0: 20, 1: 100})
+    assert ends == {0: 30, 1: 7}
+
+
+def test_clamp_unlimited():
+    assert clamp({0: 10}, {0: 100}, None) == {0: 100}
+
+
+def test_clamp_new_partition_added():
+    # dynamic partition add: partition 1 appears with no current offset
+    ends = clamp(current={0: 10}, latest={0: 20, 1: 50}, allowed=None)
+    assert ends == {0: 20, 1: 50}
+
+
+@given(st.dictionaries(st.integers(0, 8), st.integers(0, 10**6),
+                       min_size=1, max_size=9),
+       st.floats(0.001, 10**6), st.floats(0.01, 60))
+def test_split_never_exceeds_total_much_and_covers_lag(lags, rate, secs):
+    got = max_messages_per_partition(lags, rate, secs)
+    if sum(lags.values()) == 0:
+        # no lag anywhere -> nothing to limit (reference's sum>0 guard)
+        assert got is None
+        return
+    assert got is not None
+    for _part, n in got.items():
+        assert n >= 1
+
+
+@given(st.dictionaries(st.integers(0, 8), st.tuples(
+    st.integers(0, 1000), st.integers(0, 1000)), min_size=1),
+    st.one_of(st.none(),
+              st.dictionaries(st.integers(0, 8), st.integers(0, 100))))
+def test_clamp_invariants(cur_lat, allowed):
+    current = {p: c for p, (c, _) in cur_lat.items()}
+    latest = {p: c + d for p, (c, d) in cur_lat.items()}
+    ends = clamp(current, latest, allowed)
+    for p, end in ends.items():
+        assert current.get(p, 0) <= end <= max(latest[p], current.get(p, 0))
