@@ -284,4 +284,53 @@ def dis_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("session_start")))
 
 
+# ------------------------------------------ physical source, oracle-gated
+
+_LOG_CACHE: dict[str, str] = {}
+
+
+def _materialized_log(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir per process) a real on-disk DisLog from the
+    events fixture and register format('dis')."""
+    import tempfile
+
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog, create_log_from_events
+
+    spark.dataSource.register(DisDataSource)
+    if sf_dir not in _LOG_CACHE:
+        root = tempfile.mkdtemp(prefix="dis_log_")
+        create_log_from_events(spark, f"{sf_dir}/events.parquet", root,
+                               segment_rows=2000)
+        _LOG_CACHE[sf_dir] = root
+    return DisLog(_LOG_CACHE[sf_dir], "events")
+
+
+@register(
+    "dis_source_roundtrip",
+    oracle=f"""
+    SELECT stream, "partition", "offset", "key", "value",
+           strftime("timestamp", '{TS_FMT_DUCK}') AS ts_utc
+    FROM ({_ENV})
+    WHERE ("partition" = 0 AND "offset" >= 50 AND "offset" < 450)
+       OR ("partition" = 3)
+    """,
+    tags=("connector", "datasource", "physical"))
+def dis_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PHYSICAL source under the oracle gate: events -> on-disk
+    partitioned log (offset-ordered parquet segments) -> bounded
+    spark.read.format('dis') with offset ranges incl. a [-2,-1] sentinel
+    pair -> must reproduce the pure-transform envelope exactly. Exercises
+    segment-file pruning, residual offset filters, and sentinel resolution
+    against real log bounds (createRDD path, DISUtils.scala:240-303)."""
+    log = _materialized_log(spark, sf_dir)
+    df = (spark.read.format("dis")
+          .option("path", log.root).option("stream", log.stream)
+          .option("offsetRanges", '{"0":[50,450],"3":[-2,-1]}')
+          .load())
+    return df.select(
+        "stream", "partition", "offset", "key", "value",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc"))
+
+
 NUM_PARTITIONS = DEFAULT_NUM_PARTITIONS

@@ -752,3 +752,206 @@ def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
             .select("o_orderkey", "o_totalprice")
             .offset(5).limit(15))
+
+
+# ----------------------------------------------- array / map / json scalar
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_val,
+           round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) AS min_val,
+           array_to_string(list_transform(list_slice(embedding, 1, 3),
+                           x -> CAST(round(CAST(x AS DOUBLE), 3) + 0.0
+                                     AS VARCHAR)),
+                           ',') AS head3,
+           CAST(list_contains(list_transform(embedding, x -> x > 0),
+                              true) AS INT) AS has_positive
+    FROM embeddings
+    """,
+    tags=("relational", "scalar", "array"))
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar family over the embedding column (size/index/min/max/
+    slice/transform/exists) — array outputs flattened to scalars so the
+    hash compare is representation-independent."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(F.element_at(e, 1).cast("double"), 4).alias("first_val"),
+        F.round(F.array_max(e).cast("double"), 4).alias("max_val"),
+        F.round(F.array_min(e).cast("double"), 4).alias("min_val"),
+        # + 0.0 normalizes IEEE negative zero (renders '-0.0' in DuckDB,
+        # '0.0' in Spark)
+        F.array_join(
+            F.transform(F.slice(e, 1, 3),
+                        lambda x: (F.round(x.cast("double"), 3) + 0.0)
+                        .cast("string")),
+            ",").alias("head3"),
+        F.exists(e, lambda x: x > 0).cast("int").alias("has_positive"))
+
+
+@register(
+    "json_functions",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           len(json_keys(props)) AS n_keys,
+           CAST(json_extract(props, '$.missing') IS NULL AS INT) AS missing_is_null
+    FROM events
+    """,
+    tags=("relational", "scalar", "json"))
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar family on the events payload: typed extraction,
+    key enumeration, absent-path null semantics."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.size(F.json_object_keys("props")).alias("n_keys"),
+        F.get_json_object("props", "$.missing").isNull().cast("int")
+         .alias("missing_is_null"))
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT event_type,
+           CAST(map(['type'], [event_type])['type'][1] AS VARCHAR) AS via_map,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("relational", "scalar", "map"))
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + lookup (DuckDB map access returns a list — both
+    sides reduce to the scalar value)."""
+    events = load(spark, sf_dir, "events")
+    m = F.create_map(F.lit("type"), F.col("event_type"))
+    return (events
+            .select("event_type",
+                    F.element_at(m, "type").cast("string").alias("via_map"))
+            .groupBy("event_type", "via_map")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("event_type", "via_map", "n"))
+
+
+# -------------------------------------------------------------- percentiles
+
+@register(
+    "percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg", "percentile"))
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, same interpolation formula; rounded to absorb
+    last-ulp interpolation arithmetic). The 100 TB default is
+    approx_percentile/t-digest — covered rows-only since sketches aren't
+    oracle-reproducible."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_quantity", F.lit(0.5)), 6)
+                 .alias("median_qty"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6)
+                 .alias("p25_price"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6)
+                 .alias("p75_price"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6)
+                 .alias("p99_price")))
+
+
+@register(
+    "approx_aggregates",
+    oracle=None,   # sketches are engine-specific: rows-only check
+    tags=("relational", "agg", "approx"))
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB aggregation defaults: HLL distinct counts and t-digest
+    percentiles — single pass, mergeable, bounded memory. Not
+    oracle-comparable (sketch internals differ per engine); correctness is
+    bounded-error vs the exact queries, asserted in tests."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.percentile_approx("l_extendedprice", 0.5, 10000)
+                  .alias("approx_median_price"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------- more join shapes
+
+@register(
+    "cross_join_small",
+    oracle="""
+    SELECT r.r_name, s.s_name, COUNT(*) AS n
+    FROM region r CROSS JOIN supplier s
+    GROUP BY r.r_name, s.s_name
+    """,
+    tags=("relational", "join", "cross"))
+def cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (both sides dimension-sized; at scale a
+    cross join is only ever sane when one side is broadcast)."""
+    region, supplier = _t(spark, sf_dir, "region", "supplier")
+    return (region.crossJoin(F.broadcast(supplier))
+            .groupBy("r_name", "s_name")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "union_all_tagged",
+    oracle="""
+    SELECT 'customer' AS src, CAST(c_custkey AS BIGINT) AS id,
+           c_name AS name FROM customer
+    UNION ALL
+    SELECT 'supplier' AS src, CAST(s_suppkey AS BIGINT) AS id,
+           s_name AS name FROM supplier
+    """,
+    tags=("relational", "setops", "union-all"))
+def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag UNION ALL with schema alignment (unionByName)."""
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    c = customer.select(F.lit("customer").alias("src"),
+                        F.col("c_custkey").cast("bigint").alias("id"),
+                        F.col("c_name").alias("name"))
+    s = supplier.select(F.lit("supplier").alias("src"),
+                        F.col("s_suppkey").cast("bigint").alias("id"),
+                        F.col("s_name").alias("name"))
+    return c.unionByName(s)
+
+
+@register(
+    "scalar_subquery_select",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4) + 0.0
+             AS diff_from_avg
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+    tags=("relational", "subquery", "scalar"))
+def scalar_subquery_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in the projection — planned as a
+    broadcast of a 1-row aggregate. avg() stays in plain double: both
+    engines sum the same 60k doubles; the final round(4) absorbs
+    summation-order ulps (documented epsilon, asserted stable in tests)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_totalprice,
+               round(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 4) + 0.0
+                 AS diff_from_avg
+        FROM orders
+        WHERE o_orderstatus = 'F'
+    """)

@@ -55,7 +55,7 @@ def _l2sq(a, b):
       FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
       WHERE q.vec_id < {N_QUERIES}
     )
-    SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk
+    SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rnk
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rnk
@@ -81,7 +81,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= TOP_K)
             .select("query_id", "neighbor_id",
-                    F.round("cos", 4).alias("cos"), "rnk"))
+                    (F.round("cos", 4) + 0.0).alias("cos"), "rnk"))
 
 
 @register(
@@ -143,7 +143,7 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
       WHERE q.vec_id < {N_QUERIES}
     )
-    SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk
+    SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rnk
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, neighbor_id) AS rnk
@@ -182,4 +182,4 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= 3)
             .select("query_id", "neighbor_id",
-                    F.round("cos", 4).alias("cos"), "rnk"))
+                    (F.round("cos", 4) + 0.0).alias("cos"), "rnk"))

@@ -1,0 +1,60 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference delegates all stateful processing to user code over raw
+DStreams; Structured Streaming's arbitrary-state API is the Spark-first
+replacement. The operator here — per-key running aggregates that survive
+across micro-batches and emit on every update — is the canonical shape
+(counters, rate trackers, fraud scores); swap the update function to
+specialize.
+
+State is partitioned by key across executors and checkpointed by Spark;
+at 100 TB the operative limits are state-store size per key-range and the
+watermark-driven eviction (use timeouts for keys that go quiet).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "key string, n_events bigint, total double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_running_totals(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's rows for `key` into persistent (n, total)."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["amount"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total": [total]})
+
+
+def running_totals_per_key(env: DataFrame) -> DataFrame:
+    """Envelope stream -> per-key running (count, sum of parsed payload).
+
+    Expects the DIS envelope; parses value's JSON `k` field as the amount.
+    Emits one updated row per key per micro-batch (update output mode).
+    """
+    from pyspark.sql import functions as F
+
+    amounts = env.select(
+        F.col("key"),
+        F.get_json_object("value", "$.k").cast("double").alias("amount"))
+    return (amounts
+            .groupBy("key")
+            .applyInPandasWithState(
+                _update_running_totals,
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))

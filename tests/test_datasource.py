@@ -203,3 +203,48 @@ def test_foreach_batch_sink_idempotent(spark, log, tmp_path):
     assert sum(out.latest_offsets().values()) == 30
     sink(batch, 1)
     assert sum(out.latest_offsets().values()) == 60
+
+
+def test_stateful_running_totals(spark, sf_dir, log, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches — final
+    per-key totals equal the batch aggregate over the whole log."""
+    from spark_streaming_dis_plugin_spark.streaming.stateful import (
+        running_totals_per_key,
+    )
+
+    out = str(tmp_path / "rt_out")
+
+    def run_once():
+        # availableNow + maxOffsetsPerTrigger drains ONE rate-limited batch
+        # per run (documented reader semantics) — so each loop iteration is
+        # a fresh query restart recovering its state from the checkpoint.
+        # foreachBatch sink because memory sink can't recover checkpoints.
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .option("maxOffsetsPerTrigger", "300")
+               .load())
+        q = (running_totals_per_key(sdf).writeStream
+             .foreachBatch(lambda df, _id: df.write.mode("append")
+                           .parquet(out))
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "rt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    for _ in range(6):  # 1000 records / <=300 per run
+        run_once()
+    spark.read.parquet(out).createOrReplaceTempView("rt")
+    # last emitted row per key = final state
+    final = {r["key"]: (r["n_events"], r["total"]) for r in spark.sql("""
+        SELECT key, n_events, total FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                       ORDER BY n_events DESC) rn FROM rt)
+        WHERE rn = 1""").collect()}
+    batch = {r["key"]: (r["n"], r["total"]) for r in
+             envelope(load_events(spark, sf_dir))
+             .select("key", F.get_json_object("value", "$.k")
+                     .cast("double").alias("amount"))
+             .groupBy("key")
+             .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total"))
+             .collect()}
+    assert final == batch
