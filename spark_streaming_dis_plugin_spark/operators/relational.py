@@ -955,3 +955,126 @@ def scalar_subquery_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_orderstatus = 'F'
     """)
+
+
+# ------------------------------------------------- more TPC-H-style shapes
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("relational", "join", "topk"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue. Two fact joins +
+    one broadcast dimension + top-20 (TakeOrderedAndProject)."""
+    customer, orders, li, nation = _t(spark, sf_dir, "customer", "orders",
+                                      "lineitem", "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (customer
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .where(F.col("o_orderdate") >= "1993-10-01 00:00:00")
+            .join(li.where(F.col("l_returnflag") == "R"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(dsum(revenue, 6).alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+@register(
+    "q12_shipmode_buckets",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_totalprice > 3000 THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_totalprice <= 3000 THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "join", "conditional-agg"))
+def q12_shipmode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counting after a fact-fact join."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    high = F.when(F.col("o_totalprice") > 3000, 1).otherwise(0)
+    return (orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .where((F.col("l_shipdate") >= "1994-01-01 00:00:00")
+                   & (F.col("l_shipdate") < "1995-01-01 00:00:00"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum(high).alias("high_line_count"),
+                 F.sum(1 - high).alias("low_line_count")))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT round(100.0 *
+             {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 6)}
+             / {dsum_sql('l_extendedprice * (1 - l_discount)', 6)}, 6)
+           AS promo_revenue_pct,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    """,
+    tags=("relational", "join", "ratio"))
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share. Ratio of two decimal-exact
+    sums, divided in double, rounded — deterministic both sides."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .where((F.col("l_shipdate") >= "1995-09-01 00:00:00")
+                   & (F.col("l_shipdate") < "1995-10-01 00:00:00"))
+            .agg(F.round(100.0 * dsum(promo, 6) / dsum(rev, 6), 6)
+                 .alias("promo_revenue_pct"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {dsum_sql('l_quantity', 2)} > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    """,
+    tags=("relational", "join", "semi", "having"))
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
+    agg-then-semi-join (the aggregated key set stays small, so it
+    broadcast-semi-joins into orders)."""
+    customer, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(dsum("l_quantity", 2).alias("qty"))
+           .where(F.col("qty") > 150)
+           .select("l_orderkey"))
+    return (customer
+            .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(big),
+                  F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+            .select("c_custkey", "c_name", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("orderdate"),
+                    "o_totalprice"))

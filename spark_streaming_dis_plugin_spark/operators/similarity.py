@@ -183,3 +183,44 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") <= 3)
             .select("query_id", "neighbor_id",
                     (F.round("cos", 4) + 0.0).alias("cos"), "rnk"))
+
+
+@register(
+    "sim_bruteforce_topk_pandas",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cosine_sql('q.embedding', 'c.embedding')} AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+    tags=("similarity", "ann", "topk", "pandas-udf"))
+def sim_bruteforce_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-k as sim_bruteforce_topk but with the Arrow/numpy
+    cosine kernel (functions/vectorized.py) — the wide-vector fast path.
+    numpy's pairwise summation differs from the JVM fold only in last
+    ulps; round(4) makes both match the oracle, pinning kernel parity."""
+    from ..functions.vectorized import cosine_vectorized
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ce"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    cosine_vectorized(F.col("qe"), F.col("ce")).alias("cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id",
+                    (F.round("cos", 4) + 0.0).alias("cos"), "rnk"))

@@ -132,7 +132,11 @@ class DisDataSource(DataSource):
             raise ValueError("option 'path' (log root) is required")
         return DisLog(root, stream)
 
-    def reader(self, schema: StructType) -> "DisBatchReader":
+    def reader(self, schema: StructType):
+        if "subscribepattern" in self.options:
+            root = self.options.get("path") or self.options.get("root")
+            return DisMultiStreamReader(root,
+                                        self.options["subscribepattern"])
         return DisBatchReader(self._log(), self.options)
 
     def streamReader(self, schema: StructType) -> "DisStreamReader":
@@ -180,6 +184,38 @@ def _parse_boundary(raw: str, stream: str, parts, sentinel: int) -> dict[int, in
         return {p: LATEST for p in parts}
     offs = partition_offsets_from_json(raw)
     return {p: o for (s, p), o in offs.items() if s == stream}
+
+
+class DisMultiStreamReader(DataSourceReader):
+    """subscribePattern — regex over the stream directories under the log
+    root, full scan of every match (ConsumerStrategies.SubscribePattern,
+    ConsumerStrategy.scala:132-171; partition pickup happens at plan time
+    because the directory listing IS the subscription)."""
+
+    def __init__(self, root: str, pattern: str):
+        import re
+
+        self.logs = []
+        rx = re.compile(pattern)
+        for name in sorted(os.listdir(root)):
+            log = DisLog(root, name)
+            if rx.fullmatch(name) and log.exists():
+                self.logs.append(log)
+        if not self.logs:
+            raise ValueError(
+                f"subscribePattern {pattern!r} matches no stream under {root}")
+
+    def partitions(self):
+        out = []
+        for log in self.logs:
+            earliest, latest = log.earliest_offsets(), log.latest_offsets()
+            ranges = [OffsetRange(log.stream, p, earliest[p], latest[p])
+                      for p in sorted(earliest)]
+            out.extend(_plan_partitions(log, ranges))
+        return out
+
+    def read(self, partition: RangePartition):
+        yield from _read_range_batches(partition)
 
 
 # --------------------------------------------------------------- streaming

@@ -248,3 +248,30 @@ def test_stateful_running_totals(spark, sf_dir, log, tmp_path):
              .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total"))
              .collect()}
     assert final == batch
+
+
+def test_subscribe_pattern_multi_stream(spark, log, tmp_path):
+    """subscribePattern: regex subscription over multiple streams under one
+    root (ConsumerStrategies.SubscribePattern semantics)."""
+    import pandas as pd
+    root = str(tmp_path / "multiroot")
+    for name in ("clicks_a", "clicks_b", "other"):
+        out = DisLog(root, name).create(2)
+        out.append(pd.DataFrame({
+            "partition": [0, 1, 0],
+            "key": ["k1", "k2", "k3"],
+            "value": [f"{name}-1", f"{name}-2", f"{name}-3"],
+            "timestamp": pd.to_datetime(["2024-01-01"] * 3),
+        }))
+    df = (spark.read.format("dis")
+          .option("path", root).option("subscribePattern", "clicks_.*")
+          .load())
+    assert df.count() == 6
+    assert sorted(r["stream"] for r in df.select("stream").distinct()
+                  .collect()) == ["clicks_a", "clicks_b"]
+    # no match -> clean error
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="matches no stream"):
+        (spark.read.format("dis")
+         .option("path", root).option("subscribePattern", "nope.*")
+         .load().count())
