@@ -1,0 +1,139 @@
+"""As-of joins and range joins — operators Spark lacks natively
+(SURVEY.md §2c "custom operators"; the classic time-series/OLAP gap).
+
+Two implementations of the as-of join, same semantics, same oracle:
+
+1. union + window (pure DataFrame): tag both sides, sort once per key,
+   carry the last left-side value forward with a running max/last_value.
+   One shuffle on the key — the 100 TB path (no per-group materialization,
+   spills fine, AQE-friendly).
+2. applyInPandas + pd.merge_asof per key group: the readable/flexible
+   variant (tolerance, nearest-direction); Arrow-batched, one group per
+   pandas frame — right-sized when groups fit memory.
+
+Range join: equi-bucket join against a broadcast band table — the standard
+decomposition (bucket key = equi-join, residual BETWEEN filter) that keeps
+Catalyst from falling into a nested-loop join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..tables import load
+
+# As-of: for each purchase event, the user's latest click at-or-before it.
+ASOF_ORACLE = """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+      SELECT user_id, ts, event_id,
+             MAX(click_ts) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_ts
+      FROM tagged
+    )
+    SELECT c.event_id AS purchase_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           COALESCE(strftime(c.last_click_ts, '%Y-%m-%d %H:%M:%S.%f'),
+                    'never') AS asof_click_ts
+    FROM carried c JOIN events e ON c.event_id = e.event_id
+    WHERE e.event_type = 'purchase'
+"""
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@register("asof_join_window", oracle=ASOF_ORACLE,
+          tags=("asof", "join", "window"))
+def asof_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union+window: one sort per user carries the latest
+    click timestamp onto every later purchase. Scale path — a single
+    shuffle on user_id, no group materialization."""
+    events = load(spark, sf_dir, "events")
+    both = events.where(F.col("event_type").isin("click", "purchase"))
+    tagged = both.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"))
+    w = (Window.partitionBy("user_id").orderBy("ts")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
+    return (carried.where(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.date_format("ts", TS_FMT).alias("purchase_ts"),
+                    F.coalesce(F.date_format("last_click_ts", TS_FMT),
+                               F.lit("never")).alias("asof_click_ts")))
+
+
+@register("asof_join_pandas", oracle=ASOF_ORACLE,
+          tags=("asof", "join", "pandas-udf"))
+def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of join via applyInPandas + pd.merge_asof per user group —
+    hash-matches the identical oracle, pinning the two implementations
+    together. cogroup keeps each side Arrow-batched per key."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase") \
+                      .select("user_id", "ts", "event_id")
+    clicks = events.where(F.col("event_type") == "click") \
+                   .select("user_id", F.col("ts").alias("click_ts"))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        right = right.sort_values("click_ts")
+        if len(right):
+            merged = pd.merge_asof(left, right, left_on="ts",
+                                   right_on="click_ts", direction="backward")
+        else:
+            merged = left.assign(click_ts=pd.NaT)
+        out = pd.DataFrame({
+            "purchase_id": merged["event_id"],
+            "purchase_ts": merged["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            "asof_click_ts": merged["click_ts"]
+            .dt.strftime("%Y-%m-%d %H:%M:%S.%f").fillna("never"),
+        })
+        return out
+
+    return (purchases.groupBy("user_id").cogroup(clicks.groupBy("user_id"))
+            .applyInPandas(
+                lambda left, right: merge(left, right),
+                schema="purchase_id bigint, purchase_ts string, "
+                       "asof_click_ts string"))
+
+
+@register(
+    "range_join_banded",
+    oracle="""
+    WITH bands(band_name, lo, hi) AS (
+      VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 100.0)
+    )
+    SELECT band_name, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE)
+             AS total_price
+    FROM lineitem JOIN bands
+      ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band_name
+    """,
+    tags=("range-join", "join"))
+def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join against a broadcast band table. With a dimension-sized
+    band side, broadcast-nested-loop over 3 rows is a map-side operation;
+    for band tables too large to broadcast, the decomposition is bucket
+    key = floor(value/width) equi-join + residual BETWEEN — same output,
+    shuffle instead of nested loop."""
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 100.0)],
+        "band_name string, lo double, hi double")
+    return (li.join(F.broadcast(bands),
+                    (F.col("l_quantity") >= F.col("lo"))
+                    & (F.col("l_quantity") < F.col("hi")))
+            .groupBy("band_name")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+                  .cast("double").alias("total_price")))

@@ -1078,3 +1078,40 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.date_format("o_orderdate", "yyyy-MM-dd")
                      .alias("orderdate"),
                     "o_totalprice"))
+
+
+# ----------------------------------------------------------- skew handling
+
+@register(
+    "salted_join_skew",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           {dsum_sql('l_extendedprice', 2)} AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "join", "skew"))
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-fact join: the manual skew remedy, oracle-pinned to the
+    plain join it must be equivalent to. The probe side's key is salted
+    with hash(row)%S; the build side is replicated S ways via an exploded
+    salt array, and the join runs on (key, salt) — a hot key's rows spread
+    over S reducers instead of one. AQE's skew-join split is the automatic
+    variant; this form works when a single key exceeds even a split (or on
+    engines/joins AQE won't rewrite). S=8 here; size S to the observed
+    skew factor.
+    """
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    S = 8
+    salted_li = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(S))
+                 .cast("int"))
+    replicated = (orders
+                  .withColumn("salt", F.explode(F.array(
+                      *[F.lit(i) for i in range(S)]))))
+    return (salted_li.join(replicated,
+                           (F.col("l_orderkey") == F.col("o_orderkey"))
+                           & (salted_li.salt == replicated.salt))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("l_extendedprice", 2).alias("total")))

@@ -52,6 +52,6 @@ def _load_all() -> None:
     if _LOADED:
         return
     from ..operators import (  # noqa: F401
-        connector, dedup, multimodal, relational, similarity, text,
+        asof, connector, dedup, multimodal, relational, similarity, text,
     )
     _LOADED = True

@@ -275,3 +275,45 @@ def test_subscribe_pattern_multi_stream(spark, log, tmp_path):
         (spark.read.format("dis")
          .option("path", root).option("subscribePattern", "nope.*")
          .load().count())
+
+
+def test_streaming_sliding_counts(spark, sf_dir, log, tmp_path):
+    from spark_streaming_dis_plugin_spark.streaming.queries import (
+        sliding_counts,
+    )
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    q = (sliding_counts(sdf).writeStream.format("memory")
+         .queryName("slide").outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "slide"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_rows = {str(r["window_start"]): r["n"]
+                   for r in spark.sql("SELECT * FROM slide").collect()}
+    batch_rows = {str(r["window_start"]): r["n"]
+                  for r in sliding_counts(envelope(load_events(spark, sf_dir)))
+                  .collect()}
+    assert stream_rows == batch_rows
+    # sliding windows: each record lands in window/slide = 2 buckets
+    assert sum(stream_rows.values()) == 2 * sum(log.latest_offsets().values())
+
+
+def test_streaming_session_counts(spark, sf_dir, log, tmp_path):
+    from spark_streaming_dis_plugin_spark.streaming.queries import (
+        session_counts,
+    )
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    q = (session_counts(sdf).writeStream.format("memory")
+         .queryName("sess").outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "sess"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_rows = {(str(r["session_start"]), r["key"]): r["n_events"]
+                   for r in spark.sql("SELECT * FROM sess").collect()}
+    batch_rows = {(str(r["session_start"]), r["key"]): r["n_events"]
+                  for r in session_counts(envelope(load_events(spark, sf_dir)))
+                  .collect()}
+    assert stream_rows == batch_rows
+    # sessions per key partition the key's events completely
+    assert sum(stream_rows.values()) == sum(log.latest_offsets().values())
