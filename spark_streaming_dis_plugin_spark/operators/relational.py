@@ -1115,3 +1115,43 @@ def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),
                  dsum("l_extendedprice", 2).alias("total")))
+
+
+# ------------------------------------------------- grouped-map pandas UDF
+
+@register(
+    "grouped_rank_pandas",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           COUNT(*) OVER (PARTITION BY c_nationkey) AS group_size
+    FROM customer
+    """,
+    tags=("relational", "pandas-udf", "grouped-map"))
+def grouped_rank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (one pandas frame per group), oracle-
+    pinned to the window-function formulation it must equal. Integer-only
+    output keeps the comparison float-free. The window form is the scale
+    path (no per-group materialization); grouped-map is for logic that
+    genuinely needs a whole group in memory (model scoring, per-group
+    fitting)."""
+    import pandas as pd
+
+    customer = load(spark, sf_dir, "customer")
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["c_acctbal", "c_custkey"],
+                              ascending=[False, True])
+        return pd.DataFrame({
+            "c_custkey": pdf["c_custkey"],
+            "c_nationkey": pdf["c_nationkey"],
+            "bal_rank": range(1, len(pdf) + 1),
+            "group_size": len(pdf),
+        })
+
+    return (customer.select("c_custkey", "c_nationkey", "c_acctbal")
+            .groupBy("c_nationkey")
+            .applyInPandas(rank_group,
+                           schema="c_custkey bigint, c_nationkey int, "
+                                  "bal_rank bigint, group_size bigint"))

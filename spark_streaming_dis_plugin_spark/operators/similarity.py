@@ -224,3 +224,97 @@ def sim_bruteforce_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") <= TOP_K)
             .select("query_id", "neighbor_id",
                     (F.round("cos", 4) + 0.0).alias("cos"), "rnk"))
+
+
+# ------------------------------------------------------- iterative k-means
+
+DIM = 64
+KMEANS_ITERS = 2
+
+
+def _dim_avg_sql(i: int) -> str:
+    """Per-dimension decimal-exact mean (order-independent, identical in
+    both engines)."""
+    return (f"CAST(SUM(CAST(CAST(embedding[{i}] AS DOUBLE) "
+            f"AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*)")
+
+
+def _kmeans_oracle() -> str:
+    dims = ", ".join(f"{_dim_avg_sql(i + 1)} AS d{i}" for i in range(DIM))
+    cent_array = "[" + ", ".join(f"d{i}" for i in range(DIM)) + "]"
+    assign = """
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, {dim} + 1),
+                     i -> (CAST(v.embedding[i] AS DOUBLE) - c.ce[i])
+                        * (CAST(v.embedding[i] AS DOUBLE) - c.ce[i]))),
+                   (acc, x) -> acc + x),
+                 c.centroid_id) AS rnk
+        FROM embeddings v CROSS JOIN {cent} c
+      ) WHERE rnk = 1
+    """
+    sql = f"""
+    WITH cent0 AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign1 AS ({assign.format(dim=DIM, cent='cent0')}),
+    cent1 AS (
+      SELECT cluster AS centroid_id, {cent_array} AS ce FROM (
+        SELECT a.cluster, {dims}
+        FROM assign1 a JOIN embeddings v ON a.vec_id = v.vec_id
+        GROUP BY a.cluster
+      )
+    ),
+    assign2 AS ({assign.format(dim=DIM, cent='cent1')})
+    SELECT vec_id, cluster FROM assign2
+    """
+    return sql
+
+
+@register("sim_kmeans_lloyd", oracle=_kmeans_oracle(),
+          tags=("similarity", "kmeans", "iterative"))
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd k-means (k=8, 2 iterations), fully oracle-checked —
+    the 'iterative algorithm on DataFrames' pattern. Each iteration is
+    assign (argmin L2 to broadcast centroids) + recompute (per-dimension
+    DECIMAL-exact means, so both engines derive bit-identical centroids
+    and the next assignment cannot diverge). Centroid recompute is one
+    hash agg with 64 decimal sums; centroids stay driver-sized, so every
+    iteration is a broadcast join — the same loop shape scales to any
+    corpus size with k*dim bounded.
+    Seeds = vec_id < 8 (deterministic stand-in for k-means|| sampling)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("e"))
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+        return (emb.crossJoin(F.broadcast(cent))
+                .select("vec_id", "e", "centroid_id", d2.alias("d2"))
+                .withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") == 1)
+                .select("vec_id", "e", F.col("centroid_id").alias("cluster")))
+
+    cent = (emb.where(F.col("vec_id") < N_CENTROIDS)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("e").alias("ce")))
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(cent)
+        dim_avgs = [
+            (F.sum(F.element_at("e", i + 1).cast("decimal(27,8)"))
+             .cast("double") / F.count(F.lit(1))).alias(f"d{i}")
+            for i in range(DIM)]
+        cent = (assigned.groupBy(F.col("cluster").alias("centroid_id"))
+                .agg(*dim_avgs)
+                .select("centroid_id",
+                        F.array(*[F.col(f"d{i}") for i in range(DIM)])
+                        .alias("ce")))
+    return assigned.select("vec_id", "cluster")
