@@ -44,7 +44,8 @@ from pyspark.sql.datasource import (
     InputPartition, WriterCommitMessage,
 )
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+    IntegerType, LongType, StringType, StructField, StructType,
+    TimestampNTZType,
 )
 
 from .dis_log import DisLog
@@ -60,7 +61,9 @@ ENVELOPE_SCHEMA = StructType([
     StructField("offset", LongType()),
     StructField("key", StringType()),
     StructField("value", StringType()),
-    StructField("timestamp", TimestampType()),
+    # NTZ: the log stores naive microsecond wall clocks; an LTZ column here
+    # would re-interpret them in the session timezone (wrong outside UTC).
+    StructField("timestamp", TimestampNTZType()),
 ])
 
 

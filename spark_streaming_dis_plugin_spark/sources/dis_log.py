@@ -166,6 +166,21 @@ class DisLog:
             os.makedirs(self._part_dir(p), exist_ok=True)
         return self
 
+    def add_partitions(self, n: int = 1) -> int:
+        """Scale the stream out by n partitions (DIS UpdatePartitionCount).
+
+        Readers pick the new partitions up on their next planning pass —
+        the streaming reader re-lists the log every latestOffset() call and
+        clamp() starts unknown partitions at offset 0, mirroring the
+        dynamic-add path (DirectDISInputDStream.scala:185-220)."""
+        total = self.num_partitions() + n
+        with open(self._meta_path, "w") as f:
+            json.dump({"num_partitions": total,
+                       "updated_ms": int(time.time() * 1000)}, f)
+        for p in range(total - n, total):
+            os.makedirs(self._part_dir(p), exist_ok=True)
+        return total
+
     def append(self, records: "object") -> dict[int, int]:
         """Append a pandas DataFrame of (partition, key, value, timestamp).
 

@@ -9,12 +9,24 @@ all of this to user code; here it is first-class and tested).
 Event time = the envelope ``timestamp`` column. Watermarks bound state:
 at 100 TB of stream state the watermark is what keeps windowed aggregation
 and dedup state finite.
+
+The envelope stores timestamps as TIMESTAMP_NTZ (naive wall clock — the
+timezone-safe representation for batch/oracle work), but Spark's watermark
+machinery requires TIMESTAMP (LTZ). ``_with_event_time`` casts at the
+query boundary: the session interprets the wall clock, and since both the
+streaming query and its batch twin go through the same cast, results stay
+self-consistent in any session timezone.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _with_event_time(env: DataFrame) -> DataFrame:
+    return env.withColumn("timestamp",
+                          F.col("timestamp").cast("timestamp"))
 
 
 def parsed_events(env: DataFrame) -> DataFrame:
@@ -28,7 +40,7 @@ def windowed_counts(env: DataFrame, window: str = "1 hour",
                     watermark: str = "2 hours") -> DataFrame:
     """Tumbling event-time window + count/sum with late-data drop.
     Batch twin: operators/connector.dis_tumbling_window."""
-    return (env
+    return (_with_event_time(env)
             .withWatermark("timestamp", watermark)
             .groupBy(F.window("timestamp", window).alias("w"), "partition")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -39,7 +51,7 @@ def sliding_counts(env: DataFrame, window: str = "1 hour",
                    slide: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Sliding window — each record lands in window/slide buckets."""
-    return (env
+    return (_with_event_time(env)
             .withWatermark("timestamp", watermark)
             .groupBy(F.window("timestamp", window, slide).alias("w"))
             .agg(F.count(F.lit(1)).alias("n"))
@@ -50,7 +62,7 @@ def session_counts(env: DataFrame, gap: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Session windows keyed by the record key (inactivity gap).
     Batch twin: operators/connector.dis_sessionization."""
-    return (env
+    return (_with_event_time(env)
             .withWatermark("timestamp", watermark)
             .groupBy(F.session_window("timestamp", gap).alias("w"), "key")
             .agg(F.count(F.lit(1)).alias("n_events"))
@@ -61,7 +73,7 @@ def dedup_within_watermark(env: DataFrame,
                            watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on (key, value) with bounded state — the
     streaming twin of operators/dedup.dedup_exact."""
-    return (env
+    return (_with_event_time(env)
             .withWatermark("timestamp", watermark)
             .dropDuplicatesWithinWatermark(["key", "value"]))
 

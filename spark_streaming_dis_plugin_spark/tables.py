@@ -35,9 +35,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # NTZ built by pure interval arithmetic from the epoch — NEVER via
+    # timestamp_micros/convert_timezone: those round-trip through LTZ and
+    # an implicit LTZ->NTZ cast that uses the SESSION timezone (correct in
+    # UTC sessions, 5h off in America/New_York — caught by the TZ-variant
+    # contract drive). Exactness verified to the microsecond against a
+    # Python reference across TZs.
     return raw.withColumn(
         "ts",
-        F.expr("convert_timezone('UTC', 'UTC', timestamp_micros(ts DIV 1000))"))
+        F.expr("""
+          CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)
+            + make_dt_interval(CAST((ts DIV 1000) DIV 86400000000 AS INT),
+                               0, 0, 0)
+            + INTERVAL '0.000001' SECOND * ((ts DIV 1000) % 86400000000)
+        """))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -317,3 +317,46 @@ def test_streaming_session_counts(spark, sf_dir, log, tmp_path):
     assert stream_rows == batch_rows
     # sessions per key partition the key's events completely
     assert sum(stream_rows.values()) == sum(log.latest_offsets().values())
+
+
+def test_dynamic_partition_add_mid_stream(spark, tmp_path):
+    """A partition added while the stream runs is picked up by the next
+    planning pass and read from offset 0 (dynamic partition add,
+    DirectDISInputDStream.scala:185-220 semantics)."""
+    import pandas as pd
+    spark.dataSource.register(DisDataSource)
+    root = str(tmp_path / "dynroot")
+    out = str(tmp_path / "dynout")
+    log = DisLog(root, "dyn").create(2)
+    ts = pd.to_datetime(["2024-01-01"] * 4)
+    log.append(pd.DataFrame({"partition": [0, 0, 1, 1],
+                             "key": list("abcd"),
+                             "value": ["v1", "v2", "v3", "v4"],
+                             "timestamp": ts}))
+
+    def drain():
+        sdf = (spark.readStream.format("dis")
+               .option("path", root).option("stream", "dyn").load())
+        q = (sdf.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "dynckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 4
+
+    # scale out to 3 partitions + write into the new one and an old one
+    log.add_partitions(1)
+    log.append(pd.DataFrame({"partition": [2, 2, 0],
+                             "key": list("xyz"),
+                             "value": ["n1", "n2", "n3"],
+                             "timestamp": pd.to_datetime(["2024-01-02"] * 3)}))
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 7
+    per_part = {r["partition"]: r["count"] for r in
+                got.groupBy("partition").count().collect()}
+    assert per_part == {0: 3, 1: 2, 2: 2}
+    # new partition was read from its beginning
+    p2 = sorted(r["offset"] for r in got.where("partition = 2").collect())
+    assert p2 == [0, 1]

@@ -6,9 +6,14 @@ sys.path.insert(0, "/root/repo")
 os.chdir("/root/repo")
 
 from pyspark.sql import SparkSession
-spark = (SparkSession.builder.master("local[8]")
-         .appName("driver-sim").config("spark.ui.enabled","false")
-         .config("spark.sql.shuffle.partitions","8").getOrCreate())
+builder = (SparkSession.builder.master("local[8]")
+           .appName("driver-sim").config("spark.ui.enabled","false")
+           .config("spark.sql.shuffle.partitions","8"))
+# Optional: simulate a driver session in another timezone (TZ robustness):
+#   python tools/drive_contract.py America/New_York
+if len(sys.argv) > 1:
+    builder = builder.config("spark.sql.session.timeZone", sys.argv[1])
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as E
