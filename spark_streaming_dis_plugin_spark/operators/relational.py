@@ -1155,3 +1155,70 @@ def grouped_rank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(rank_group,
                            schema="c_custkey bigint, c_nationkey int, "
                                   "bal_rank bigint, group_size bigint"))
+
+
+# ----------------------------------------- ordered-collect / argmin-argmax
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("relational", "lateral", "explode"))
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral view with element position)."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.where(F.col("doc_id") < 100)
+            .select("doc_id",
+                    F.posexplode(F.split("text", " ", -1))
+                     .alias("pos", "tok")))
+
+
+@register(
+    "collect_sorted_agg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, '|' ORDER BY c_name) AS names,
+           COUNT(*) AS n
+    FROM customer
+    WHERE c_custkey < 200
+    GROUP BY c_nationkey
+    """,
+    tags=("relational", "agg", "collect"))
+def collect_sorted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is unordered across
+    partitions, so determinism comes from array_sort before join — the
+    shuffle-safe way to build list aggregates at scale."""
+    customer = load(spark, sf_dir, "customer")
+    return (customer.where(F.col("c_custkey") < 200)
+            .groupBy("c_nationkey")
+            .agg(F.array_join(F.array_sort(F.collect_list("c_name")), "|")
+                 .alias("names"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "argmin_argmax",
+    oracle="""
+    SELECT c_mktsegment,
+           min_by(c_name, c_acctbal * 1000000 + c_custkey) AS poorest,
+           max_by(c_name, c_acctbal * 1000000 + c_custkey) AS richest,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("relational", "agg", "argmin"))
+def argmin_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax). The ordering key composites the
+    unique custkey into the low bits (acctbal gaps are >= 0.01*1e6 >> max
+    custkey) so ties in acctbal resolve identically in both engines."""
+    customer = load(spark, sf_dir, "customer")
+    key = F.col("c_acctbal") * 1000000 + F.col("c_custkey")
+    return (customer.groupBy("c_mktsegment")
+            .agg(F.min_by("c_name", key).alias("poorest"),
+                 F.max_by("c_name", key).alias("richest"),
+                 F.count(F.lit(1)).alias("n")))
