@@ -1264,3 +1264,38 @@ def approx_distinct_linear_counting(spark: SparkSession, sf_dir: str) -> DataFra
             .agg(occupied.alias("occupied"),
                  est.alias("estimate"),
                  F.countDistinct("l_partkey").alias("exact_distinct")))
+
+
+@register(
+    "window_range_frame_30d",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS spend_30d,
+           COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+             AS n_orders_30d
+    FROM orders
+    """,
+    tags=("relational", "window", "range-frame"))
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: trailing-30-day spend per customer —
+    the value-based frame (peers by orderdate distance, not row position).
+    Decimal-cast running sums keep the frame fold exact. Expressed via the
+    SQL API (the DataFrame rangeBetween only takes numeric offsets)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS spend_30d,
+               COUNT(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                 AS n_orders_30d
+        FROM orders
+    """)
