@@ -86,3 +86,35 @@ def running_wordcount(env: DataFrame) -> DataFrame:
             .select(F.explode(F.split("value", "[^a-zA-Z0-9_]+")).alias("word"))
             .where(F.col("word") != "")
             .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+
+
+def purchase_click_join(purchases: DataFrame, clicks: DataFrame,
+                        watermark: str = "2 hours",
+                        within: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same user's
+    clicks within the preceding `within` interval. Both sides carry
+    watermarks and the join condition is time-bounded, so Spark can evict
+    state — the requirements for an unbounded-stream join to run with
+    finite memory (at 100 TB/day the watermark bound IS the state size).
+
+    Inputs are envelope streams pre-filtered by event type (payload JSON's
+    event routing lives in the caller); key = envelope key (user id).
+    """
+    p = (_with_event_time(purchases)
+         .withWatermark("timestamp", watermark)
+         .select(F.col("key").alias("p_key"),
+                 F.col("timestamp").alias("p_ts"),
+                 F.col("offset").alias("p_offset"),
+                 F.col("partition").alias("p_partition")))
+    c = (_with_event_time(clicks)
+         .withWatermark("timestamp", watermark)
+         .select(F.col("key").alias("c_key"),
+                 F.col("timestamp").alias("c_ts"),
+                 F.col("offset").alias("c_offset"),
+                 F.col("partition").alias("c_partition")))
+    return p.join(
+        c,
+        (F.col("p_key") == F.col("c_key"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}")),
+        "inner")

@@ -360,3 +360,35 @@ def test_dynamic_partition_add_mid_stream(spark, tmp_path):
     # new partition was read from its beginning
     p2 = sorted(r["offset"] for r in got.where("partition = 2").collect())
     assert p2 == [0, 1]
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, log, tmp_path):
+    """Watermarked stream-stream join (time-bounded) == the batch join of
+    the same inputs."""
+    from spark_streaming_dis_plugin_spark.streaming.queries import (
+        purchase_click_join,
+    )
+
+    def typed(df, etype):
+        return df.where(F.get_json_object("value", "$.k").isNotNull()
+                        & (F.col("offset") % 3 == (0 if etype == "p" else 1)))
+
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    joined = purchase_click_join(typed(sdf, "p"), typed(sdf, "c"))
+    q = (joined.writeStream.format("memory").queryName("ssj")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ssj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    stream_rows = sorted(
+        (r["p_partition"], r["p_offset"], r["c_partition"], r["c_offset"])
+        for r in spark.sql("SELECT * FROM ssj").collect())
+
+    env = envelope(load_events(spark, sf_dir))
+    batch = purchase_click_join(typed(env, "p"), typed(env, "c"))
+    batch_rows = sorted(
+        (r["p_partition"], r["p_offset"], r["c_partition"], r["c_offset"])
+        for r in batch.collect())
+    assert len(stream_rows) > 0
+    assert stream_rows == batch_rows
