@@ -1299,3 +1299,66 @@ def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS n_orders_30d
         FROM orders
     """)
+
+
+@register(
+    "unpivot_quantities",
+    oracle=f"""
+    WITH pv AS (
+      SELECT l_returnflag,
+             {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS qty_O,
+             {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 2)} AS qty_F
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'O' AS linestatus, qty_O AS qty FROM pv
+      WHERE qty_O IS NOT NULL
+    UNION ALL
+    SELECT l_returnflag, 'F' AS linestatus, qty_F AS qty FROM pv
+      WHERE qty_F IS NOT NULL
+    """,
+    tags=("relational", "unpivot"))
+def unpivot_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via stack() — the inverse of pivot, one pass,
+    no join. NULL cells are dropped (the unpivot convention both here and
+    in ANSI UNPIVOT)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    wide = (li.groupBy("l_returnflag")
+            .agg(dsum(F.when(F.col("l_linestatus") == "O", q), 2).alias("qty_O"),
+                 dsum(F.when(F.col("l_linestatus") == "F", q), 2).alias("qty_F")))
+    return (wide.select(
+        "l_returnflag",
+        F.expr("stack(2, 'O', qty_O, 'F', qty_F) AS (linestatus, qty)"))
+        .where(F.col("qty").isNotNull()))
+
+
+@register(
+    "string_functions_2",
+    oracle="""
+    SELECT c_custkey,
+           translate(c_name, 'aeiou', '.....') AS devoweled,
+           split_part(c_name, '#', 1) AS name_head,
+           split_part(c_name, '#', 2) AS name_tail,
+           repeat(left(c_mktsegment, 1), 3) AS seg3,
+           reverse(c_mktsegment) AS seg_rev,
+           CAST(contains(c_name, '1') AS INT) AS has_one,
+           instr(c_name, 'o') AS first_o,
+           right(c_name, 4) AS name_suffix
+    FROM customer
+    """,
+    tags=("relational", "scalar", "string"))
+def string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: translate / split_part / repeat / reverse /
+    contains / instr / left / right."""
+    customer = load(spark, sf_dir, "customer")
+    n = F.col("c_name")
+    return customer.select(
+        "c_custkey",
+        F.translate(n, "aeiou", ".....").alias("devoweled"),
+        F.split_part(n, F.lit("#"), F.lit(1)).alias("name_head"),
+        F.split_part(n, F.lit("#"), F.lit(2)).alias("name_tail"),
+        F.repeat(F.left(F.col("c_mktsegment"), F.lit(1)), 3).alias("seg3"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.contains(n, F.lit("1")).cast("int").alias("has_one"),
+        F.instr(n, "o").alias("first_o"),
+        F.right(n, F.lit(4)).alias("name_suffix"))
