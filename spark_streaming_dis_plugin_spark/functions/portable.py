@@ -37,6 +37,15 @@ def portable_hash_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def portable_hash_py(s: str) -> int:
+    """Pure-Python twin of :func:`portable_hash` — same md5/60-bit value.
+    Used where hashing happens outside a Spark plan (e.g. producer-side
+    key->partition routing in the dis writer)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def minhash_value(h: Column, a: int, b: int, prime: int) -> Column:
     """One universal-hash family member g_i(x) = (a*h(x) + b) mod prime."""
     return (h % prime * a + b) % prime

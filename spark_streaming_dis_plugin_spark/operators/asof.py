@@ -34,7 +34,7 @@ ASOF_ORACLE = """
       FROM events WHERE event_type IN ('click', 'purchase')
     ), carried AS (
       SELECT user_id, ts, event_id,
-             MAX(click_ts) OVER (PARTITION BY user_id ORDER BY ts
+             MAX(click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS last_click_ts
       FROM tagged
@@ -61,7 +61,10 @@ def asof_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = both.select(
         "user_id", "ts", "event_id", "event_type",
         F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"))
-    w = (Window.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreak: rows tied on (user_id, ts) would otherwise get an
+    # engine-order-dependent carried value (MAX is order-insensitive only
+    # across a fixed frame; the frame itself depends on the sort).
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
     return (carried.where(F.col("event_type") == "purchase")

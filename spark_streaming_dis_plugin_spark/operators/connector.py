@@ -246,13 +246,13 @@ def dis_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dis_sessionization",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
       FROM events
     ), sessions AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM gaps
     )
@@ -269,7 +269,9 @@ def dis_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/queries.py)."""
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wcum = (Window.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreak on the ROWS frame too: rows tied on (user_id, ts)
+    # would otherwise get engine-order-dependent session ids.
+    wcum = (Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0))
     gap = F.col("ts") - F.lag("ts").over(w)
     gaps = events.withColumn(

@@ -1239,8 +1239,9 @@ LC_BUCKETS = 4096
            COUNT(DISTINCT {_phash_sql('CAST(l_partkey AS VARCHAR)')}
                  % {LC_BUCKETS}) AS occupied,
            round(-{LC_BUCKETS} * ln(1.0 -
-             CAST(COUNT(DISTINCT {_phash_sql('CAST(l_partkey AS VARCHAR)')}
-                  % {LC_BUCKETS}) AS DOUBLE) / {LC_BUCKETS}), 4) AS estimate,
+             CAST(LEAST(COUNT(DISTINCT {_phash_sql('CAST(l_partkey AS VARCHAR)')}
+                  % {LC_BUCKETS}), {LC_BUCKETS - 1}) AS DOUBLE) / {LC_BUCKETS}),
+             4) AS estimate,
            COUNT(DISTINCT l_partkey) AS exact_distinct
     FROM lineitem
     GROUP BY l_returnflag
@@ -1257,9 +1258,14 @@ def approx_distinct_linear_counting(spark: SparkSession, sf_dir: str) -> DataFra
     (li,) = _t(spark, sf_dir, "lineitem")
     bucket = _phash(F.col("l_partkey").cast("string")) % LC_BUCKETS
     occupied = F.countDistinct(bucket)
+    # Clamp to m-1 occupied buckets: a saturated bitmap would hit ln(0),
+    # which Spark NULLs but DuckDB raises on (sf0.1 already reaches
+    # 4058/4096).  The clamped estimate (= m*ln(m) ~ 34k) is the sketch's
+    # standard "saturated, switch to HLL" ceiling.
     est = F.round(
         -float(LC_BUCKETS)
-        * F.log(1.0 - occupied.cast("double") / LC_BUCKETS), 4)
+        * F.log(1.0 - F.least(occupied, F.lit(LC_BUCKETS - 1))
+                .cast("double") / LC_BUCKETS), 4)
     return (li.groupBy("l_returnflag")
             .agg(occupied.alias("occupied"),
                  est.alias("estimate"),

@@ -63,9 +63,12 @@ def dis_read(spark: SparkSession, log: DisLog,
 
 
 def _empty_envelope(spark: SparkSession) -> DataFrame:
+    # timestamp_ntz, not timestamp: the non-empty path reads segment parquet
+    # as NTZ (inferTimestampNTZ) and ENVELOPE_SCHEMA is TimestampNTZType —
+    # the empty result must union/compare cleanly with both.
     return spark.createDataFrame(
         [], "stream string, partition int, offset long, key string, "
-            "value string, timestamp timestamp")
+            "value string, timestamp timestamp_ntz")
 
 
 # ---------------------------------------------------------------- pushdowns

@@ -31,6 +31,11 @@ Options:
   maxOffsetsPerTrigger total records per micro-batch, split across
                        partitions proportionally to lag (rate.py)
   maxRatePerPartition  records/sec/partition cap (0 = unlimited)
+  txn                  (write) transaction tag — exactly-once idempotent
+                       append keyed by this tag (see DisWriter)
+  segmentRows          (write) cut segment files every N rows
+  allowNonConsecutiveOffsets  accept/produce compacted (gappy) offset
+                       ranges (DISRDD.scala:74-75 semantics)
 """
 
 from __future__ import annotations
@@ -48,7 +53,7 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-from .dis_log import DisLog
+from .dis_log import DisLog, sanitize_txn, segment_name
 from .offsets import (
     EARLIEST, LATEST, OffsetRange,
     offset_ranges_from_json, partition_offsets_from_json, resolve_sentinels,
@@ -148,7 +153,7 @@ class DisDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> "DisWriter":
         if overwrite:
             raise ValueError("dis sink is append-only (a log)")
-        return DisWriter(self._log())
+        return DisWriter(self._log(), self.options, schema.fieldNames())
 
 
 # ------------------------------------------------------------------- batch
@@ -335,67 +340,227 @@ class DisStreamReader(DataSourceStreamReader):
 
 # -------------------------------------------------------------------- sink
 
-@dataclasses.dataclass
-class _StagedFile(WriterCommitMessage):
+@dataclasses.dataclass(frozen=True)
+class _StagedSeg:
+    """One staged parquet file: rows of exactly one log partition.
+    from/until = -1 in assign-at-commit mode (offsets not yet known)."""
     partition: int
+    from_offset: int
+    until_offset: int
     rows: int
-    staged_path: str
+    path: str
+
+
+@dataclasses.dataclass
+class _Staged(WriterCommitMessage):
+    task_id: int
+    files: tuple  # tuple[_StagedSeg, ...]
 
 
 class DisWriter(DataSourceWriter):
-    """Producer sink ≅ DISSink (DISSink.scala:23-55), adapted to a log that
-    assigns offsets at append time: tasks stage per-partition parquet
-    (executor-parallel, no driver data movement); commit() appends staged
-    files to the log serially, preserving the offset-assignment invariant.
-    Abort discards staged files — append is all-or-nothing per job."""
+    """Producer sink ≅ DISSink (DISSink.scala:23-55) with two modes:
 
-    def __init__(self, log: DisLog):
+    - **explicit-offset (ingestion) mode** — input carries an ``offset``
+      column (e.g. the deterministic envelope, or a log-to-log copy):
+      tasks stage finished segment files (offset-sorted, cut every
+      ``segmentRows``); commit() validates offset metadata and *renames*
+      — zero data bytes ever touch the driver.
+    - **assign-at-commit (producer) mode** — no ``offset`` column: tasks
+      stage per-partition files; commit() reserves offset ranges from the
+      log tail and rewrites ONE staged file at a time (driver memory is
+      bounded by a single task's output for one partition, never the
+      batch). Rows lacking a ``partition`` value are routed by portable
+      key-hash % num_partitions (DISSink.scala:27-34 key-routing
+      semantics).
+
+    Exactly-once: pass option ``txn`` (the streaming sink uses
+    ``<query>_b<batchId>``). Segments are tagged with the txn in their
+    filename; the txn is recorded in the log's ledger (atomic rename)
+    only after every segment is in place. On replay, a committed txn is
+    skipped wholesale; a crashed, uncommitted txn's tagged segments —
+    necessarily the partition tails under the single-writer-per-stream
+    model — are rolled back at writer construction before re-appending.
+    Untagged writes are at-least-once (the reference DISSink's level).
+    """
+
+    def __init__(self, log: DisLog, options, columns: list[str]):
         self.log = log
         self.stage_dir = os.path.join(log.stream_dir, "_staging")
+        self.columns = [c.lower() for c in columns]
+        self.has_offsets = "offset" in self.columns
+        self.has_partition = "partition" in self.columns
+        self.num_partitions = log.num_partitions()
+        self.segment_rows = int(options.get("segmentrows", 0) or 0)
+        self.allow_gaps = str(options.get("allownonconsecutiveoffsets",
+                                          "false")).lower() == "true"
+        txn = options.get("txn")
+        self.txn = sanitize_txn(txn) if txn else None
+        self.skip = False
+        if self.txn:
+            if self.txn in log.committed_txns():
+                self.skip = True       # replayed batch — idempotent no-op
+            else:
+                log.rollback_txn(self.txn)  # crashed attempt — drop its tail
 
-    def write(self, iterator) -> _StagedFile:
+    # -- executor side ----------------------------------------------------
+
+    def _route(self, row) -> int:
+        if self.has_partition and row["partition"] is not None:
+            return int(row["partition"])
+        from ..functions.portable import portable_hash_py
+
+        return portable_hash_py(row["key"] or "") % self.num_partitions
+
+    def write(self, iterator) -> _Staged:
         import uuid
 
-        import pyarrow as pa
-        import pyarrow.parquet as pq
         from pyspark import TaskContext
 
-        os.makedirs(self.stage_dir, exist_ok=True)
-        rows = list(iterator)
         tid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        path = os.path.join(self.stage_dir,
-                            f"task-{tid}-{uuid.uuid4().hex[:8]}.parquet")
-        if rows:
-            cols = {
-                "partition": pa.array(
-                    [int(r["partition"]) for r in rows], pa.int32()),
-                "key": pa.array([r["key"] for r in rows], pa.string()),
-                "value": pa.array([r["value"] for r in rows], pa.string()),
-                "timestamp": pa.array([r["timestamp"] for r in rows],
-                                      pa.timestamp("us")),
-            }
-            pq.write_table(pa.table(cols), path)
-        return _StagedFile(partition=-1, rows=len(rows), staged_path=path)
+        if self.skip:
+            for _ in iterator:      # drain; no I/O
+                pass
+            return _Staged(task_id=tid, files=())
+        os.makedirs(self.stage_dir, exist_ok=True)
+        by_part: dict[int, list] = {}
+        for row in iterator:
+            by_part.setdefault(self._route(row), []).append(row)
 
-    def commit(self, messages) -> None:
-        import pandas as pd
+        files = []
+        for part in sorted(by_part):
+            rows = by_part[part]
+            if self.has_offsets:
+                rows.sort(key=lambda r: r["offset"])
+                step = self.segment_rows or len(rows)
+                for lo in range(0, len(rows), step):
+                    chunk = rows[lo:lo + step]
+                    path = os.path.join(
+                        self.stage_dir,
+                        f"stage-{tid}-{uuid.uuid4().hex[:8]}.parquet")
+                    self._stage_file(chunk, path, with_offsets=True)
+                    files.append(_StagedSeg(
+                        part, int(chunk[0]["offset"]),
+                        int(chunk[-1]["offset"]) + 1, len(chunk), path))
+            else:
+                path = os.path.join(
+                    self.stage_dir,
+                    f"stage-{tid}-{uuid.uuid4().hex[:8]}.parquet")
+                self._stage_file(rows, path, with_offsets=False)
+                files.append(_StagedSeg(part, -1, -1, len(rows), path))
+        return _Staged(task_id=tid, files=tuple(files))
+
+    @staticmethod
+    def _stage_file(rows, path: str, with_offsets: bool) -> None:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        frames = [pq.read_table(m.staged_path).to_pandas()
-                  for m in messages if os.path.exists(m.staged_path)]
-        if frames:
-            batch = pd.concat(frames, ignore_index=True)
-            if len(batch):
-                self.log.append(batch)
+        cols = {}
+        if with_offsets:
+            cols["offset"] = pa.array([int(r["offset"]) for r in rows],
+                                      pa.int64())
+        cols["key"] = pa.array([r["key"] for r in rows], pa.string())
+        cols["value"] = pa.array([r["value"] for r in rows], pa.string())
+        cols["timestamp"] = pa.array([r["timestamp"] for r in rows],
+                                     pa.timestamp("us"))
+        pq.write_table(pa.table(cols), path)
+
+    # -- driver side ------------------------------------------------------
+
+    def commit(self, messages) -> None:
+        if self.skip:
+            return
+        staged: dict[int, list[tuple[int, _StagedSeg]]] = {}
+        for m in messages:
+            if not m:
+                continue
+            for seg in m.files:
+                staged.setdefault(seg.partition, []).append((m.task_id, seg))
+        try:
+            if self.has_offsets:
+                self._commit_explicit(staged)
+            else:
+                self._commit_assign(staged)
+        except Exception:
+            self._cleanup(messages)
+            raise
+        if self.txn:
+            self.log.record_txn(self.txn)
         self._cleanup(messages)
+
+    def _commit_explicit(self, staged) -> None:
+        """Metadata validation + renames only — no data I/O on the driver."""
+        latest = self.log.latest_offsets()
+        plan = []
+        for part, entries in staged.items():
+            segs = sorted((s for _, s in entries),
+                          key=lambda s: s.from_offset)
+            expected = latest.get(part, 0)
+            for s in segs:
+                if s.from_offset < expected:
+                    raise ValueError(
+                        f"offset overlap in partition {part}: staged "
+                        f"[{s.from_offset},{s.until_offset}) vs committed "
+                        f"tail {expected}")
+                if not self.allow_gaps and (
+                        s.from_offset != expected
+                        or s.rows != s.until_offset - s.from_offset):
+                    raise ValueError(
+                        f"non-consecutive offsets in partition {part} at "
+                        f"[{s.from_offset},{s.until_offset}) (expected next="
+                        f"{expected}, rows={s.rows}); set "
+                        f"allowNonConsecutiveOffsets=true to append a "
+                        f"compacted/gappy range")
+                expected = s.until_offset
+            plan.append((part, segs))
+        for part, segs in plan:
+            for s in segs:
+                final = os.path.join(
+                    self.log._part_dir(part),
+                    segment_name(s.from_offset, s.until_offset, s.rows,
+                                 self.txn))
+                os.replace(s.path, final)
+
+    def _commit_assign(self, staged) -> None:
+        """Reserve offset ranges from the log tail, then rewrite staged
+        files ONE AT A TIME adding the offset column — driver memory is
+        bounded by a single staged file, never the batch."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .dis_log import _write_segment
+
+        latest = self.log.latest_offsets()
+        for part in sorted(staged):
+            entries = sorted(staged[part], key=lambda e: (e[0], e[1].path))
+            base = latest.get(part, 0)
+            for _, seg in entries:
+                if seg.rows == 0:
+                    continue
+                table = pq.read_table(seg.path)
+                step = self.segment_rows or seg.rows
+                for lo in range(0, seg.rows, step):
+                    chunk = table.slice(lo, step)
+                    n = chunk.num_rows
+                    chunk = chunk.add_column(
+                        0, "offset",
+                        pa.array(range(base, base + n), pa.int64()))
+                    final = os.path.join(
+                        self.log._part_dir(part),
+                        segment_name(base, base + n, n, self.txn))
+                    _write_segment(chunk, final)
+                    base += n
+            latest[part] = base
 
     def abort(self, messages) -> None:
         self._cleanup(messages)
 
     def _cleanup(self, messages) -> None:
         for m in messages:
-            if m and os.path.exists(m.staged_path):
-                os.remove(m.staged_path)
+            if not m:
+                continue
+            for seg in m.files:
+                if os.path.exists(seg.path):
+                    os.remove(seg.path)
 
 
 def register(spark) -> None:

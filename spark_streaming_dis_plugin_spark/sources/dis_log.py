@@ -24,8 +24,10 @@ Two representations here:
 
 from __future__ import annotations
 
+import dataclasses as _dc
 import json
 import os
+import re as _re
 import time
 import uuid
 
@@ -80,19 +82,53 @@ def envelope_sql(stream: str = "events",
 ENVELOPE_SQL = envelope_sql()
 
 
+@_dc.dataclass(frozen=True)
+class SegmentInfo:
+    """Everything planning needs, parsed from a segment file name — range,
+    row count (rows < until-from on a compacted/gappy segment), and the
+    producer transaction that wrote it (exactly-once bookkeeping)."""
+    from_offset: int
+    until_offset: int
+    rows: int
+    txn: str | None
+    path: str
+
+    @property
+    def dense(self) -> bool:
+        return self.rows == self.until_offset - self.from_offset
+
+
+_SEG_RE = _re.compile(
+    r"^seg-(\d+)-(\d+)(?:-n(\d+))?(?:-txn_([A-Za-z0-9_]+))?-[0-9a-f]+\.parquet$")
+
+
+def sanitize_txn(txn: str) -> str:
+    """Filename-safe transaction tag (no '-' so name parsing stays split-safe)."""
+    return _re.sub(r"[^A-Za-z0-9_]", "_", txn)
+
+
+def segment_name(from_offset: int, until_offset: int, rows: int,
+                 txn: str | None = None) -> str:
+    tag = f"-txn_{sanitize_txn(txn)}" if txn else ""
+    return (f"seg-{from_offset:012d}-{until_offset:012d}-n{rows}{tag}"
+            f"-{uuid.uuid4().hex[:8]}.parquet")
+
+
 class DisLog:
     """On-disk partitioned, offset-addressable log.
 
     Layout::
 
         <root>/<stream>/metadata.json              {"num_partitions": N}
-        <root>/<stream>/p00000/seg-<from>-<until>-<uuid>.parquet
+        <root>/<stream>/p00000/seg-<from>-<until>-n<rows>[-txn_<tag>]-<uuid>.parquet
+        <root>/<stream>/_commits.json              {"txns": [...]}  (sink ledger)
 
     Segment files carry columns (offset, key, value, timestamp), rows
     offset-ordered within the file; file names embed the half-open offset
-    range so planning (earliest/latest/pruning) is pure directory listing —
-    no data I/O, mirroring the reference's metadata-only count/take
-    (DISRDD.scala:89-144).
+    range + row count so planning (earliest/latest/pruning/count) is pure
+    directory listing — no data I/O, mirroring the reference's metadata-only
+    count/take (DISRDD.scala:89-144). ``rows < until-from`` marks a
+    compacted (gappy) segment (DISRDD.scala:74-75 semantics).
     """
 
     SEGMENT_SCHEMA = ("offset", "key", "value", "timestamp")
@@ -127,18 +163,39 @@ class DisLog:
     def _part_dir(self, partition: int) -> str:
         return os.path.join(self.stream_dir, f"p{partition:05d}")
 
-    def _segments(self, partition: int) -> list[tuple[int, int, str]]:
-        """Sorted [(from, until, path)] parsed from segment file names."""
+    def segment_infos(self, partition: int) -> list[SegmentInfo]:
+        """Sorted SegmentInfo per segment file — pure directory listing."""
         d = self._part_dir(partition)
         if not os.path.isdir(d):
             return []
         out = []
         for name in os.listdir(d):
-            if not (name.startswith("seg-") and name.endswith(".parquet")):
+            m = _SEG_RE.match(name)
+            if not m:
                 continue
-            bits = name[len("seg-"):-len(".parquet")].split("-")
-            out.append((int(bits[0]), int(bits[1]), os.path.join(d, name)))
-        return sorted(out)
+            frm, until = int(m.group(1)), int(m.group(2))
+            rows = int(m.group(3)) if m.group(3) else until - frm
+            out.append(SegmentInfo(frm, until, rows, m.group(4),
+                                   os.path.join(d, name)))
+        return sorted(out, key=lambda s: (s.from_offset, s.until_offset))
+
+    def _segments(self, partition: int) -> list[tuple[int, int, str]]:
+        """Sorted [(from, until, path)] parsed from segment file names."""
+        return [(s.from_offset, s.until_offset, s.path)
+                for s in self.segment_infos(partition)]
+
+    def has_gaps(self) -> bool:
+        """True if any segment is compacted (rows < until-from) or there is
+        a hole between consecutive segments — metadata-only check."""
+        for p in self.partitions():
+            prev_until = None
+            for s in self.segment_infos(p):
+                if not s.dense:
+                    return True
+                if prev_until is not None and s.from_offset > prev_until:
+                    return True
+                prev_until = s.until_offset
+        return False
 
     def earliest_offsets(self) -> dict[int, int]:
         return {p: (segs[0][0] if (segs := self._segments(p)) else 0)
@@ -154,6 +211,44 @@ class DisLog:
         """Paths overlapping [from, until) — file-level pruning by name."""
         return [path for f, u, path in self._segments(partition)
                 if f < until_offset and u > from_offset]
+
+    # ------------------------------------------- producer txn ledger (sink)
+
+    @property
+    def _ledger_path(self) -> str:
+        return os.path.join(self.stream_dir, "_commits.json")
+
+    def committed_txns(self) -> set[str]:
+        if not os.path.exists(self._ledger_path):
+            return set()
+        with open(self._ledger_path) as f:
+            return set(json.load(f).get("txns", []))
+
+    def record_txn(self, txn: str) -> None:
+        """Atomically (write temp + rename) add a txn to the commit ledger —
+        the visibility point of an exactly-once producer append."""
+        txns = self.committed_txns()
+        txns.add(sanitize_txn(txn))
+        tmp = self._ledger_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"txns": sorted(txns)}, f)
+        os.replace(tmp, self._ledger_path)
+
+    def rollback_txn(self, txn: str) -> int:
+        """Delete segments tagged with an UNCOMMITTED txn (crash between
+        segment rename and ledger record). Single-writer streams append
+        batches in order, so such segments are always the partition tail —
+        removing them restores the pre-append state. Idempotent."""
+        tag = sanitize_txn(txn)
+        if tag in self.committed_txns():
+            return 0
+        removed = 0
+        for p in self.partitions():
+            for s in self.segment_infos(p):
+                if s.txn == tag:
+                    os.remove(s.path)
+                    removed += 1
+        return removed
 
     # -------------------------------------------------------------- writing
 
@@ -206,9 +301,8 @@ class DisLog:
                 "value": grp["value"].astype("object").values,
                 "timestamp": pd.to_datetime(grp["timestamp"].values),
             })
-            path = os.path.join(
-                self._part_dir(part),
-                f"seg-{start:012d}-{start + n:012d}-{uuid.uuid4().hex[:8]}.parquet")
+            path = os.path.join(self._part_dir(part),
+                                segment_name(start, start + n, n))
             _write_segment(pa.Table.from_pandas(pdf, preserve_index=False), path)
             latest[part] = start + n
         return latest
@@ -220,34 +314,28 @@ def create_log_from_events(spark: SparkSession, events_path: str, root: str,
                            segment_rows: int = 250) -> DisLog:
     """Materialize the :func:`envelope` of an events parquet as a DisLog.
 
-    Segments are cut every ``segment_rows`` offsets so offset-range reads
-    exercise real file pruning. Runs through Spark (collect is bounded by
-    the fixture size; production ingestion would be the producer path).
+    Fully distributed ingestion: the envelope (which already assigns
+    deterministic offsets) is shuffled by log partition, sorted within
+    tasks, and written through the ``format("dis")`` writer's
+    explicit-offset mode — executors stage the segment files, the driver's
+    commit only validates offset metadata and renames (no row of data ever
+    crosses the driver). Segments are cut every ``segment_rows`` offsets so
+    offset-range reads exercise real file pruning.
     """
     from ..tables import load_events
+    from .dis_datasource import DisDataSource
 
+    spark.dataSource.register(DisDataSource)
     log = DisLog(root, stream).create(num_partitions)
     env = envelope(load_events(spark, os.path.dirname(events_path)),
                    stream, num_partitions)
-    pdf = env.toPandas().sort_values(["partition", "offset"])
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    for part, grp in pdf.groupby("partition"):
-        part = int(part)
-        for lo in range(0, len(grp), segment_rows):
-            chunk = grp.iloc[lo:lo + segment_rows]
-            start = int(chunk["offset"].iloc[0])
-            until = int(chunk["offset"].iloc[-1]) + 1
-            path = os.path.join(
-                log._part_dir(part),
-                f"seg-{start:012d}-{until:012d}-{uuid.uuid4().hex[:8]}.parquet")
-            _write_segment(
-                pa.Table.from_pandas(
-                    chunk[["offset", "key", "value", "timestamp"]],
-                    preserve_index=False),
-                path)
+    (env.select("partition", "offset", "key", "value", "timestamp")
+        .repartition(num_partitions, "partition")
+        .sortWithinPartitions("partition", "offset")
+        .write.format("dis")
+        .option("path", root).option("stream", stream)
+        .option("segmentRows", str(segment_rows))
+        .mode("append").save())
     return log
 
 

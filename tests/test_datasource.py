@@ -205,6 +205,112 @@ def test_foreach_batch_sink_idempotent(spark, log, tmp_path):
     assert sum(out.latest_offsets().values()) == 60
 
 
+def test_writer_stages_on_executors_no_driver_collect(spark, log, tmp_path):
+    """The write path must not funnel rows through the driver: executors
+    stage parquet files under _staging/, and commit only renames/rewrites
+    file-at-a-time. Asserted by hooking DisLog.append (the old driver-side
+    path) to fail, and by checking segments carry the txn tag."""
+    from spark_streaming_dis_plugin_spark.sources.dis_log import DisLog as DL
+
+    out = DL(str(tmp_path / "nodriver"), "nd").create(2)
+    orig = DL.append
+    DL.append = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("driver-side append called from writer path"))
+    try:
+        sink = DisForeachBatchSink(out, "ndq")
+        batch = (_dis(spark, log).option("offsetRanges", '{"0":[0,40]}')
+                 .load()
+                 .select((F.col("partition") % 2).cast("int")
+                         .alias("partition"), "key", "value", "timestamp"))
+        sink(batch, 0)
+    finally:
+        DL.append = orig
+    assert sum(out.latest_offsets().values()) == 40
+    # every segment of the batch carries the txn tag; ledger recorded
+    infos = [s for p in out.partitions() for s in out.segment_infos(p)]
+    assert infos and all(s.txn == "ndq_b0" for s in infos)
+    assert "ndq_b0" in out.committed_txns()
+    # no staged leftovers
+    import os
+    stage = os.path.join(out.stream_dir, "_staging")
+    assert not os.path.isdir(stage) or not os.listdir(stage)
+
+
+def test_writer_crash_recovery_rolls_back_uncommitted_txn(spark, log, tmp_path):
+    """Crash between segment append and ledger record must not duplicate:
+    the replayed batch first rolls back the orphaned tagged tail."""
+    import os
+    import shutil
+
+    from spark_streaming_dis_plugin_spark.sources.dis_log import (
+        DisLog as DL, segment_name,
+    )
+
+    out = DL(str(tmp_path / "crashlog"), "cr").create(2)
+    sink = DisForeachBatchSink(out, "cq")
+    batch = (_dis(spark, log).option("offsetRanges", '{"0":[0,30]}').load()
+             .select((F.col("partition") % 2).cast("int").alias("partition"),
+                     "key", "value", "timestamp"))
+    sink(batch, 0)
+    base = sum(out.latest_offsets().values())
+    assert base == 30
+
+    # simulate a crashed batch-1 attempt: tagged tail segments exist,
+    # ledger does NOT record cq_b1
+    seg0 = out.segment_infos(0)[0]
+    for p in (0, 1):
+        tail = out.latest_offsets()[p]
+        fake = os.path.join(out._part_dir(p),
+                            segment_name(tail, tail + 7, 7, "cq_b1"))
+        shutil.copyfile(seg0.path, fake)
+    assert sum(out.latest_offsets().values()) == base + 14
+    assert "cq_b1" not in out.committed_txns()
+
+    sink(batch, 1)  # replay: rollback 14 orphan rows, append the real 30
+    assert sum(out.latest_offsets().values()) == base + 30
+    assert "cq_b1" in out.committed_txns()
+    # offsets stay dense per partition
+    for p in out.partitions():
+        segs = out.segment_infos(p)
+        expect = 0
+        for s in segs:
+            assert s.from_offset == expect and s.dense
+            expect = s.until_offset
+
+
+def test_writer_key_hash_routing(spark, tmp_path):
+    """Rows without a partition column route by portable key-hash — stable
+    across writes, round-trips through the reader (DISSink.scala:27-34
+    key-routing semantics)."""
+    from spark_streaming_dis_plugin_spark.functions.portable import (
+        portable_hash_py,
+    )
+    from spark_streaming_dis_plugin_spark.sources.dis_log import DisLog as DL
+
+    spark.dataSource.register(DisDataSource)
+    out = DL(str(tmp_path / "routelog"), "rt").create(4)
+    df = spark.createDataFrame(
+        [(f"k{i % 7}", f"v{i}") for i in range(100)], "key string, value string"
+    ).withColumn("timestamp", F.lit("2024-01-01 00:00:00")
+                 .cast("timestamp_ntz"))
+    (df.write.format("dis").mode("append")
+       .option("path", out.root).option("stream", "rt").save())
+    back = (spark.read.format("dis")
+            .option("path", out.root).option("stream", "rt").load())
+    rows = back.select("partition", "key").collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r["partition"] == portable_hash_py(r["key"]) % 4
+    # same keys -> same partitions on a second append
+    (df.write.format("dis").mode("append")
+       .option("path", out.root).option("stream", "rt").save())
+    again = (spark.read.format("dis")
+             .option("path", out.root).option("stream", "rt").load())
+    assert again.count() == 200
+    assert (again.select("partition", "key").distinct().count()
+            == back.select("partition", "key").distinct().count())
+
+
 def test_stateful_running_totals(spark, sf_dir, log, tmp_path):
     """applyInPandasWithState: state persists across micro-batches — final
     per-key totals equal the batch aggregate over the whole log."""
