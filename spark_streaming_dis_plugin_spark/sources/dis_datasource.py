@@ -31,6 +31,9 @@ Options:
   maxOffsetsPerTrigger total records per micro-batch, split across
                        partitions proportionally to lag (rate.py)
   maxRatePerPartition  records/sec/partition cap (0 = unlimited)
+  backpressureEnabled  PID processing-rate estimator feeds the split
+                       (≅ spark.streaming.backpressure.enabled)
+  backpressureInitialRate / backpressureMinRate  PID seeding/floor
   txn                  (write) transaction tag — exactly-once idempotent
                        append keyed by this tag (see DisWriter)
   segmentRows          (write) cut segment files every N rows
@@ -43,6 +46,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import time
+from collections import deque
 
 from pyspark.sql.datasource import (
     DataSource, DataSourceReader, DataSourceStreamReader, DataSourceWriter,
@@ -58,6 +63,7 @@ from .offsets import (
     EARLIEST, LATEST, OffsetRange,
     offset_ranges_from_json, partition_offsets_from_json, resolve_sentinels,
 )
+from .pid import PIDRateEstimator
 from .rate import clamp, max_messages_per_partition
 
 ENVELOPE_SCHEMA = StructType([
@@ -250,6 +256,25 @@ class DisStreamReader(DataSourceStreamReader):
         # partitions()/commit() callback (authoritative on restart, when
         # Spark replays from its offset log).
         self._current: dict[int, int] | None = None
+        # Authoritative processed floor — max offsets Spark itself has
+        # handed us (partitions() starts, commit() ends). Guards against
+        # re-reading data when a post-restart latestOffset() had to plan
+        # against a stale frontier (see partitions()).
+        self._floor: dict[int, int] = {}
+        # Backpressure ≅ DirectKafkaRateController + PIDRateEstimator
+        # (DirectDISInputDStream.scala:57-58,120-127). The estimator feeds
+        # measured processing rate back into the lag-proportional split.
+        self.backpressure = str(options.get("backpressureenabled",
+                                            "false")).lower() == "true"
+        self.initial_rate = float(options.get("backpressureinitialrate",
+                                              0) or 0)
+        self.min_rate = float(options.get("backpressureminrate", 100) or 100)
+        self._pid = PIDRateEstimator(
+            batch_interval_ms=self.batch_seconds * 1000.0,
+            min_rate=self.min_rate) if self.backpressure else None
+        # FIFO of (planned_monotonic_ms, planned_new_records) per batch,
+        # consumed by commit() to measure each batch's processing delay.
+        self._inflight: deque[tuple[float, int]] = deque()
 
     # -- planning (driver side) --
 
@@ -277,25 +302,50 @@ class DisStreamReader(DataSourceStreamReader):
         up here (dynamic add, :185-220) because the log is re-listed every
         trigger.
 
-        Rate limiting (maxOffsetsPerTrigger / maxRatePerPartition) applies
-        per planning call, which under a processing-time trigger is per
-        micro-batch — the DStream behavior. Trigger.availableNow captures
-        the first planned offset as its drain target, so combine
-        availableNow with rate options only when a partial drain per run
-        is acceptable.
+        Rate limiting (maxOffsetsPerTrigger / maxRatePerPartition /
+        backpressure PID) applies per planning call, which under a
+        processing-time trigger is per micro-batch — the DStream behavior.
+        Trigger.availableNow captures the first planned offset as its
+        drain target (the Python DataSource API has no
+        SupportsTriggerAvailableNow hook), so a rate-limited availableNow
+        run drains one clamped batch; use streaming/drain.drain_available
+        for a full Kafka-shaped drain with bounded batches.
         """
         if self._current is None:
+            # Restart path: Spark replays position from its own offset log
+            # and only tells us via the next partitions()/commit() call —
+            # this planning pass runs against the startingOffsets seed
+            # instead. The Python DataSource API gives latestOffset() no
+            # start argument, so the first post-restart batch may overshoot
+            # the rate budget; the _floor guard in partitions() guarantees
+            # no record is ever re-read even if this plan lags the real
+            # position.
             self.initialOffset()
         current = dict(self._current)
+        # Absorb the authoritative floor: after a restart the first
+        # partitions() call reveals the true committed position — planning
+        # from it (not the startingOffsets seed) resumes rate-limited
+        # progress immediately.
+        for p, o in self._floor.items():
+            current[p] = max(current.get(p, 0), o)
         latest = self.log.latest_offsets()
         allowed = None
-        if self.max_per_trigger or self.max_rate_per_partition:
+        if self.max_per_trigger or self.max_rate_per_partition or self._pid:
             lags = {p: max(latest[p] - current.get(p, 0), 0) for p in latest}
             rate = (self.max_per_trigger / self.batch_seconds
                     if self.max_per_trigger else None)
+            if self._pid is not None:
+                est = self._pid.latest_rate()
+                if est is None and self.initial_rate > 0:
+                    est = self.initial_rate
+                if est is not None:
+                    rate = min(rate, est) if rate is not None else est
             allowed = max_messages_per_partition(
                 lags, rate, self.batch_seconds, self.max_rate_per_partition)
         ends = clamp(current, latest, allowed)
+        if self._pid is not None:
+            planned = sum(max(ends[p] - current.get(p, 0), 0) for p in ends)
+            self._inflight.append((time.monotonic() * 1000.0, planned))
         self._sync(ends)
         return {str(p): o for p, o in ends.items()}
 
@@ -307,10 +357,17 @@ class DisStreamReader(DataSourceStreamReader):
         ranges = []
         for p_str, until in end.items():
             p = int(p_str)
-            frm = int(start.get(p_str, 0))
+            # _floor = authoritative processed position (Spark-provided
+            # starts + committed ends). If a stale post-restart plan moved
+            # the engine's position behind it, clamp the scan start so no
+            # record is re-read; positions self-heal on the next batch.
+            frm = max(int(start.get(p_str, 0)), self._floor.get(p, 0))
             if int(until) < frm:   # stale planning after restart — no-op
                 continue
             ranges.append(OffsetRange(self.log.stream, p, frm, int(until)))
+        for p_str, o in start.items():
+            p = int(p_str)
+            self._floor[p] = max(self._floor.get(p, 0), int(o))
         self._sync({int(p): int(o) for p, o in end.items()})
         planned = _plan_partitions(self.log, ranges)
         if planned:
@@ -322,8 +379,21 @@ class DisStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         """≅ commitAll() (DirectDISInputDStream.scala:307-328). Offsets
         already live in Spark's checkpoint offset log (exactly-once); this
-        hook is where a real service-side commit side-channel would go."""
-        self._sync({int(p): int(o) for p, o in end.items()})
+        hook is where a real service-side commit side-channel would go.
+        Also the backpressure measurement point: batch completion closes
+        the oldest in-flight plan and feeds (elements, processing delay,
+        scheduling delay) to the PID estimator."""
+        offs = {int(p): int(o) for p, o in end.items()}
+        for p, o in offs.items():
+            self._floor[p] = max(self._floor.get(p, 0), o)
+        self._sync(offs)
+        if self._pid is not None and self._inflight:
+            planned_ms, elements = self._inflight.popleft()
+            now_ms = time.monotonic() * 1000.0
+            processing_ms = now_ms - planned_ms
+            scheduling_ms = max(processing_ms - self.batch_seconds * 1000.0,
+                                0.0)
+            self._pid.compute(now_ms, elements, processing_ms, scheduling_ms)
 
     def _sync(self, offsets: dict[int, int]) -> None:
         """Advance the driver-side frontier monotonically."""

@@ -312,33 +312,40 @@ def test_writer_key_hash_routing(spark, tmp_path):
 
 
 def test_stateful_running_totals(spark, sf_dir, log, tmp_path):
-    """applyInPandasWithState: state persists across micro-batches — final
+    """applyInPandasWithState: state persists across rate-limited
+    micro-batches within ONE run (drain_available gives the Kafka
+    availableNow semantics) and across a checkpoint restart — final
     per-key totals equal the batch aggregate over the whole log."""
+    from spark_streaming_dis_plugin_spark.streaming.drain import (
+        drain_available,
+    )
     from spark_streaming_dis_plugin_spark.streaming.stateful import (
         running_totals_per_key,
     )
 
     out = str(tmp_path / "rt_out")
 
-    def run_once():
-        # availableNow + maxOffsetsPerTrigger drains ONE rate-limited batch
-        # per run (documented reader semantics) — so each loop iteration is
-        # a fresh query restart recovering its state from the checkpoint.
+    def start(trigger_kwargs):
         # foreachBatch sink because memory sink can't recover checkpoints.
         sdf = (spark.readStream.format("dis")
                .option("path", log.root).option("stream", log.stream)
                .option("maxOffsetsPerTrigger", "300")
                .load())
-        q = (running_totals_per_key(sdf).writeStream
-             .foreachBatch(lambda df, _id: df.write.mode("append")
-                           .parquet(out))
-             .outputMode("update")
-             .option("checkpointLocation", str(tmp_path / "rt"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination(180)
+        return (running_totals_per_key(sdf).writeStream
+                .foreachBatch(lambda df, _id: df.write.mode("append")
+                              .parquet(out))
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "rt"))
+                .trigger(**trigger_kwargs).start())
 
-    for _ in range(6):  # 1000 records / <=300 per run
-        run_once()
+    # one run drains the whole 1000-record backlog in >= 4 rate-limited
+    # batches, state flowing across batches
+    data_batches = drain_available(
+        start({"processingTime": "50 milliseconds"}), timeout_seconds=180)
+    assert data_batches >= 4
+    # restart from the checkpoint: no new data, state must not regress
+    q = start({"availableNow": True})
+    q.awaitTermination(120)
     spark.read.parquet(out).createOrReplaceTempView("rt")
     # last emitted row per key = final state
     final = {r["key"]: (r["n_events"], r["total"]) for r in spark.sql("""
@@ -354,6 +361,93 @@ def test_stateful_running_totals(spark, sf_dir, log, tmp_path):
              .agg(F.count(F.lit(1)).alias("n"), F.sum("amount").alias("total"))
              .collect()}
     assert final == batch
+
+
+def test_backpressure_pid_adapts_batch_sizes(spark, log):
+    """Driving the stream reader directly: with backpressure enabled, a
+    slow consumer (long commit latency) pushes planned batch sizes down
+    from the initial rate (PID wiring ≅
+    DirectDISInputDStream.scala:57-58,120-127)."""
+    import time as _t
+
+    from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+        DisStreamReader,
+    )
+    from spark_streaming_dis_plugin_spark.sources.dis_log import DisLog
+
+    reader = DisStreamReader(DisLog(log.root, log.stream), {
+        "backpressureenabled": "true",
+        "backpressureinitialrate": "200",
+        "backpressureminrate": "10",
+        "batchseconds": "0.1",
+    })
+    start = reader.initialOffset()
+
+    def planned_total(a, b):
+        return sum(int(b[p]) - int(a.get(p, 0)) for p in b)
+
+    cur = start
+    sizes = []
+    for _ in range(4):
+        end = reader.latestOffset()
+        sizes.append(planned_total(cur, end))
+        reader.partitions(cur, end)
+        _t.sleep(0.5)          # 5x the batch interval -> heavy backlog
+        reader.commit(end)
+        cur = end
+    # initial-rate batch first (200/s * 0.1s = 20 records, minus integer
+    # floors on the lag-proportional split), then the PID reacts to the
+    # measured ~40/s processing rate and cuts the budget
+    assert 15 <= sizes[0] <= 20
+    assert sizes[-1] < sizes[0] // 2
+    assert all(s >= 4 for s in sizes)  # floor: 1 record per partition
+
+
+def test_restart_with_rate_limit_no_duplicates(spark, tmp_path):
+    """ADVICE r1: after a checkpoint restart, the first latestOffset()
+    plans against the startingOffsets seed (the Python DataSource API
+    passes no start) — the _floor guard must prevent any re-read, and
+    the stream must drain new data without duplicates."""
+    import pandas as pd
+
+    from spark_streaming_dis_plugin_spark.sources.dis_log import DisLog
+    from spark_streaming_dis_plugin_spark.streaming.drain import (
+        drain_available,
+    )
+
+    spark.dataSource.register(DisDataSource)
+    root = str(tmp_path / "rl_root")
+    out = str(tmp_path / "rl_out")
+    rl_log = DisLog(root, "rl").create(2)
+
+    def batch(n, tag):
+        return pd.DataFrame({
+            "partition": [i % 2 for i in range(n)],
+            "key": [f"k{i}" for i in range(n)],
+            "value": [f"{tag}-{i}" for i in range(n)],
+            "timestamp": pd.to_datetime(["2024-01-01"] * n),
+        })
+
+    rl_log.append(batch(200, "a"))
+
+    def start():
+        sdf = (spark.readStream.format("dis")
+               .option("path", root).option("stream", "rl")
+               .option("maxOffsetsPerTrigger", "50")
+               .load())
+        return (sdf.writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+                .trigger(processingTime="50 milliseconds").start())
+
+    assert drain_available(start(), timeout_seconds=120) >= 3
+    assert spark.read.parquet(out).count() == 200
+
+    rl_log.append(batch(100, "b"))
+    drain_available(start(), timeout_seconds=120)  # restart from ckpt
+    got = spark.read.parquet(out)
+    assert got.count() == 300
+    assert (got.groupBy("partition", "offset").count()
+            .where(F.col("count") > 1).count()) == 0
 
 
 def test_subscribe_pattern_multi_stream(spark, log, tmp_path):

@@ -90,3 +90,64 @@ def test_clamp_invariants(cur_lat, allowed):
     ends = clamp(current, latest, allowed)
     for p, end in ends.items():
         assert current.get(p, 0) <= end <= max(latest[p], current.get(p, 0))
+
+
+# ---------------------------------------------------- PID rate estimator
+
+from spark_streaming_dis_plugin_spark.sources.pid import PIDRateEstimator
+
+
+def test_pid_warmup_publishes_nothing():
+    pid = PIDRateEstimator(batch_interval_ms=1000)
+    assert pid.latest_rate() is None
+    # degenerate inputs are ignored
+    assert pid.compute(1000, 0, 500, 0) is None
+    assert pid.compute(1000, 10, 0, 0) is None
+    # first valid measurement: adopted, not published (Spark firstRun)
+    assert pid.compute(1000, 1000, 500, 0) is None
+    assert pid.latest_rate() == 2000.0  # 1000 elems / 0.5 s
+
+
+def test_pid_steady_state_converges_to_processing_rate():
+    pid = PIDRateEstimator(batch_interval_ms=1000)
+    pid.compute(1000, 1000, 500, 0)        # warm-up: rate=2000/s
+    # batches keep processing at exactly 2000/s with no backlog:
+    # error == 0, historical == 0 -> rate stays put
+    for i in range(2, 6):
+        r = pid.compute(i * 1000, 1000, 500, 0)
+        assert r == 2000.0
+
+
+def test_pid_slow_processing_drops_rate():
+    pid = PIDRateEstimator(batch_interval_ms=1000)
+    pid.compute(1000, 1000, 500, 0)        # warm-up at 2000/s
+    # processing suddenly takes 2 s per 1000 records (true rate 500/s)
+    # with a 1 s scheduling backlog
+    r1 = pid.compute(3000, 1000, 2000, 1000)
+    assert r1 is not None and r1 < 2000.0
+    # error = 2000-500 = 1500 -> p-term pushes to 500; historical error
+    # = 1000ms*500/1000ms = 500 -> i-term (0.2) subtracts 100 more
+    assert r1 == 400.0
+    # sustained slowness converges to (just under) the true rate
+    r2 = pid.compute(5000, 1000, 2000, 1000)
+    assert r2 is not None and r2 <= 500.0
+
+
+def test_pid_floor_at_min_rate():
+    pid = PIDRateEstimator(batch_interval_ms=1000, min_rate=100)
+    pid.compute(1000, 10000, 100, 0)       # warm-up at 100k/s
+    # catastrophic slowdown: 10 records/s with a huge backlog
+    r = pid.compute(11000, 100, 10000, 30000)
+    assert r == 100.0
+
+
+def test_pid_recovers_when_backlog_clears():
+    pid = PIDRateEstimator(batch_interval_ms=1000)
+    pid.compute(1000, 1000, 500, 0)        # 2000/s
+    slow = pid.compute(3000, 1000, 2000, 1000)   # throttled
+    assert slow is not None and slow < 2000
+    # processing speed returns to 2000/s, backlog drained
+    fast = None
+    for i in range(4, 10):
+        fast = pid.compute(i * 2000, 1000, 500, 0)
+    assert fast is not None and fast > slow
