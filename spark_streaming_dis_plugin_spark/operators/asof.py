@@ -51,7 +51,7 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
 @register("asof_join_window", oracle=ASOF_ORACLE,
-          tags=("asof", "join", "window"))
+          tags=("asof", "join", "window"), bench=True)
 def asof_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via union+window: one sort per user carries the latest
     click timestamp onto every later purchase. Scale path — a single

@@ -133,7 +133,7 @@ def _shingle_sets_sql() -> str:
     WHERE CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n)
           >= {JACCARD_THRESHOLD}
     """,
-    tags=("dedup", "near-dup", "jaccard"))
+    tags=("dedup", "near-dup", "jaccard"), bench=True)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-bigram-shingle Jaccard >= 0.8 via an
     inverted-index self-join (posting list per shingle). |A ∩ B| comes from

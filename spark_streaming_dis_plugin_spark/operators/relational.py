@@ -271,6 +271,39 @@ def window_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("seg_code"))
 
 
+@register(
+    "window_ntile_lead_partitioned",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           NTILE(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           COALESCE(LEAD(c_custkey) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey),
+                    -1) AS next_custkey,
+           CAST(100.0 * (DENSE_RANK() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_mktsegment) - 1)
+                AS DOUBLE) AS seg_code
+    FROM customer
+    """,
+    tags=("relational", "window"), bench=True)
+def window_ntile_lead_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / lead / dense_rank PARTITIONED by nation — the scale form of
+    window_ntile_lead: one hash shuffle on c_nationkey, each partition
+    sorts independently (no global single-partition sort). Both windows
+    share the same partitioning, so Catalyst plans a single Exchange and
+    two Sort+Window passes over it."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"),
+                                                 "c_custkey")
+    wseg = Window.partitionBy("c_nationkey").orderBy("c_mktsegment")
+    return customer.select(
+        "c_custkey", "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.coalesce(F.lead("c_custkey").over(w), F.lit(-1)).alias("next_custkey"),
+        (100.0 * (F.dense_rank().over(wseg) - 1))
+        .cast("double").alias("seg_code"))
+
+
 # --------------------------------------------------------- grouping sets
 
 @register(
@@ -1060,7 +1093,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer JOIN orders ON c_custkey = o_custkey
     WHERE o_orderkey IN (SELECT l_orderkey FROM big)
     """,
-    tags=("relational", "join", "semi", "having"))
+    tags=("relational", "join", "semi", "having"), bench=True)
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a threshold —
     agg-then-semi-join (the aggregated key set stays small, so it

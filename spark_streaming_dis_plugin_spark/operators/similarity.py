@@ -151,7 +151,7 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rnk <= 3
     """,
-    tags=("similarity", "ann", "ivf", "topk"))
+    tags=("similarity", "ann", "ivf", "topk"), bench=True)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN query: search only the query's own cluster (n_probe=1).
     Recall vs sim_bruteforce_topk is the standard IVF tradeoff; the join
@@ -230,6 +230,7 @@ def sim_bruteforce_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DIM = 64
 KMEANS_ITERS = 2
+IVF_N_PROBE = 2
 
 
 def _dim_avg_sql(i: int) -> str:
@@ -237,6 +238,131 @@ def _dim_avg_sql(i: int) -> str:
     both engines)."""
     return (f"CAST(SUM(CAST(CAST(embedding[{i}] AS DOUBLE) "
             f"AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*)")
+
+
+def _ivf_nprobe_oracle() -> str:
+    """IVF with trained centroids + multi-probe, DuckDB side. Centroids =
+    one decimal-exact Lloyd iteration from the deterministic seeds (the
+    same recompute sim_kmeans_lloyd pins), so both engines search
+    identical cluster geometry."""
+    dims = ", ".join(f"{_dim_avg_sql(i + 1)} AS d{i}" for i in range(DIM))
+    cent_array = "[" + ", ".join(f"d{i}" for i in range(DIM)) + "]"
+    d2 = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(range(1, {dim} + 1), "
+          "i -> (CAST(v.embedding[i] AS DOUBLE) - c.ce[i]) "
+          "* (CAST(v.embedding[i] AS DOUBLE) - c.ce[i]))), "
+          "(acc, x) -> acc + x)").format(dim=DIM)
+    return f"""
+    WITH cent0 AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign0 AS (
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2}, c.centroid_id) AS rnk
+        FROM embeddings v CROSS JOIN cent0 c
+      ) WHERE rnk = 1
+    ),
+    cent1 AS (
+      SELECT cluster AS centroid_id, {cent_array} AS ce FROM (
+        SELECT a.cluster, {dims}
+        FROM assign0 a JOIN embeddings v ON a.vec_id = v.vec_id
+        GROUP BY a.cluster
+      )
+    ),
+    ranked AS (
+      SELECT v.vec_id, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {d2}, c.centroid_id) AS rnk
+      FROM embeddings v CROSS JOIN cent1 c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cluster FROM ranked WHERE rnk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id AS probe
+      FROM ranked WHERE rnk <= {IVF_N_PROBE} AND vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {cosine_sql('q.embedding', 'v.embedding')} AS cos
+      FROM probes p
+        JOIN assign a ON a.cluster = p.probe AND a.vec_id != p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings v ON v.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """
+
+
+@register(
+    "sim_ivf_nprobe_trained",
+    oracle=_ivf_nprobe_oracle(),
+    tags=("similarity", "ann", "ivf", "multiprobe"))
+def sim_ivf_nprobe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped IVF: centroids are TRAINED (one decimal-exact
+    Lloyd iteration over the corpus from deterministic seeds — the
+    k-means|| stand-in sim_kmeans_lloyd pins), and queries probe their
+    n_probe=2 nearest clusters, the standard recall lever. Plan shape at
+    100 TB: centroid training = 2 broadcast joins + 1 hash agg (centroids
+    stay k*dim-sized); the search joins are co-partitioned on cluster id,
+    so each query touches ~n_probe/C of the corpus."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("e"))
+
+    def rank_to(cent: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("e"), F.col("ce"),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+        return (emb.crossJoin(F.broadcast(cent))
+                .select("vec_id", "e", "centroid_id", d2.alias("d2"))
+                .withColumn("rnk", F.row_number().over(w)))
+
+    cent0 = (emb.where(F.col("vec_id") < N_CENTROIDS)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("e").alias("ce")))
+    assign0 = rank_to(cent0).where(F.col("rnk") == 1)
+    dim_avgs = [
+        (F.sum(F.element_at("e", i + 1).cast("decimal(27,8)"))
+         .cast("double") / F.count(F.lit(1))).alias(f"d{i}")
+        for i in range(DIM)]
+    cent1 = (assign0.groupBy(F.col("centroid_id"))
+             .agg(*dim_avgs)
+             .select("centroid_id",
+                     F.array(*[F.col(f"d{i}") for i in range(DIM)])
+                     .alias("ce")))
+    ranked = rank_to(cent1)
+    assign = (ranked.where(F.col("rnk") == 1)
+              .select("vec_id", F.col("e").alias("ve"),
+                      F.col("centroid_id").alias("cluster")))
+    probes = (ranked.where((F.col("rnk") <= IVF_N_PROBE)
+                           & (F.col("vec_id") < N_QUERIES))
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("e").alias("qe"),
+                      F.col("centroid_id").alias("probe")))
+    cos = cosine(F.col("qe"), F.col("ve"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (assign.join(F.broadcast(probes),
+                        (F.col("cluster") == F.col("probe"))
+                        & (F.col("vec_id") != F.col("query_id")))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    cos.alias("cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("query_id", "neighbor_id",
+                    (F.round("cos", 4) + 0.0).alias("cos"), "rnk"))
 
 
 def _kmeans_oracle() -> str:

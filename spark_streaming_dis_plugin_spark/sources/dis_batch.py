@@ -26,8 +26,32 @@ def resolve_ranges(log: DisLog, ranges: list[OffsetRange]) -> list[OffsetRange]:
     return resolve_sentinels(ranges, log.earliest_offsets(), log.latest_offsets())
 
 
+def check_consecutive(log: DisLog, ranges: list[OffsetRange],
+                      allow_non_consecutive: bool) -> None:
+    """Reference gate for compacted logs (DISRDD.scala:74-75): reading a
+    range whose offsets are not dense fails fast with a pointer to
+    ``allowNonConsecutiveOffsets`` unless the flag is set. Metadata-only —
+    segment row counts and boundaries come from file names."""
+    if allow_non_consecutive:
+        return
+    for r in ranges:
+        expected = r.from_offset
+        for s in log.segment_infos(r.partition):
+            if s.until_offset <= r.from_offset or s.from_offset >= r.until_offset:
+                continue
+            if not s.dense or s.from_offset > expected:
+                raise ValueError(
+                    f"partition {r.partition} range [{r.from_offset},"
+                    f"{r.until_offset}) crosses compacted/non-consecutive "
+                    f"offsets (segment [{s.from_offset},{s.until_offset}) "
+                    f"rows={s.rows}); set allowNonConsecutiveOffsets=true "
+                    f"to read a compacted log")
+            expected = s.until_offset
+
+
 def dis_read(spark: SparkSession, log: DisLog,
-             ranges: list[OffsetRange] | str) -> DataFrame:
+             ranges: list[OffsetRange] | str,
+             allow_non_consecutive: bool = False) -> DataFrame:
     """Bounded DataFrame over explicit offset ranges.
 
     ``ranges`` is a list of OffsetRange or the reference's JSON dialect
@@ -42,6 +66,7 @@ def dis_read(spark: SparkSession, log: DisLog,
     if isinstance(ranges, str):
         ranges = offset_ranges_from_json(log.stream, ranges)
     ranges = resolve_ranges(log, ranges)
+    check_consecutive(log, ranges, allow_non_consecutive)
 
     parts: list[DataFrame] = []
     for r in ranges:
@@ -74,11 +99,37 @@ def _empty_envelope(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------- pushdowns
 
 def dis_count(log: DisLog, ranges: list[OffsetRange] | str) -> int:
-    """count = sum(until - from): offset arithmetic, no scan
-    (DISRDD.scala:89-94)."""
+    """Exact count with no data scan on a dense log (offset arithmetic,
+    DISRDD.scala:89-94) and segment-metadata arithmetic on a compacted
+    one: fully-covered segments contribute their filename row count; a
+    compacted segment only *partially* covered by the range is the single
+    case metadata cannot answer, and costs one bounded parquet read of
+    that segment's offset column."""
     if isinstance(ranges, str):
         ranges = offset_ranges_from_json(log.stream, ranges)
-    return sum(r.count for r in resolve_ranges(log, ranges))
+    total = 0
+    for r in resolve_ranges(log, ranges):
+        if r.count == 0:
+            continue
+        for s in log.segment_infos(r.partition):
+            lo = max(s.from_offset, r.from_offset)
+            hi = min(s.until_offset, r.until_offset)
+            if hi <= lo:
+                continue
+            if r.from_offset <= s.from_offset and s.until_offset <= r.until_offset:
+                total += s.rows                      # fully covered
+            elif s.dense:
+                total += hi - lo                     # partial, dense
+            else:                                    # partial, compacted
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                off = pq.read_table(s.path, columns=["offset"])
+                total += int(pc.sum(
+                    pc.and_(pc.greater_equal(off.column("offset"), lo),
+                            pc.less(off.column("offset"), hi))
+                    .cast("int64")).as_py() or 0)
+    return total
 
 
 def dis_is_empty(log: DisLog, ranges: list[OffsetRange] | str) -> bool:
@@ -87,26 +138,43 @@ def dis_is_empty(log: DisLog, ranges: list[OffsetRange] | str) -> bool:
 
 
 def dis_take(spark: SparkSession, log: DisLog,
-             ranges: list[OffsetRange] | str, n: int) -> list:
+             ranges: list[OffsetRange] | str, n: int,
+             allow_non_consecutive: bool = False) -> list:
     """take(n) reading only the partitions/segments that can contribute.
 
     Mirrors DISRDD.take's plan (DISRDD.scala:114-144): per-range take
-    counts are precomputed from offset arithmetic; ranges past the budget
-    are never scanned.
+    counts are precomputed from offset arithmetic (dense log) or segment
+    metadata (compacted log — arithmetic would overestimate available
+    rows and under-take); ranges past the budget are never scanned.
     """
     if isinstance(ranges, str):
         ranges = offset_ranges_from_json(log.stream, ranges)
     ranges = resolve_ranges(log, ranges)
+    check_consecutive(log, ranges, allow_non_consecutive)
 
-    budget, trimmed = n, []
+    budget, trimmed, out = n, [], []
     for r in ranges:
         if budget <= 0:
             break
-        use = min(r.count, budget)
-        if use > 0:
-            trimmed.append(OffsetRange(r.stream, r.partition,
-                                       r.from_offset, r.from_offset + use))
-            budget -= use
-    if not trimmed:
-        return []
-    return dis_read(spark, log, trimmed).collect()
+        avail = dis_count(log, [r])
+        if avail == 0:
+            continue
+        if avail <= budget:
+            trimmed.append(r)       # whole range fits (by actual rows)
+            budget -= avail
+        elif not allow_non_consecutive:
+            # dense: offset arithmetic converts a row budget to an offset
+            trimmed.append(OffsetRange(r.stream, r.partition, r.from_offset,
+                                       r.from_offset + budget))
+            budget = 0
+        else:
+            # compacted boundary range: rows-to-offset needs the data —
+            # read the (pruned) range and keep only the budget
+            rows = (dis_read(spark, log, [r], True)
+                    .orderBy("offset").take(budget))
+            out.extend(rows)
+            budget = 0
+    if trimmed:
+        out = dis_read(spark, log, trimmed, allow_non_consecutive).collect() \
+            + out
+    return out[:n]

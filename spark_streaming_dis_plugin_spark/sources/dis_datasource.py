@@ -169,6 +169,8 @@ class DisBatchReader(DataSourceReader):
 
     def __init__(self, log: DisLog, options):
         self.log = log
+        self.allow_gaps = str(options.get("allownonconsecutiveoffsets",
+                                          "false")).lower() == "true"
         stream = log.stream
         earliest, latest = log.earliest_offsets(), log.latest_offsets()
 
@@ -183,6 +185,9 @@ class DisBatchReader(DataSourceReader):
                                   end.get(p, LATEST))
                       for p in sorted(earliest)]
         self.ranges = resolve_sentinels(ranges, earliest, latest)
+        from .dis_batch import check_consecutive
+
+        check_consecutive(log, self.ranges, self.allow_gaps)
 
     def partitions(self):
         return _plan_partitions(self.log, self.ranges)
@@ -249,6 +254,8 @@ class DisStreamReader(DataSourceStreamReader):
             options.get("maxrateperpartition", 0) or 0)
         self.batch_seconds = float(options.get("batchseconds", 1.0))
         self.starting = options.get("startingoffsets", "earliest")
+        self.allow_gaps = str(options.get("allownonconsecutiveoffsets",
+                                          "false")).lower() == "true"
         # Driver-side frontier (the reference's currentOffsets map,
         # DirectDISInputDStream.scala:84). The runner keeps this reader
         # alive across triggers; latestOffset() receives no start argument,
@@ -369,6 +376,9 @@ class DisStreamReader(DataSourceStreamReader):
             p = int(p_str)
             self._floor[p] = max(self._floor.get(p, 0), int(o))
         self._sync({int(p): int(o) for p, o in end.items()})
+        from .dis_batch import check_consecutive
+
+        check_consecutive(self.log, ranges, self.allow_gaps)
         planned = _plan_partitions(self.log, ranges)
         if planned:
             return planned

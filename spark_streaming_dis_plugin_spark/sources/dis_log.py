@@ -308,6 +308,48 @@ class DisLog:
         return latest
 
 
+def compact_log(log: DisLog) -> dict[int, int]:
+    """Kafka-style log compaction: per partition, retain only the LAST
+    record for each key; offsets are preserved, so segments become sparse
+    (rows < until-from) — the substrate the reference reads with
+    ``spark.streaming.dis.allowNonConsecutiveOffsets``
+    (DISRDD.scala:74-75,271-315). Returns records removed per partition.
+
+    Service-side operation (the log stands in for the DIS service): each
+    segment is rewritten in place one at a time, newest first, so memory
+    is bounded by a single segment regardless of log size.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    removed: dict[int, int] = {}
+    for p in log.partitions():
+        seen: set = set()
+        dropped = 0
+        # newest->oldest: the last occurrence of a key wins
+        for seg in reversed(log.segment_infos(p)):
+            table = pq.read_table(seg.path)
+            keys = table.column("key").to_pylist()
+            keep = []
+            for k in reversed(keys):        # within-segment: later wins
+                keep.append(k not in seen)
+                seen.add(k)
+            keep.reverse()
+            if all(keep):
+                continue
+            kept = table.filter(pa.array(keep))
+            dropped += table.num_rows - kept.num_rows
+            new_path = os.path.join(
+                os.path.dirname(seg.path),
+                segment_name(seg.from_offset, seg.until_offset,
+                             kept.num_rows, seg.txn))
+            _write_segment(kept, new_path)
+            os.remove(seg.path)
+        removed[p] = dropped
+    return removed
+
+
 def create_log_from_events(spark: SparkSession, events_path: str, root: str,
                            stream: str = "events",
                            num_partitions: int = DEFAULT_NUM_PARTITIONS,

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from spark_streaming_dis_plugin_spark.sources.dis_batch import (
     dis_count, dis_is_empty, dis_read, dis_take,
 )
@@ -105,3 +107,103 @@ def test_producer_append_assigns_offsets(tmp_path):
     assert latest == {0: 2, 1: 1}
     latest = log.append(batch)
     assert latest == {0: 4, 1: 2}  # offsets continue monotonically
+
+
+# ------------------------------------------- compacted / gappy logs
+
+def _mklog(tmp_path, name, rows_per_part=60):
+    import pandas as pd
+
+    from spark_streaming_dis_plugin_spark.sources.dis_log import DisLog
+    log = DisLog(str(tmp_path / f"{name}_root"), name).create(2)
+    n = rows_per_part * 2
+    # repeating keys so compaction has work to do; 3 segments per partition
+    for chunk in range(3):
+        k = rows_per_part // 3
+        log.append(pd.DataFrame({
+            "partition": [i % 2 for i in range(k * 2)],
+            "key": [f"k{(chunk * k * 2 + i) % 10}" for i in range(k * 2)],
+            "value": [f"c{chunk}-{i}" for i in range(k * 2)],
+            "timestamp": pd.to_datetime(["2024-01-01"] * (k * 2)),
+        }))
+    return log
+
+
+def test_compaction_roundtrip_counts_and_reads(spark, tmp_path):
+    """Compaction keeps the last record per key, offsets preserved;
+    dis_count answers from segment metadata; reads require the
+    allowNonConsecutiveOffsets flag (DISRDD.scala:74-75,271-315)."""
+    import pytest
+
+    from spark_streaming_dis_plugin_spark.sources.dis_batch import (
+        dis_count, dis_read, dis_take,
+    )
+    from spark_streaming_dis_plugin_spark.sources.dis_log import (
+        DisLog, compact_log,
+    )
+
+    log = _mklog(tmp_path, "cmp")
+    full = {p: log.latest_offsets()[p] for p in log.partitions()}
+    before = dis_count(log, '{"0":[-2,-1],"1":[-2,-1]}')
+    assert before == sum(full.values())
+
+    removed = compact_log(log)
+    assert sum(removed.values()) > 0
+    # latest/earliest unchanged: offsets are preserved under compaction
+    assert log.latest_offsets() == full
+    assert log.has_gaps()
+
+    # only 10 distinct keys per partition survive at most
+    after = dis_count(log, '{"0":[-2,-1],"1":[-2,-1]}')
+    assert after == before - sum(removed.values())
+    assert after <= 20
+
+    # dense-assuming read fails fast without the flag...
+    with pytest.raises(ValueError, match="allowNonConsecutiveOffsets"):
+        dis_read(spark, log, '{"0":[-2,-1]}').count()
+    # ...and works with it: one row per surviving key, last value wins
+    df = dis_read(spark, log, '{"0":[-2,-1],"1":[-2,-1]}', True)
+    assert df.count() == after
+    assert df.groupBy("key", "partition").count() \
+             .where("count > 1").count() == 0
+    assert all(r["value"].startswith("c2") for r in df.collect())
+
+    # partial-overlap count on a compacted segment (the one scan case)
+    mid = full[0] // 2
+    got = dis_count(log, f'{{"0":[1,{mid}]}}')
+    exact = dis_read(spark, log, f'{{"0":[1,{mid}]}}', True).count()
+    assert got == exact
+
+    # take with gaps: returns exactly n real rows when available
+    rows = dis_take(spark, log, '{"0":[-2,-1],"1":[-2,-1]}', 7, True)
+    assert len(rows) == 7
+
+
+def test_writer_allow_gaps_ingests_sparse_offsets(spark, tmp_path):
+    """Explicit-offset ingestion of a sparse range (a log-to-log copy of
+    a compacted stream) requires the flag and round-trips."""
+    import pytest
+
+    from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+        DisDataSource,
+    )
+    from spark_streaming_dis_plugin_spark.sources.dis_log import DisLog
+
+    spark.dataSource.register(DisDataSource)
+    out = DisLog(str(tmp_path / "sparse_root"), "sp").create(1)
+    df = spark.createDataFrame(
+        [(0, o, f"k{o}", f"v{o}") for o in (0, 2, 5, 9)],
+        "partition int, offset long, key string, value string",
+    ).withColumn("timestamp",
+                 F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+    wr = (df.write.format("dis").mode("append")
+          .option("path", out.root).option("stream", "sp"))
+    with pytest.raises(Exception, match="[nN]on.consecutive"):
+        wr.save()
+    wr.option("allowNonConsecutiveOffsets", "true").save()
+    assert out.latest_offsets() == {0: 10}
+    assert out.has_gaps()
+    back = (spark.read.format("dis")
+            .option("path", out.root).option("stream", "sp")
+            .option("allowNonConsecutiveOffsets", "true").load())
+    assert sorted(r["offset"] for r in back.collect()) == [0, 2, 5, 9]
