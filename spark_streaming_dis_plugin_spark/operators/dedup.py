@@ -114,34 +114,31 @@ def _shingle_sets_sql() -> str:
     """
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sets AS ({_shingle_sets_sql()}),
+def _jaccard_pairs_ctes() -> str:
+    """CTE chain computing near-dup pairs (doc_a, doc_b, jaccard) — shared
+    by the pair query and the connected-components clustering oracle."""
+    return f"""sets AS ({_shingle_sets_sql()}),
     sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
     posting AS (SELECT doc_id, unnest(sh) AS s FROM sets),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_n
       FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n) AS jaccard
-    FROM inter
-      JOIN sizes sa ON sa.doc_id = doc_a
-      JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n)
-          >= {JACCARD_THRESHOLD}
-    """,
-    tags=("dedup", "near-dup", "jaccard"), bench=True)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-bigram-shingle Jaccard >= 0.8 via an
-    inverted-index self-join (posting list per shingle). |A ∩ B| comes from
-    the join, |A ∪ B| = |A| + |B| - |A ∩ B| by arithmetic — no union
-    materialized. At 100 TB this exact kernel runs per LSH bucket (below),
-    never globally; a document-frequency cap on shingles bounds posting
-    skew."""
-    docs = load(spark, sf_dir, "documents")
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n) AS jaccard
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n)
+            >= {JACCARD_THRESHOLD}
+    )"""
+
+
+def _jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs — the Spark twin of
+    :func:`_jaccard_pairs_ctes`."""
     sets = _shingle_sets(docs)
     sizes = sets.select("doc_id", F.size("sh").alias("n"))
     posting = sets.select("doc_id", F.explode("sh").alias("s"))
@@ -158,6 +155,92 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (inter.join(sa, "doc_a").join(sb, "doc_b")
             .select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_jaccard_pairs_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+    tags=("dedup", "near-dup", "jaccard"), bench=True)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-bigram-shingle Jaccard >= 0.8 via an
+    inverted-index self-join (posting list per shingle). |A ∩ B| comes from
+    the join, |A ∪ B| = |A| + |B| - |A ∩ B| by arithmetic — no union
+    materialized. At 100 TB this exact kernel runs per LSH bucket (below),
+    never globally; a document-frequency cap on shingles bounds posting
+    skew."""
+    return _jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+    )
+    SELECT doc_id, MIN(label) AS component,
+           doc_id = MIN(label) AS survivor
+    FROM reach GROUP BY doc_id
+    """,
+    tags=("dedup", "graph", "iterative"))
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    Jaccard similarity graph by iterative min-label propagation. Each
+    document gets component = min(doc_id) of its transitive duplicate
+    group; dedup keeps the one survivor per component (pair-based dedup
+    would wrongly keep B of A~B, B~C, C~A chains).
+
+    Scale shape: one iteration = edges ⋈ labels (shuffle on doc_id) +
+    min-agg; converges in graph-diameter iterations (near-dup clusters
+    are shallow — template families, not long chains). localCheckpoint
+    between iterations truncates the exponential plan lineage; the
+    convergence test is a scalar count per iteration (driver control
+    flow, not a data collect). The oracle pins the same fixpoint with a
+    recursive CTE."""
+    pairs = _jaccard_pairs(load(spark, sf_dir, "documents")) \
+        .select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .unionAll(pairs.select(F.col("doc_b").alias("src"),
+                                    F.col("doc_a").alias("dst")))
+             .persist())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")).localCheckpoint())
+    for _ in range(20):
+        neighbor_min = (edges.join(labels,
+                                   edges["dst"] == labels["doc_id"])
+                        .groupBy("src")
+                        .agg(F.min("label").alias("nmin")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels["doc_id"] == neighbor_min["src"],
+                                  "left")
+                      .select(labels["doc_id"],
+                              F.least(labels["label"],
+                                      F.coalesce(F.col("nmin"),
+                                                 labels["label"]))
+                              .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id", F.col("label").alias("component"),
+        (F.col("doc_id") == F.col("label")).alias("survivor"))
 
 
 # --------------------------------------------------------- MinHash + LSH

@@ -1401,3 +1401,368 @@ def string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.contains(n, F.lit("1")).cast("int").alias("has_one"),
         F.instr(n, "o").alias("first_o"),
         F.right(n, F.lit(4)).alias("name_suffix"))
+
+
+# ------------------------------------------- TPC-H shapes, second wave
+#
+# The fixture carries a reduced TPC-H schema (no partsupp, no commit/
+# receipt dates, no phone/container columns), so these keep each query's
+# SHAPE — the join topology, subquery style, and aggregation pattern that
+# make it a distinct physical plan — with predicates adapted to the
+# columns that exist.
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "subquery", "exists"))
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS (orders with at least one line
+    shipped after the order date) -> priority histogram. Catalyst rewrites
+    the EXISTS into a left-semi hash join on l_orderkey — one shuffle,
+    no row explosion for multi-line orders."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    o = orders.where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                     & (F.col("o_orderdate") < F.lit("1996-04-01")))
+    late = li.join(o, (F.col("l_orderkey") == F.col("o_orderkey"))
+                   & (F.col("l_shipdate") > F.col("o_orderdate")),
+                   "left_semi").select("l_orderkey").distinct()
+    return (o.join(late, F.col("o_orderkey") == F.col("l_orderkey"),
+                   "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {dsum_sql('volume', 4)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(strftime(l_shipdate, '%Y') AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("relational", "join", "multiway"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way join with a symmetric two-nation predicate,
+    revenue by (supplier nation, customer nation, year). nation is
+    broadcast twice under different aliases; the nation-pair filter
+    applies after both joins, pruning before the aggregate. Fact-fact
+    joins (lineitem-orders) shuffle on the order key."""
+    s, li, o, c, n = _t(spark, sf_dir, "supplier", "lineitem", "orders",
+                        "customer", "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1k"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2k"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    return (li
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(n1), F.col("n1k") == F.col("s_nationkey"))
+            .join(F.broadcast(n2), F.col("n2k") == F.col("c_nationkey"))
+            .where(pair)
+            .select("supp_nation", "cust_nation",
+                    F.year("l_shipdate").alias("l_year"),
+                    (F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))).alias("volume"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(dsum("volume", 4).alias("revenue")))
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           round({dsum_sql('focus_volume', 4)} / {dsum_sql('volume', 4)}, 6)
+             + 0.0 AS mkt_share
+    FROM (
+      SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             CASE WHEN n2.n_name = 'NATION_3'
+                  THEN l_extendedprice * (1 - l_discount)
+                  ELSE 0 END AS focus_volume
+      FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+    tags=("relational", "join", "multiway", "conditional-agg"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share = conditional sum / total sum
+    per year over an 8-way join. Both sums are decimal-exact, divided in
+    double (bit-stable across engines and partitionings). All dimensions
+    broadcast; the only big shuffle is lineitem-orders."""
+    p, li, o, c, n, r, s = _t(spark, sf_dir, "part", "lineitem", "orders",
+                              "customer", "nation", "region", "supplier")
+    n1 = n.select(F.col("n_nationkey").alias("n1k"),
+                  F.col("n_regionkey").alias("n1r"))
+    n2 = n.select(F.col("n_nationkey").alias("n2k"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li
+            .join(F.broadcast(p.where(F.col("p_type") == "ECONOMY")),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(n1), F.col("n1k") == F.col("c_nationkey"))
+            .join(F.broadcast(r.where(F.col("r_name") == "AMERICA")),
+                  F.col("r_regionkey") == F.col("n1r"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(F.broadcast(n2), F.col("n2k") == F.col("s_nationkey"))
+            .select(F.year("o_orderdate").alias("o_year"),
+                    vol.alias("volume"),
+                    F.when(F.col("supp_nation") == "NATION_3", vol)
+                    .otherwise(F.lit(0)).alias("focus_volume"))
+            .groupBy("o_year")
+            .agg((F.round(dsum("focus_volume", 4) / dsum("volume", 4), 6)
+                  + 0.0).alias("mkt_share")))
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("relational", "outer-join", "agg"))
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: order-count distribution over a filtered LEFT OUTER join
+    (customers with zero qualifying orders land in bucket 0 — the outer
+    side must survive). Two cascaded aggregations, each one shuffle; the
+    second one is tiny (distinct counts)."""
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (c.join(o.where(F.col("o_orderpriority") != "1-URGENT"),
+                       F.col("c_custkey") == F.col("o_custkey"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("relational", "subquery", "scalar"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — an
+    aggregated view compared against its own scalar max. The revenue agg
+    is computed once and self-compared via a scalar subquery (Catalyst
+    plans the max as a broadcast single-row join, not a recomputation
+    when the view is cached; both sides are decimal-exact so the equality
+    is bit-safe)."""
+    s, li = _t(spark, sf_dir, "supplier", "lineitem")
+    revenue = (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                        & (F.col("l_shipdate") < F.lit("1996-04-01")))
+               .groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                         4).alias("total_revenue")))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+            .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT round({dsum_sql('l_extendedprice', 2)} / 7.0, 4) + 0.0
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    tags=("relational", "subquery", "correlated-scalar"))
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines whose quantity is below 20% of their part's
+    average. The correlated scalar AVG is expressed as a window over
+    l_partkey — one shuffle on partkey, no per-row subquery execution
+    (exactly what Catalyst's decorrelation would produce). AVG compares
+    as plain double on both sides: the threshold comparison has margin
+    >> one ulp for every real row, and the output sum is decimal-exact."""
+    li, p = _t(spark, sf_dir, "lineitem", "part")
+    w = Window.partitionBy("l_partkey")
+    flagged = (li.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+               .join(F.broadcast(p.where(F.col("p_brand") == "Brand#1")),
+                     F.col("p_partkey") == F.col("l_partkey"))
+               .where(F.col("l_quantity") < 0.2 * F.col("part_avg_qty")))
+    return flagged.agg(
+        (F.round(dsum("l_extendedprice", 2) / 7.0, 4) + 0.0)
+        .alias("avg_yearly"))
+
+
+@register(
+    "q19_disjunctive_bands",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("relational", "join", "disjunctive"))
+def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. The p_brand/
+    p_size conjuncts could prune part before the join, but the mixed
+    OR prevents a clean pushdown — the realistic plan broadcasts part
+    (it is dimension-sized) and evaluates the disjunction post-join;
+    Catalyst additionally extracts the common l_quantity range [1,30]
+    as a pushable filter on the fact side."""
+    li, p = _t(spark, sf_dir, "lineitem", "part")
+    cond = (((F.col("p_brand") == "Brand#1")
+             & F.col("p_size").between(1, 15)
+             & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#2")
+               & F.col("p_size").between(1, 25)
+               & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#3")
+               & F.col("p_size").between(1, 35)
+               & F.col("l_quantity").between(20, 30)))
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .where(cond)
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "q21_late_sole_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier s
+      JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND n.n_name = 'NATION_5'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+    tags=("relational", "subquery", "exists", "anti-join"))
+def q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order (late = shipped >60 days after the order date on
+    this schema). EXISTS -> left-semi join, NOT EXISTS -> left-anti join,
+    both on l_orderkey with non-equi residuals — three passes over
+    lineitem co-partitioned on the same key, so AQE can reuse one
+    exchange; nation/supplier broadcast."""
+    s, li, o, n = _t(spark, sf_dir, "supplier", "lineitem", "orders",
+                     "nation")
+    late_cutoff = F.expr("o_orderdate + INTERVAL 60 DAY")
+    base = (li.alias("l1")
+            .join(o.where(F.col("o_orderstatus") == "F"),
+                  F.col("l1.l_orderkey") == F.col("o_orderkey"))
+            .where(F.col("l1.l_shipdate") > late_cutoff)
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l1.l_suppkey"))
+            .join(F.broadcast(n.where(F.col("n_name") == "NATION_5")),
+                  F.col("n_nationkey") == F.col("s_nationkey")))
+    l2 = li.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    has_other = base.join(
+        l2, (F.col("k2") == F.col("l1.l_orderkey"))
+        & (F.col("s2") != F.col("l1.l_suppkey")), "left_semi")
+    l3 = (li.select(F.col("l_orderkey").alias("k3"),
+                    F.col("l_suppkey").alias("s3"),
+                    F.col("l_shipdate").alias("d3")))
+    sole_late = has_other.join(
+        l3, (F.col("k3") == F.col("l1.l_orderkey"))
+        & (F.col("s3") != F.col("l1.l_suppkey"))
+        & (F.col("d3") > late_cutoff), "left_anti")
+    return sole_late.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle=f"""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           {dsum_sql('c_acctbal', 2)} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    tags=("relational", "subquery", "not-exists"))
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the positive-balance average with
+    no URGENT orders, counted per nation (the reduced schema has no
+    phone, so nationkey plays the country-code role; every customer has
+    *some* order in this fixture, so the inactivity predicate keys on
+    priority). NOT EXISTS -> left-anti join on custkey; the scalar AVG is
+    a single-row broadcast. AVG compares as plain double: acctbal values
+    are far from the threshold relative to one ulp (same accepted epsilon
+    pattern as subquery_above_nation_avg)."""
+    c, o = _t(spark, sf_dir, "customer", "orders")
+    avg_pos = (c.where(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("threshold")))
+    return (c.join(F.broadcast(avg_pos))
+            .where(F.col("c_acctbal") > F.col("threshold"))
+            .join(o.where(F.col("o_orderpriority") == "1-URGENT")
+                  .select("o_custkey"),
+                  F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 dsum("c_acctbal", 2).alias("totacctbal")))

@@ -50,8 +50,9 @@ import time
 from collections import deque
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, DataSourceStreamReader, DataSourceWriter,
-    InputPartition, WriterCommitMessage,
+    DataSource, DataSourceReader, DataSourceStreamReader,
+    DataSourceStreamWriter, DataSourceWriter, InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     IntegerType, LongType, StringType, StructField, StructType,
@@ -160,6 +161,13 @@ class DisDataSource(DataSource):
         if overwrite:
             raise ValueError("dis sink is append-only (a log)")
         return DisWriter(self._log(), self.options, schema.fieldNames())
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> "DisStreamWriter":
+        if overwrite:
+            raise ValueError("dis sink is append-only (a log)")
+        return DisStreamWriter(self._log(), self.options,
+                               schema.fieldNames())
 
 
 # ------------------------------------------------------------------- batch
@@ -641,6 +649,43 @@ class DisWriter(DataSourceWriter):
             for seg in m.files:
                 if os.path.exists(seg.path):
                     os.remove(seg.path)
+
+
+class DisStreamWriter(DisWriter, DataSourceStreamWriter):
+    """Native ``writeStream.format("dis")`` sink — the DisWriter staging
+    and txn machinery driven by the streaming engine's per-batch commit.
+
+    Each micro-batch commits under txn ``<txnPrefix>_b<batchId>``
+    (``txnPrefix`` defaults to "stream"; set it per query when several
+    streams produce into one log). Exactly-once follows from the same
+    protocol as the batch writer: a replayed batch id is a committed txn
+    and is skipped wholesale; a crashed attempt's tagged tail segments
+    are rolled back before the re-append. Unlike the foreachBatch sink
+    there is no driver-side DataFrame hop at all — the engine hands rows
+    straight to executor-side staging.
+    """
+
+    def __init__(self, log: DisLog, options, columns: list[str]):
+        # txn is per-batch for a stream; disable the static-txn recovery
+        # in DisWriter.__init__ and run it per commit instead.
+        opts = dict(options)
+        opts.pop("txn", None)
+        super().__init__(log, opts, columns)
+        self.txn_prefix = sanitize_txn(options.get("txnprefix", "stream"))
+
+    def _batch_txn(self, batch_id: int) -> str:
+        return f"{self.txn_prefix}_b{batch_id}"
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        self.txn = self._batch_txn(batchId)
+        if self.txn in self.log.committed_txns():
+            self._cleanup(messages)     # replayed batch — idempotent skip
+            return
+        self.log.rollback_txn(self.txn)  # crashed attempt — drop its tail
+        super().commit(messages)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        self._cleanup(messages)
 
 
 def register(spark) -> None:

@@ -363,6 +363,45 @@ def test_stateful_running_totals(spark, sf_dir, log, tmp_path):
     assert final == batch
 
 
+def test_native_stream_writer_exactly_once(spark, log, tmp_path):
+    """writeStream.format('dis') — the native streaming sink: log-to-log
+    copy with per-batch txns; a restart with no new data appends nothing,
+    and every record arrives exactly once."""
+    from spark_streaming_dis_plugin_spark.sources.dis_log import DisLog
+
+    out = DisLog(str(tmp_path / "nsw_root"), "nsw").create(2)
+
+    def run():
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .load())
+        q = (sdf.select((F.col("partition") % 2).cast("int")
+                        .alias("partition"), "key", "value", "timestamp")
+             .writeStream.format("dis")
+             .option("path", out.root).option("stream", "nsw")
+             .option("txnPrefix", "nswq")
+             .option("checkpointLocation", str(tmp_path / "nsw_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run()
+    total = sum(log.latest_offsets().values())
+    assert sum(out.latest_offsets().values()) == total
+    run()   # restart: no new data -> nothing appended
+    assert sum(out.latest_offsets().values()) == total
+    # txn-tagged segments + ledger recorded
+    infos = [s for p in out.partitions() for s in out.segment_infos(p)]
+    assert infos and all(s.txn and s.txn.startswith("nswq_b") for s in infos)
+    assert any(t.startswith("nswq_b") for t in out.committed_txns())
+    # round-trip: same multiset of values
+    back = (spark.read.format("dis")
+            .option("path", out.root).option("stream", "nsw").load())
+    src = (spark.read.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    assert (back.groupBy("value").count().orderBy("value").collect()
+            == src.groupBy("value").count().orderBy("value").collect())
+
+
 def test_backpressure_pid_adapts_batch_sizes(spark, log):
     """Driving the stream reader directly: with backpressure enabled, a
     slow consumer (long commit latency) pushes planned batch sizes down
