@@ -245,7 +245,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- MinHash + LSH
 
-def _with_signature(docs: DataFrame) -> DataFrame:
+def _with_signature(docs: DataFrame, portable: bool = True) -> DataFrame:
     """doc_id + shingle set + K min-hash signature columns, PERSISTED.
 
     Two Catalyst traps shape this code (both measured, 48s -> ~3s total on
@@ -261,10 +261,15 @@ def _with_signature(docs: DataFrame) -> DataFrame:
        times (band join both sides, verify join both sides) — the same
        persist serves all of them. At 100 TB this is the same design:
        write/cache the signature table once, then band and join it.
+
+    ``portable=False`` swaps md5 for JVM xxhash64 — the production hash
+    (same topology, no cross-engine oracle; see dedup_minhash_lsh_fast).
     """
+    hasher = (portable_hash if portable
+              else (lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))))
     hashed = (_shingle_sets(docs)
               .withColumn("hs", F.transform(
-                  F.col("sh"), lambda s: portable_hash(s) % MINHASH_PRIME))
+                  F.col("sh"), lambda s: hasher(s) % MINHASH_PRIME))
               .persist())
     sig_cols = [
         F.array_min(F.transform(
@@ -338,8 +343,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of candidates only. This is the 100 TB dedup shape: candidate
     generation is one shuffle on band keys; the quadratic verify kernel
     touches only same-bucket pairs."""
-    docs = load(spark, sf_dir, "documents")
-    with_sig = _with_signature(docs)  # persisted inside
+    return _lsh_pairs(_with_signature(load(spark, sf_dir, "documents")))
+
+
+def _lsh_pairs(with_sig: DataFrame) -> DataFrame:
+    """Signature table -> band buckets -> candidate pairs -> exact-Jaccard
+    verification (shared by the portable and xxhash64 variants)."""
     sets = with_sig.select("doc_id", "sh")
     sig = with_sig.drop("sh")
     # one scan -> 4 band rows per doc via explode (not 4 union branches)
@@ -365,6 +374,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+@register(
+    "dedup_minhash_lsh_fast",
+    oracle=None,   # xxhash64 is JVM-only — no cross-engine oracle; the
+                   # verified pairs are asserted equal to the portable
+                   # pipeline's in tests (hash choice affects only which
+                   # CANDIDATES surface, verification is exact Jaccard)
+    tags=("dedup", "minhash", "lsh", "production-hash"), bench=True)
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh with the production hash: JVM xxhash64 signatures
+    instead of oracle-portable md5 (the md5 requirement exists only so
+    DuckDB can reproduce signatures bit-for-bit). Same topology, same
+    exact-Jaccard verification — bench-visible so the md5-vs-xxhash64
+    cost of the oracle constraint is measured, not asserted."""
+    return _lsh_pairs(
+        _with_signature(load(spark, sf_dir, "documents"), portable=False))
 
 
 # ---------------------------------------------------------------- SimHash

@@ -1766,3 +1766,109 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  dsum("c_acctbal", 2).alias("totacctbal")))
+
+
+# ------------------------------------------- higher-order function family
+
+@register(
+    "higher_order_functions",
+    oracle="""
+    SELECT doc_id,
+           list_transform(list_filter(string_split_regex(lower(text),
+             '[^a-z0-9_]+'), t -> t != ''), t -> len(t)) AS token_lens,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+             t -> len(t) > 6)) AS n_long,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+             t -> t = 'the')) > 0 AS has_the,
+           len(list_filter(list_filter(string_split_regex(lower(text),
+             '[^a-z0-9_]+'), t -> t != ''), t -> NOT len(t) < 30)) = 0
+             AS all_short,
+           list_reduce(list_prepend(0, list_transform(
+             list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               t -> t != ''), t -> len(t))), (a, x) -> a + x) AS total_chars
+    FROM documents
+    """,
+    tags=("relational", "higher-order", "lambda"))
+def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda-expression family — transform / filter / exists / forall
+    / aggregate — entirely JVM-side (no Python), the idiomatic replacement
+    for row-at-a-time UDFs over array columns. Each lambda touches only
+    its own element (the CollapseProject re-evaluation trap applies to
+    captured outer expressions, not element args — see
+    functions/portable.word_shingles)."""
+    from ..functions.portable import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tk = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.transform(tk, lambda t: F.length(t)).alias("token_lens"),
+        F.size(F.filter(tk, lambda t: F.length(t) > 6)).alias("n_long"),
+        F.exists(tk, lambda t: t == "the").alias("has_the"),
+        F.forall(tk, lambda t: F.length(t) < 30).alias("all_short"),
+        F.aggregate(tk, F.lit(0), lambda a, t: a + F.length(t))
+        .alias("total_chars"))
+
+
+@register(
+    "explode_outer_lateral",
+    oracle="""
+    WITH arr AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 5 = 0 THEN []
+                  ELSE list_transform(range(1, (n_nationkey % 3) + 2),
+                                      i -> n_nationkey * 10 + i) END AS xs
+      FROM nation
+    )
+    SELECT n_nationkey,
+           CASE WHEN len(xs) = 0 THEN NULL ELSE u.pos - 1 END AS pos,
+           u.x AS val
+    FROM arr LEFT JOIN LATERAL (
+      SELECT unnest(xs) AS x,
+             generate_subscripts(xs, 1) AS pos
+    ) u ON TRUE
+    """,
+    tags=("relational", "lateral", "explode"))
+def explode_outer_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer: lateral explode that KEEPS rows whose array is
+    empty (null pos/val) — the outer-lateral semantics a plain explode
+    silently drops. One Generate node, no join, no shuffle."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    xs = F.when(F.col("n_nationkey") % 5 == 0, F.array()) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), F.col("n_nationkey") % 3 + 1),
+            lambda i: F.col("n_nationkey") * 10 + i))
+    return (nation.select("n_nationkey", xs.alias("xs"))
+            .select("n_nationkey",
+                    F.posexplode_outer("xs").alias("pos", "val"))
+            .select("n_nationkey", F.col("pos").cast("bigint").alias("pos"),
+                    F.col("val").cast("bigint").alias("val")))
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("relational", "window", "value-functions"))
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value per customer order history.
+    last_value needs the full-partition frame (the default running frame
+    would return the current row); all three share one Exchange+Sort."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(wfull).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"))

@@ -53,5 +53,6 @@ def _load_all() -> None:
         return
     from ..operators import (  # noqa: F401
         asof, connector, dedup, multimodal, relational, similarity, text,
+        udf_family,
     )
     _LOADED = True

@@ -631,3 +631,36 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, log, tmp_path):
         for r in batch.collect())
     assert len(stream_rows) > 0
     assert stream_rows == batch_rows
+
+
+def test_commit_listener_journals_offsets(spark, log, tmp_path):
+    """The commitAsync side-channel: a StreamingQueryListener journals each
+    batch's committed dis offsets and fires the user callback
+    (CanCommitOffsets.commitAsync parity — observational, the checkpoint
+    remains the source of truth)."""
+    from spark_streaming_dis_plugin_spark.streaming.listener import (
+        DisCommitListener, read_commit_journal,
+    )
+
+    journal = str(tmp_path / "journal" / "commits.jsonl")
+    calls = []
+    listener = DisCommitListener(
+        journal, callback=lambda q, b, offs: calls.append((q, b, offs)))
+    spark.streams.addListener(listener)
+    try:
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream).load())
+        q = (sdf.writeStream.format("memory").queryName("journal_q")
+             .option("checkpointLocation", str(tmp_path / "jq_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        deadline = __import__("time").time() + 30
+        while __import__("time").time() < deadline and not calls:
+            __import__("time").sleep(0.25)   # listener bus is async
+    finally:
+        spark.streams.removeListener(listener)
+    records = read_commit_journal(journal)
+    assert records and calls
+    final = records[-1]["offsets"]
+    assert {int(p): int(o) for p, o in final.items()} == log.latest_offsets()
+    assert calls[-1][2] == final

@@ -49,3 +49,15 @@ def test_contract_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 10
+
+
+def test_lsh_fast_matches_portable_pairs(spark, sf_dir):
+    """The xxhash64 LSH variant must verify the same near-dup pairs as the
+    oracle-portable md5 pipeline: the hash family only selects CANDIDATES,
+    and exact-Jaccard verification filters both candidate sets to the
+    same >= threshold pairs (modulo pairs the bands never surface; on this
+    fixture both surface all of them)."""
+    fast = QUERIES["dedup_minhash_lsh_fast"].fn(spark, sf_dir)
+    slow = QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir)
+    key = lambda r: (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+    assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
