@@ -138,7 +138,14 @@ def _jaccard_pairs_ctes() -> str:
 
 def _jaccard_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-dup pairs — the Spark twin of
-    :func:`_jaccard_pairs_ctes`."""
+    :func:`_jaccard_pairs_ctes`.
+
+    The shingle-set relation feeds three consumers (sizes, and both sides
+    of the posting self-join), so each re-runs the tokenize+shingle scan —
+    measured CHEAPER than a persist barrier here (A/B at sf0.1: ~1.3 s
+    recompute vs ~1.6 s persisted): regex shingling is light per row,
+    unlike the K-fold md5 amplification that makes persist a 16x win in
+    _with_signature. Persist is a tool, not a default."""
     sets = _shingle_sets(docs)
     sizes = sets.select("doc_id", F.size("sh").alias("n"))
     posting = sets.select("doc_id", F.explode("sh").alias("s"))
