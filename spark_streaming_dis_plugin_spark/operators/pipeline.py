@@ -1,0 +1,240 @@
+"""Training-data pipeline operators — the reproducibility-critical steps
+between a raw corpus and a training mix, each expressed as a declarative
+plan (SURVEY.md §2c posture: partition-parallel, no driver collects, no
+RNG state).
+
+Everything here keys on the portable content/ID hash instead of Spark's
+seeded samplers: `sample(fraction, seed)` and `sampleBy` are
+partitioning-dependent (resample when the input splits change), which is
+exactly what a 100 TB training pipeline cannot tolerate. Hash-based
+selection is stable across cluster sizes, re-runs, and engines — and
+therefore oracle-checkable.
+
+- sample_hash_stratified : per-language sampling rates, deterministic
+- split_train_val_test   : stable 3-way split by ID hash
+- pack_context_windows   : greedy sequential packing of documents into
+                           fixed token budgets (context windows)
+- embedding_quantize_int8: scalar int8 quantization + max reconstruction
+                           error (the ANN storage-compression step)
+- text_scrub             : PII-ish scrubbing (emails/URLs) via regex
+                           (patterns restricted to syntax Java regex and
+                           RE2 interpret identically)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.portable import portable_hash, portable_hash_sql
+from ..plans.registry import register
+from ..tables import load
+
+# per-language keep-rates (percent): downsample the dominant language,
+# keep the tail — the standard training-mix rebalance
+STRATA_PCT = {"en": 50, "es": 25, "de": 75, "fr": 100}
+DEFAULT_PCT = 10
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(f"WHEN lang = '{k}' THEN {v}"
+                     for k, v in STRATA_PCT.items())
+    return f"CASE {whens} ELSE {DEFAULT_PCT} END"
+
+
+@register(
+    "sample_hash_stratified",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc
+    FROM documents
+    WHERE {portable_hash_sql('CAST(doc_id AS VARCHAR)')} % 100
+          < {_rate_case_sql()}
+    GROUP BY lang
+    """,
+    tags=("pipeline", "sampling", "deterministic"))
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling by language with DETERMINISTIC hash gates:
+    doc kept iff hash(doc_id) % 100 < rate(lang). Unlike seeded
+    `sampleBy`, membership is a pure function of the row — stable under
+    repartitioning, retries, engine changes, and incremental reruns
+    (a doc's fate never flips when the corpus grows). One scan, no
+    shuffle before the count."""
+    docs = load(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in STRATA_PCT.items()],
+        F.lit(DEFAULT_PCT))
+    gate = portable_hash(F.col("doc_id").cast("string")) % 100 < rate
+    return (docs.where(gate)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT CASE WHEN h % 100 < 80 THEN 'train'
+                WHEN h % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM (SELECT n_chars,
+                 {portable_hash_sql("'split:' || CAST(doc_id AS VARCHAR)")}
+                 AS h
+          FROM documents)
+    GROUP BY 1
+    """,
+    tags=("pipeline", "split", "deterministic"))
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by salted ID hash. The salt
+    ('split:') decorrelates this gate from any other hash-based decision
+    (sampling, sharding) — without it, 'kept by the 80% sampler' and 'in
+    train' would be the same event. Assignment is row-local: no shuffle,
+    no state, reproducible anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    h = portable_hash(F.concat(F.lit("split:"),
+                               F.col("doc_id").cast("string"))) % 100
+    split = (F.when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+    return (docs.select(split.alias("split"), "n_chars")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))
+
+
+TOKEN_BUDGET = 512   # context-window size in (whitespace) tokens
+
+
+@register(
+    "pack_context_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                             t -> t != '')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                  / {TOKEN_BUDGET}) AS BIGINT) AS window_id
+      FROM toks
+    )
+    SELECT lang, window_id, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS window_tokens
+    FROM packed
+    GROUP BY lang, window_id
+    """,
+    tags=("pipeline", "packing", "window"))
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in stable doc_id order, per
+    language shard) to fixed token-budget context windows by running
+    cumulative token count — window_id = floor((cumsum-1)/budget). This
+    is the deterministic streaming-friendly packing (each shard is one
+    sort + one pass); windows can overflow by at most one document, the
+    standard greedy tradeoff vs bin-packing. One shuffle on the shard
+    key; cumsum never materializes per-group state."""
+    from ..functions.portable import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    toks = docs.select("doc_id", "lang",
+                       F.size(tokens("text")).alias("n_tokens"))
+    packed = toks.withColumn(
+        "window_id",
+        F.floor((F.sum("n_tokens").over(w) - 1) / TOKEN_BUDGET)
+        .cast("bigint"))
+    return (packed.groupBy("lang", "window_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("window_tokens")))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH stats AS (
+      SELECT vec_id, embedding,
+             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+             list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS hi
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id,
+             CASE WHEN hi = lo THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                    x -> CAST(round((CAST(x AS DOUBLE) - lo) * 255.0
+                                    / (hi - lo), 0) AS INT)) END AS codes,
+             lo, hi
+      FROM stats
+    )
+    SELECT vec_id,
+           codes[1] AS first_code, codes[64] AS last_code,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           round(lo, 6) + 0.0 AS scale_lo, round(hi, 6) + 0.0 AS scale_hi
+    FROM q
+    """,
+    tags=("pipeline", "quantization", "embedding"))
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (min/max affine, 0..255) — the
+    4x storage compression step before ANN indexing at scale. Entirely
+    within-row (JVM array lambdas, no shuffle); the (lo, hi) scale pair
+    rides along for dequantization. Output projects code checksums so the
+    oracle pins every code without hashing a 64-wide array column.
+
+    round() half-up vs half-even: quantized midpoints (x.5) would tie-
+    break differently across engines, but (x-lo)*255/(hi-lo) on this
+    data never lands on an exact .5 (asserted by the hash match at two
+    SFs — binary64 division makes exact dyadic midpoints measure-zero)."""
+    emb = load(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    lo = F.array_min(as_double)
+    hi = F.array_max(as_double)
+    stats = emb.select("vec_id", "embedding",
+                       lo.alias("lo"), hi.alias("hi"))
+    codes = F.when(
+        F.col("hi") == F.col("lo"),
+        F.transform("embedding", lambda x: F.lit(0))
+    ).otherwise(F.transform(
+        "embedding",
+        lambda x: F.round((x.cast("double") - F.col("lo")) * 255.0
+                          / (F.col("hi") - F.col("lo")), 0).cast("int")))
+    q = stats.withColumn("codes", codes)
+    return q.select(
+        "vec_id",
+        F.element_at("codes", 1).alias("first_code"),
+        F.element_at("codes", 64).alias("last_code"),
+        F.aggregate("codes", F.lit(0).cast("bigint"),
+                    lambda a, c: a + c).alias("code_sum"),
+        (F.round("lo", 6) + 0.0).alias("scale_lo"),
+        (F.round("hi", 6) + 0.0).alias("scale_hi"))
+
+
+@register(
+    "text_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             'https?://[a-z0-9./_-]+', '<URL>', 'g') AS scrubbed,
+           len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS n_emails,
+           len(regexp_extract_all(text, 'https?://[a-z0-9./_-]+')) AS n_urls
+    FROM documents
+    """,
+    tags=("pipeline", "scrub", "regex"))
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish scrubbing: replace emails/URLs with placeholder tokens and
+    count the redactions (the audit trail). Patterns use only character
+    classes + quantifiers — the regex subset Java regex (Spark) and RE2
+    (DuckDB) interpret identically; fancier constructs (lookaround,
+    backrefs) are where the engines fork. Pure row-local projection."""
+    docs = load(spark, sf_dir, "documents")
+    email = r"[a-z0-9._]+@[a-z0-9.]+"
+    url = r"https?://[a-z0-9./_-]+"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), url, "<URL>")
+    return docs.select(
+        "doc_id", scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(url), F.lit(0)))
+        .alias("n_urls"))

@@ -52,7 +52,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from ..operators import (  # noqa: F401
-        asof, connector, dedup, multimodal, relational, similarity, text,
-        udf_family,
+        asof, connector, dedup, multimodal, pipeline, relational, similarity,
+        text, udf_family,
     )
     _LOADED = True
