@@ -664,3 +664,47 @@ def test_commit_listener_journals_offsets(spark, log, tmp_path):
     final = records[-1]["offsets"]
     assert {int(p): int(o) for p, o in final.items()} == log.latest_offsets()
     assert calls[-1][2] == final
+
+
+def test_streaming_compacted_log_gate_and_read(spark, tmp_path):
+    """Streaming over a compacted log: planning fails fast without
+    allowNonConsecutiveOffsets and drains the surviving records with it
+    (same gate as the batch path, enforced per micro-batch plan)."""
+    import pandas as pd
+
+    from spark_streaming_dis_plugin_spark.sources.dis_log import (
+        DisLog, compact_log,
+    )
+
+    spark.dataSource.register(DisDataSource)
+    root = str(tmp_path / "scl_root")
+    clog = DisLog(root, "scl").create(2)
+    clog.append(pd.DataFrame({
+        "partition": [i % 2 for i in range(40)],
+        "key": [f"k{i % 5}" for i in range(40)],
+        "value": [f"v{i}" for i in range(40)],
+        "timestamp": pd.to_datetime(["2024-01-01"] * 40),
+    }))
+    removed = compact_log(clog)
+    assert sum(removed.values()) == 30   # 5 keys per partition survive
+
+    def start(allow):
+        sdf = (spark.readStream.format("dis")
+               .option("path", root).option("stream", "scl")
+               .option("allowNonConsecutiveOffsets", str(allow).lower())
+               .load())
+        return (sdf.writeStream.format("memory").queryName("scl_q")
+                .option("checkpointLocation",
+                        str(tmp_path / f"scl_ckpt_{allow}"))
+                .trigger(availableNow=True).start())
+
+    q = start(False)
+    with pytest.raises(Exception, match="[nN]on.consecutive"):
+        q.awaitTermination(60)
+        if q.exception() is not None:
+            raise q.exception()
+
+    q2 = start(True)
+    q2.awaitTermination(120)
+    got = spark.sql("SELECT count(*) FROM scl_q").first()[0]
+    assert got == 10

@@ -1,0 +1,72 @@
+"""Physical-plan regression tests: pin the plan SHAPES the 100 TB design
+depends on, so a refactor that silently degrades a join strategy or drops
+a pushdown fails CI — not just the PLANS.md doc.
+
+Checked properties (see PLANS.md for full plans):
+- dimension joins broadcast; no accidental CartesianProduct anywhere;
+- brute-force ANN bounds its sort with a window group-limit (the corpus
+  is never globally sorted);
+- filter + projection reach the parquet scan (PushedFilters/ReadSchema);
+- both ntile variants: the partitioned one plans a hash Exchange, the
+  global one is the declared single-partition anti-pattern.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(spark, name, sf_dir) -> str:
+    from spark_streaming_dis_plugin_spark.plans.registry import all_queries
+
+    df = all_queries()[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_broadcasts_dimensions_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "q5_local_supplier_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_star_join_fact_never_moves(spark, sf_dir):
+    plan = _plan(spark, "broadcast_star_join", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_bruteforce_topk_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, "sim_bruteforce_topk", sf_dir)
+    assert "WindowGroupLimit" in plan
+    # the intended nested loop is the broadcast of the tiny query set
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, "q6_forecast_revenue", sf_dir)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull" in plan or "GreaterThan" in plan
+
+
+def test_q1_reads_only_needed_columns(spark, sf_dir):
+    plan = _plan(spark, "q1_pricing_summary", sf_dir)
+    scan = plan[plan.index("FileScan"):]
+    # lineitem has 11 columns; Q1 needs 7 — l_orderkey must be pruned
+    assert "l_orderkey" not in scan.split("PushedFilters")[0]
+
+
+def test_ntile_partitioned_vs_global_exchange(spark, sf_dir):
+    part = _plan(spark, "window_ntile_lead_partitioned", sf_dir)
+    assert "hashpartitioning(c_nationkey" in part
+    glob = _plan(spark, "window_ntile_lead", sf_dir)
+    assert "SinglePartition" in glob  # the declared coverage-only toy
+
+
+def test_no_cartesian_in_any_benched_query(spark, sf_dir):
+    from spark_streaming_dis_plugin_spark.plans.registry import all_queries
+
+    for name, spec in all_queries().items():
+        if not spec.bench:
+            continue
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
