@@ -76,6 +76,63 @@ def decode(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode_stub, schema=DECODED_SCHEMA)
 
 
+FRAME_BYTES = 16     # stub "frame" size within the payload
+FRAME_STRIDE = 4     # sample every 4th frame
+
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def frame_sample_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler (flatMap shape: one input artifact -> many
+    frames). A real implementation seeks keyframes with ffmpeg; the stub
+    slices the payload into FRAME_BYTES chunks and keeps every
+    FRAME_STRIDE-th — deterministic, so the oracle reproduces each
+    sampled frame's checksum. The Spark-side contract being exercised is
+    the real one: Arrow batches in, a *different, longer* typed relation
+    out, partition-parallel."""
+    import hashlib
+
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            n_frames = len(data) // FRAME_BYTES
+            for idx in range(0, n_frames, FRAME_STRIDE):
+                chunk = data[idx * FRAME_BYTES:(idx + 1) * FRAME_BYTES]
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+        if rows["doc_id"]:
+            yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH video AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+    ), idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(octet_length(encode(text))
+                    // {FRAME_BYTES} AS BIGINT), {FRAME_STRIDE})) AS frame_idx
+      FROM video
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           md5(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS INT),
+               {FRAME_BYTES})) AS frame_md5
+    FROM idx
+    """,
+    tags=("multimodal", "frame-sample"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video artifacts: mapInPandas in flatMap shape —
+    each binary payload expands to one row per sampled frame. The oracle
+    reconstructs every sampled frame checksum (payloads are UTF-8 text in
+    the fixture, so byte slices == character slices), pinning offsets,
+    stride, and per-frame hashing exactly."""
+    art = artifacts(spark, sf_dir).where(F.col("media_type") == "video/mp4")
+    return art.mapInPandas(frame_sample_stub, schema=FRAMES_SCHEMA)
+
+
 @register(
     "multimodal_metadata",
     oracle="""
