@@ -90,15 +90,43 @@ class RangePartition(InputPartition):
     stream: str
 
 
+# Executor-local segment cache ≅ the reference's per-JVM consumer cache
+# (DISDataConsumer.scala:259-405: LRU keyed by consumer, soft cap 64).
+# Here the cached unit is a decoded segment table: a streaming query
+# re-reads the tail segment every trigger while it fills, and restarts
+# re-scan recent ranges — both hit this cache instead of re-decoding
+# parquet. Safe because segment files are immutable by construction
+# (uuid-suffixed names; compaction/rollback create/delete files, never
+# rewrite in place). Python workers are per-executor processes, so this
+# module-level dict is executor-local state, exactly like the reference's.
+_SEGMENT_CACHE: "dict[str, object]" = {}
+_SEGMENT_CACHE_CAP = 64
+_SEGMENT_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def _read_segment(path: str):
+    import pyarrow.parquet as pq
+
+    table = _SEGMENT_CACHE.pop(path, None)
+    if table is not None:
+        _SEGMENT_CACHE_STATS["hits"] += 1
+    else:
+        _SEGMENT_CACHE_STATS["misses"] += 1
+        table = pq.read_table(path)
+    _SEGMENT_CACHE[path] = table          # re-insert = move to MRU end
+    while len(_SEGMENT_CACHE) > _SEGMENT_CACHE_CAP:
+        _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
+    return table
+
+
 def _read_range_batches(part: RangePartition):
     """Arrow-native scan of one offset range: segment files were pruned by
     name at planning; the residual offset filter applies per batch."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     for path in part.paths:
-        table = pq.read_table(path)
+        table = _read_segment(path)
         off = table.column("offset")
         mask = pc.and_(pc.greater_equal(off, part.from_offset),
                        pc.less(off, part.until_offset))

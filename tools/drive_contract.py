@@ -11,6 +11,8 @@ builder = (SparkSession.builder.master("local[8]")
            .config("spark.sql.shuffle.partitions","8"))
 # Optional: simulate a driver session in another timezone (TZ robustness):
 #   python tools/drive_contract.py America/New_York
+# Optional second arg: scale-factor dir (default sf0.01, the driver's SF):
+#   python tools/drive_contract.py UTC /root/testdata/sf0.1
 if len(sys.argv) > 1:
     builder = builder.config("spark.sql.session.timeZone", sys.argv[1])
 spark = builder.getOrCreate()
@@ -23,7 +25,7 @@ print(f"ENTRY: rows={n} schema={df.columns}", flush=True)
 assert n > 0
 
 import duckdb
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
