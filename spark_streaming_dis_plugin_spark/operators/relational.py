@@ -794,9 +794,11 @@ def order_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_val,
-           round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) AS min_val,
+           round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) + 0.0
+             AS max_val,
+           round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 4) + 0.0
+             AS min_val,
            array_to_string(list_transform(list_slice(embedding, 1, 3),
                            x -> CAST(round(CAST(x AS DOUBLE), 3) + 0.0
                                      AS VARCHAR)),
@@ -815,11 +817,13 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size(e).alias("dim"),
-        F.round(F.element_at(e, 1).cast("double"), 4).alias("first_val"),
-        F.round(F.array_max(e).cast("double"), 4).alias("max_val"),
-        F.round(F.array_min(e).cast("double"), 4).alias("min_val"),
-        # + 0.0 normalizes IEEE negative zero (renders '-0.0' in DuckDB,
-        # '0.0' in Spark)
+        # + 0.0 normalizes IEEE negative zero everywhere a round() can
+        # produce it (renders '-0.0' in DuckDB, '0.0' in Spark — first
+        # bitten at sf0.1, where values near zero finally rounded to -0.0)
+        (F.round(F.element_at(e, 1).cast("double"), 4) + 0.0)
+        .alias("first_val"),
+        (F.round(F.array_max(e).cast("double"), 4) + 0.0).alias("max_val"),
+        (F.round(F.array_min(e).cast("double"), 4) + 0.0).alias("min_val"),
         F.array_join(
             F.transform(F.slice(e, 1, 3),
                         lambda x: (F.round(x.cast("double"), 3) + 0.0)
