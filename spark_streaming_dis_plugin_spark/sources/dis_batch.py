@@ -49,9 +49,35 @@ def check_consecutive(log: DisLog, ranges: list[OffsetRange],
             expected = s.until_offset
 
 
+def check_data_loss(log: DisLog, ranges: list[OffsetRange],
+                    fail_on_data_loss: bool = True) -> list[OffsetRange]:
+    """Kafka-parity failOnDataLoss: a requested offset below the log's
+    earliest means retention expired data between checkpoint/plan time
+    and now. Default = fail loudly; ``fail_on_data_loss=False`` clamps
+    the range start to earliest (documented potential data loss) —
+    exactly the Kafka source's contract. Metadata-only."""
+    earliest = log.earliest_offsets()
+    out = []
+    for r in ranges:
+        e = earliest.get(r.partition, 0)
+        if r.from_offset >= e:
+            out.append(r)
+        elif fail_on_data_loss:
+            raise ValueError(
+                f"offsets [{r.from_offset},{min(r.until_offset, e)}) in "
+                f"partition {r.partition} were expired by retention "
+                f"(earliest is now {e}); set failOnDataLoss=false to "
+                f"resume from earliest and accept the loss")
+        else:
+            out.append(OffsetRange(r.stream, r.partition,
+                                   min(e, r.until_offset), r.until_offset))
+    return out
+
+
 def dis_read(spark: SparkSession, log: DisLog,
              ranges: list[OffsetRange] | str,
-             allow_non_consecutive: bool = False) -> DataFrame:
+             allow_non_consecutive: bool = False,
+             fail_on_data_loss: bool = True) -> DataFrame:
     """Bounded DataFrame over explicit offset ranges.
 
     ``ranges`` is a list of OffsetRange or the reference's JSON dialect
@@ -66,6 +92,7 @@ def dis_read(spark: SparkSession, log: DisLog,
     if isinstance(ranges, str):
         ranges = offset_ranges_from_json(log.stream, ranges)
     ranges = resolve_ranges(log, ranges)
+    ranges = check_data_loss(log, ranges, fail_on_data_loss)
     check_consecutive(log, ranges, allow_non_consecutive)
 
     parts: list[DataFrame] = []

@@ -221,8 +221,10 @@ class DisBatchReader(DataSourceReader):
                                   end.get(p, LATEST))
                       for p in sorted(earliest)]
         self.ranges = resolve_sentinels(ranges, earliest, latest)
-        from .dis_batch import check_consecutive
+        from .dis_batch import check_consecutive, check_data_loss
 
+        fail = str(options.get("failondataloss", "true")).lower() == "true"
+        self.ranges = check_data_loss(log, self.ranges, fail)
         check_consecutive(log, self.ranges, self.allow_gaps)
 
     def partitions(self):
@@ -292,6 +294,8 @@ class DisStreamReader(DataSourceStreamReader):
         self.starting = options.get("startingoffsets", "earliest")
         self.allow_gaps = str(options.get("allownonconsecutiveoffsets",
                                           "false")).lower() == "true"
+        self.fail_on_data_loss = str(options.get("failondataloss",
+                                                 "true")).lower() == "true"
         # Driver-side frontier (the reference's currentOffsets map,
         # DirectDISInputDStream.scala:84). The runner keeps this reader
         # alive across triggers; latestOffset() receives no start argument,
@@ -412,8 +416,9 @@ class DisStreamReader(DataSourceStreamReader):
             p = int(p_str)
             self._floor[p] = max(self._floor.get(p, 0), int(o))
         self._sync({int(p): int(o) for p, o in end.items()})
-        from .dis_batch import check_consecutive
+        from .dis_batch import check_consecutive, check_data_loss
 
+        ranges = check_data_loss(self.log, ranges, self.fail_on_data_loss)
         check_consecutive(self.log, ranges, self.allow_gaps)
         planned = _plan_partitions(self.log, ranges)
         if planned:

@@ -308,6 +308,41 @@ class DisLog:
         return latest
 
 
+def expire_before(log: DisLog, offsets: dict[int, int]) -> dict[int, int]:
+    """Retention: drop whole segments entirely below the per-partition
+    cutoff (like a time/size-based retention sweep in the DIS service —
+    offsets are never renumbered, the log simply starts later). Returns
+    segments removed per partition. Metadata-only decisions; a segment
+    STRADDLING the cutoff is kept whole (retention is segment-granular,
+    as in Kafka)."""
+    removed: dict[int, int] = {}
+    for p, cutoff in offsets.items():
+        n = 0
+        for seg in log.segment_infos(p):
+            if seg.until_offset <= cutoff:
+                os.remove(seg.path)
+                n += 1
+        removed[p] = n
+    return removed
+
+
+def retain_last_rows(log: DisLog, max_rows: int) -> dict[int, int]:
+    """Convenience retention policy: keep at least the newest ``max_rows``
+    rows per partition (segment-granular)."""
+    cutoffs = {}
+    for p in log.partitions():
+        segs = log.segment_infos(p)
+        kept = 0
+        cutoff = segs[0].from_offset if segs else 0
+        for seg in reversed(segs):
+            kept += seg.rows
+            cutoff = seg.from_offset
+            if kept >= max_rows:
+                break
+        cutoffs[p] = cutoff
+    return expire_before(log, cutoffs)
+
+
 def compact_log(log: DisLog) -> dict[int, int]:
     """Kafka-style log compaction: per partition, retain only the LAST
     record for each key; offsets are preserved, so segments become sparse

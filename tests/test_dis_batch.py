@@ -207,3 +207,97 @@ def test_writer_allow_gaps_ingests_sparse_offsets(spark, tmp_path):
             .option("path", out.root).option("stream", "sp")
             .option("allowNonConsecutiveOffsets", "true").load())
     assert sorted(r["offset"] for r in back.collect()) == [0, 2, 5, 9]
+
+
+def test_retention_expire_and_fail_on_data_loss(spark, tmp_path):
+    """Retention drops whole segments below the cutoff; reading expired
+    offsets fails loudly by default and clamps to earliest with
+    failOnDataLoss=false (Kafka-source contract)."""
+    from spark_streaming_dis_plugin_spark.sources.dis_batch import (
+        dis_count, dis_read,
+    )
+    from spark_streaming_dis_plugin_spark.sources.dis_log import (
+        retain_last_rows,
+    )
+
+    log = _mklog(tmp_path, "ret")   # 3 segments of 20 rows per partition
+    assert log.earliest_offsets() == {0: 0, 1: 0}
+    removed = retain_last_rows(log, 25)   # keep newest 2 segments (40 rows)
+    assert removed == {0: 1, 1: 1}
+    assert log.earliest_offsets() == {0: 20, 1: 20}
+    assert log.latest_offsets() == {0: 60, 1: 60}   # offsets not renumbered
+
+    # expired range fails by default...
+    with pytest.raises(ValueError, match="failOnDataLoss"):
+        dis_read(spark, log, '{"0":[0,60]}').count()
+    # ...and clamps to earliest when allowed
+    df = dis_read(spark, log, '{"0":[0,60]}', fail_on_data_loss=False)
+    assert df.count() == 40
+    assert df.agg({"offset": "min"}).first()[0] == 20
+    # counts answer from surviving segment metadata
+    assert dis_count(log, '{"0":[-2,-1],"1":[-2,-1]}') == 80
+    # DataSource option surface
+    from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+        DisDataSource,
+    )
+    spark.dataSource.register(DisDataSource)
+    with pytest.raises(Exception, match="failOnDataLoss"):
+        (spark.read.format("dis")
+         .option("path", log.root).option("stream", "ret")
+         .option("offsetRanges", '{"0":[0,60]}').load().count())
+    ok = (spark.read.format("dis")
+          .option("path", log.root).option("stream", "ret")
+          .option("offsetRanges", '{"0":[0,60]}')
+          .option("failOnDataLoss", "false").load())
+    assert ok.count() == 40
+
+
+def test_streaming_restart_after_retention(spark, tmp_path):
+    """A checkpointed stream whose position was expired by retention:
+    failOnDataLoss=false resumes from the new earliest (losing only the
+    expired records), no duplicates."""
+    import pandas as pd
+
+    from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+        DisDataSource,
+    )
+    from spark_streaming_dis_plugin_spark.sources.dis_log import (
+        DisLog, expire_before,
+    )
+
+    spark.dataSource.register(DisDataSource)
+    root = str(tmp_path / "sret_root")
+    out = str(tmp_path / "sret_out")
+    slog = DisLog(root, "sret").create(1)
+
+    def add(n, tag):
+        slog.append(pd.DataFrame({
+            "partition": [0] * n,
+            "key": [f"k{i}" for i in range(n)],
+            "value": [f"{tag}{i}" for i in range(n)],
+            "timestamp": pd.to_datetime(["2024-01-01"] * n)}))
+
+    def drain(fail="false"):
+        sdf = (spark.readStream.format("dis")
+               .option("path", root).option("stream", "sret")
+               .option("failOnDataLoss", fail).load())
+        q = (sdf.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "sret_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    add(30, "a")
+    drain()
+    assert spark.read.parquet(out).count() == 30
+    # stop; producer keeps writing; retention expires SOME unread data
+    add(30, "b")                       # offsets 30..60 (one segment)
+    add(10, "c")                       # offsets 60..70
+    expire_before(slog, {0: 60})       # reader's ckpt=30 now expired
+    drain(fail="false")
+    got = spark.read.parquet(out)
+    # 30 original + the 10 surviving post-expiry records; b* lost to
+    # retention, each surviving offset exactly once
+    assert got.count() == 40
+    assert got.where("value like 'c%'").count() == 10
+    assert (got.groupBy("partition", "offset").count()
+            .where("count > 1").count()) == 0
