@@ -1876,3 +1876,206 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_key"),
         F.last("o_orderkey").over(wfull).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"))
+
+
+# --------------------------------------- null semantics & multiset ops
+
+@register(
+    "null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey,
+             nullif(c_nationkey % 5, 0) AS a,
+             nullif(c_nationkey % 3, 0) AS b
+      FROM customer
+    )
+    SELECT
+      COUNT(*) AS n_rows,
+      SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS eq_true,
+      SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS nseq_true,
+      SUM(CASE WHEN a IS DISTINCT FROM b THEN 1 ELSE 0 END) AS distinct_true,
+      SUM(CASE WHEN (a = b) IS NULL THEN 1 ELSE 0 END) AS eq_unknown,
+      SUM(CASE WHEN coalesce(a, b, -1) = -1 THEN 1 ELSE 0 END) AS both_null
+    FROM t
+    """,
+    tags=("relational", "null-semantics"))
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic, pinned across engines: `=` returns UNKNOWN on
+    nulls (filtered by CASE), `<=>` (IS NOT DISTINCT FROM) treats nulls
+    as equal values, IS DISTINCT FROM is its negation. These are the
+    semantics NOT IN / anti-join bugs hide behind — declared and
+    hash-verified so the engine's null behavior is contractual."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    a = F.nullif(F.col("c_nationkey") % 5, F.lit(0))
+    b = F.nullif(F.col("c_nationkey") % 3, F.lit(0))
+    t = customer.select(a.alias("a"), b.alias("b"))
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        flag(F.col("a") == F.col("b")).alias("eq_true"),
+        flag(F.col("a").eqNullSafe(F.col("b"))).alias("nseq_true"),
+        flag(~F.col("a").eqNullSafe(F.col("b"))).alias("distinct_true"),
+        flag((F.col("a") == F.col("b")).isNull()).alias("eq_unknown"),
+        flag(F.coalesce("a", "b", F.lit(-1)) == -1).alias("both_null"))
+
+
+@register(
+    "not_in_null_trap",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer
+       WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 3)
+                                 FROM nation WHERE n_nationkey < 5))
+        AS with_null_in_list,
+      (SELECT COUNT(*) FROM customer
+       WHERE c_nationkey NOT IN (SELECT n_nationkey
+                                 FROM nation WHERE n_nationkey < 5
+                                   AND nullif(n_nationkey, 3) IS NOT NULL))
+        AS null_filtered
+    """,
+    tags=("relational", "null-semantics", "subquery"))
+def not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE null trap: NOT IN against a list containing NULL is never TRUE
+    (x != NULL is UNKNOWN), so the first count collapses to 0 — in both
+    engines, verified. The second count (null-pre-filtered list) is what
+    users almost always meant; engines plan it as a null-aware anti join.
+    Declared because silent-empty NOT INs are a top-3 production bug."""
+    c, n = _t(spark, sf_dir, "customer", "nation")
+    c.createOrReplaceTempView("c_v")
+    n.createOrReplaceTempView("n_v")
+    return spark.sql("""
+      SELECT
+        (SELECT COUNT(*) FROM c_v
+         WHERE c_nationkey NOT IN (SELECT nullif(n_nationkey, 3)
+                                   FROM n_v WHERE n_nationkey < 5))
+          AS with_null_in_list,
+        (SELECT COUNT(*) FROM c_v
+         WHERE c_nationkey NOT IN (SELECT n_nationkey
+                                   FROM n_v WHERE n_nationkey < 5
+                                     AND nullif(n_nationkey, 3) IS NOT NULL))
+          AS null_filtered
+    """)
+
+
+@register(
+    "set_ops_multiset",
+    oracle="""
+    SELECT v, COUNT(*) AS n FROM (
+      SELECT l_linenumber AS v FROM lineitem WHERE l_orderkey % 100 = 0
+      INTERSECT ALL
+      SELECT l_linenumber FROM lineitem WHERE l_orderkey % 50 = 0
+    ) GROUP BY v
+    UNION ALL
+    SELECT v + 100, COUNT(*) FROM (
+      SELECT l_linenumber AS v FROM lineitem WHERE l_orderkey % 50 = 0
+      EXCEPT ALL
+      SELECT l_linenumber FROM lineitem WHERE l_orderkey % 100 = 0
+    ) GROUP BY v
+    """,
+    tags=("relational", "set-ops", "multiset"))
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag semantics (multiplicities =
+    min / difference of counts), distinct from the DISTINCT set ops
+    already declared. Catalyst rewrites both into a single aggregate
+    with per-side counts + generate — one shuffle each."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") % 100 == 0).select(
+        F.col("l_linenumber").alias("v"))
+    b = li.where(F.col("l_orderkey") % 50 == 0).select(
+        F.col("l_linenumber").alias("v"))
+    inter = (a.intersectAll(b).groupBy("v")
+             .agg(F.count(F.lit(1)).alias("n")))
+    exc = (b.exceptAll(a).groupBy("v")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select((F.col("v") + 100).alias("v"), "n"))
+    return inter.unionAll(exc)
+
+
+@register(
+    "grouping_id_family",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '?') AS returnflag,
+           COALESCE(l_linestatus, '?') AS linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "grouping-sets"))
+def grouping_id_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping_id over a CUBE: distinguishes 'NULL because
+    aggregated away' from 'NULL in the data' — the only correct way to
+    label rollup rows (the COALESCE('?') here is safe *because* gid says
+    which nulls are structural)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.grouping("l_returnflag").cast("int").alias("g_flag"),
+                 F.grouping("l_linestatus").cast("int").alias("g_status"),
+                 F.grouping_id().cast("int").alias("gid"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("?")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("?")).alias("linestatus"),
+                    "g_flag", "g_status", "gid", "n"))
+
+
+@register(
+    "mode_percentile_disc",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_linenumber, COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), mode_pick AS (
+      SELECT l_returnflag, l_linenumber AS mode_line FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                    ORDER BY c DESC, l_linenumber) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    ), med AS (
+      SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS median_disc FROM (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+      ) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    )
+    SELECT m.l_returnflag AS returnflag, m.mode_line, d.median_disc
+    FROM mode_pick m JOIN med d ON m.l_returnflag = d.l_returnflag
+    """,
+    tags=("relational", "agg", "statistical"))
+def mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode and discrete median, derived explicitly instead
+    of via the engines' mode()/quantile builtins — whose TIE-BREAKING is
+    engine-defined (Spark mode and DuckDB mode pick different tied
+    values; continuous percentile interpolates where quantile_disc
+    selects). mode = highest count, smallest value wins ties; discrete
+    median = the ceil(n/2)-th value in (value, orderkey, linenumber)
+    order. Both are two window passes sharing one Exchange per grouping —
+    and being explicit, they are portable to ANY engine, which is the
+    production value of pinning tie-breaks."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    counts = (li.groupBy("l_returnflag", "l_linenumber")
+              .agg(F.count(F.lit(1)).alias("c")))
+    wmode = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("c"), "l_linenumber")
+    mode_pick = (counts.withColumn("rn", F.row_number().over(wmode))
+                 .where(F.col("rn") == 1)
+                 .select("l_returnflag",
+                         F.col("l_linenumber").alias("mode_line")))
+    wmed = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber")
+    wcnt = (Window.partitionBy("l_returnflag")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    med = (li.select("l_returnflag", "l_quantity", "l_orderkey",
+                     "l_linenumber")
+           .withColumn("rn", F.row_number().over(wmed))
+           .withColumn("n", F.count(F.lit(1)).over(wcnt))
+           .where(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
+           .select("l_returnflag",
+                   F.col("l_quantity").cast("double").alias("median_disc")))
+    return (mode_pick.join(med, "l_returnflag")
+            .select(F.col("l_returnflag").alias("returnflag"),
+                    "mode_line", "median_disc"))
