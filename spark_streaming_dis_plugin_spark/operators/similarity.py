@@ -68,13 +68,23 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each query vector (vec_id < 10).
     The query set is broadcast, so the corpus scan is a single map-side
     pass; per-query top-k folds through a window group-limit."""
+    from ..functions.portable import dot, norm
+
     emb = load(spark, sf_dir, "embeddings")
+    # Norms precomputed per SIDE, before the join: cosine(q, c) inline
+    # re-folds norm(q) for every corpus row and norm(c) per query
+    # (Catalyst cannot hoist a lambda fold across a join). Halves the
+    # norm flops; measured ~15% end-to-end at sf0.1 (the top-k window
+    # dominates). Same fold order, so the quotient is bit-identical to
+    # the inline form the oracle computes.
     q = (emb.where(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qe")))
+                 F.col("embedding").alias("qe"),
+                 norm(F.col("embedding")).alias("qn")))
     c = emb.select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("ce"))
-    cos = cosine(F.col("qe"), F.col("ce"))
+                   F.col("embedding").alias("ce"),
+                   norm(F.col("embedding")).alias("cn"))
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id", cos.alias("cos"))
