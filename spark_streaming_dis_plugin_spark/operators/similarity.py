@@ -172,19 +172,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("embedding").alias("ce")))
     d2 = _l2sq(F.col("embedding"), F.col("ce"))
     wv = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    from ..functions.portable import dot, norm
+
+    # per-side norm precompute — see sim_bruteforce_topk for why
     assign = (emb.crossJoin(F.broadcast(cent))
               .select("vec_id", "embedding", "centroid_id", d2.alias("d2"))
               .withColumn("rnk", F.row_number().over(wv))
               .where(F.col("rnk") == 1)
-              .select("vec_id", "embedding", "centroid_id"))
+              .select("vec_id", "embedding", "centroid_id",
+                      norm(F.col("embedding")).alias("nrm")))
     q = (assign.where(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qe"),
+                 F.col("nrm").alias("qn"),
                  F.col("centroid_id").alias("qc")))
     c = assign.select(F.col("vec_id").alias("neighbor_id"),
                       F.col("embedding").alias("ce2"),
+                      F.col("nrm").alias("cn"),
                       F.col("centroid_id").alias("cc"))
-    cos = cosine(F.col("qe"), F.col("ce2"))
+    cos = dot(F.col("qe"), F.col("ce2")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (c.join(F.broadcast(q), (F.col("qc") == F.col("cc"))
                    & (F.col("query_id") != F.col("neighbor_id")))
