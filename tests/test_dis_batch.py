@@ -301,3 +301,65 @@ def test_streaming_restart_after_retention(spark, tmp_path):
     assert got.where("value like 'c%'").count() == 10
     assert (got.groupBy("partition", "offset").count()
             .where("count > 1").count()) == 0
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    # segments: list of (gap_before, rows_kept, rows_dropped) triples
+    segs=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 8),
+                            st.integers(0, 8)),
+                  min_size=1, max_size=6).filter(
+        lambda xs: sum(k for _, k, _ in xs) > 0),
+    lo_frac=st.floats(0, 1), hi_frac=st.floats(0, 1),
+)
+def test_gappy_count_matches_ground_truth(tmp_path_factory, segs,
+                                          lo_frac, hi_frac):
+    """Property: for ANY compacted segment layout (inter-segment holes +
+    intra-segment dropped offsets) and ANY query range, dis_count ==
+    the true number of surviving offsets in range — metadata arithmetic
+    for covered/dense cases, bounded scan only at sparse boundaries."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_dis_plugin_spark.sources.dis_batch import dis_count
+    from spark_streaming_dis_plugin_spark.sources.dis_log import (
+        DisLog, segment_name,
+    )
+    from spark_streaming_dis_plugin_spark.sources.offsets import OffsetRange
+
+    root = str(tmp_path_factory.mktemp("ht"))
+    log = DisLog(root, "ht").create(1)
+    import os
+
+    offset = 0
+    all_offsets = []
+    for gap, kept, dropped in segs:
+        offset += gap
+        span = kept + dropped
+        if span == 0:
+            continue
+        # deterministically drop the LAST `dropped` offsets of the span
+        seg_offsets = list(range(offset, offset + kept))
+        all_offsets.extend(seg_offsets)
+        table = pa.table({
+            "offset": pa.array(seg_offsets, pa.int64()),
+            "key": pa.array([f"k{o}" for o in seg_offsets], pa.string()),
+            "value": pa.array(["v"] * len(seg_offsets), pa.string()),
+            "timestamp": pa.array([0] * len(seg_offsets),
+                                  pa.timestamp("us")),
+        })
+        path = os.path.join(log._part_dir(0),
+                            segment_name(offset, offset + span, kept))
+        pq.write_table(table, path)
+        offset += span
+
+    total_span = offset
+    lo = int(lo_frac * total_span)
+    hi = int(hi_frac * total_span)
+    lo, hi = min(lo, hi), max(lo, hi)
+    got = dis_count(log, [OffsetRange("ht", 0, lo, hi)])
+    truth = sum(1 for o in all_offsets if lo <= o < hi)
+    assert got == truth

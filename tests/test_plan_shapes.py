@@ -70,3 +70,17 @@ def test_no_cartesian_in_any_benched_query(spark, sf_dir):
             continue
         plan = _plan(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
+
+
+def test_q7_q8_broadcast_all_dimensions(spark, sf_dir):
+    for name, min_bcast in (("q7_volume_shipping", 3),
+                            ("q8_market_share", 4)):
+        plan = _plan(spark, name, sf_dir)
+        assert plan.count("BroadcastHashJoin") >= min_bcast, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q21_semi_and_anti_joins(spark, sf_dir):
+    plan = _plan(spark, "q21_late_sole_supplier", sf_dir)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
