@@ -335,4 +335,43 @@ def dis_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc"))
 
 
+@register(
+    "dis_wordcount_streamed",
+    oracle=f"""
+    SELECT word, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex("value", '[^a-zA-Z0-9_]+')) AS word
+      FROM ({_ENV})
+    )
+    WHERE word != ''
+    GROUP BY word
+    """,
+    tags=("connector", "streaming", "e2e"))
+def dis_wordcount_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference demo pipeline EXECUTED AS A STREAM under the oracle
+    gate: physical on-disk log -> readStream.format('dis') -> running
+    word count -> availableNow drain into a memory sink; the returned
+    relation is the stream's final state and must hash-match the batch
+    SQL over the same events. This pins the whole streaming lifecycle
+    (planning, offsets, stateful agg, sink) to the oracle, not just the
+    batch twin (DISSparkStreamingSubscribeExample.scala:46 semantics)."""
+    import uuid
+
+    from ..streaming.queries import running_wordcount
+
+    log = _materialized_log(spark, sf_dir)
+    name = f"wc_stream_{uuid.uuid4().hex[:8]}"
+    import tempfile
+
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    q = (running_wordcount(sdf).writeStream.format("memory")
+         .queryName(name).outputMode("complete")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="wc_stream_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
 NUM_PARTITIONS = DEFAULT_NUM_PARTITIONS
