@@ -375,3 +375,57 @@ def dis_wordcount_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NUM_PARTITIONS = DEFAULT_NUM_PARTITIONS
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+    tags=("connector", "analytics", "funnel"))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase) with a 1-day conversion
+    window per stage: a user advances only with an event strictly AFTER
+    their previous stage's first event and within the window —
+    the standard event-analytics conversion operator the reference's users
+    would build on the stream. Each stage is one filtered min-aggregate
+    joined to the previous frontier: 3 shuffles on user_id total, and
+    every stage's frontier is user_id + one timestamp (tiny), so at 100 TB
+    the events table is scanned once per stage with the frontier
+    broadcast-joined in."""
+    events = load(spark, sf_dir, "events")
+
+    def stage(etype: str, prev: DataFrame | None, prev_t: str, out_t: str):
+        e = events.where(F.col("event_type") == etype)
+        if prev is not None:
+            e = (e.join(prev, "user_id")
+                 .where((F.col("ts") > F.col(prev_t))
+                        & (F.col("ts") <= F.col(prev_t)
+                           + F.expr("INTERVAL 1 DAY"))))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    v = stage("view", None, "", "t_view")
+    c = stage("click", v, "t_view", "t_click")
+    p = stage("purchase", c, "t_click", "t_purchase")
+    return (v.agg(F.count(F.lit(1)).alias("n_view"))
+            .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+            .crossJoin(p.agg(F.count(F.lit(1))
+                             .alias("n_view_click_purchase"))))

@@ -456,6 +456,78 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select("doc_id", sim.alias("simhash"))
 
 
+HAMMING_MAX = 1
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            t -> {portable_hash_sql('t')}) AS th
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, {SIMHASH_BITS}),
+                   b -> CASE WHEN list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                            list_transform(th,
+                              h -> CASE WHEN (h >> b) & 1 = 1
+                                   THEN CAST(1 AS BIGINT)
+                                   ELSE CAST(-1 AS BIGINT) END)),
+                          (acc, x) -> acc + x) > 0
+                        THEN CAST(2 ** b AS BIGINT) ELSE 0 END)),
+               (acc, x) -> acc + x) AS simhash
+      FROM toks
+    ), bands AS (
+      SELECT doc_id, simhash, 0 AS band, simhash >> 8 AS half FROM sig
+      UNION ALL
+      SELECT doc_id, simhash, 1, simhash & 255 FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.half = b.half AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
+    """,
+    tags=("dedup", "simhash", "near-dup"))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: signatures band into two 8-bit halves; by
+    pigeonhole, any pair within hamming distance 1 agrees exactly on at
+    least one half, so the candidate join on (band, half) is lossless
+    for the threshold. Verification is bit_count(xor) —
+    integer ops end to end, same bucketed topology as MinHash-LSH with a
+    far cheaper signature."""
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"),
+                     F.shiftright("simhash", 8).alias("half")),
+            F.struct(F.lit(1).alias("band"),
+                     F.col("simhash").bitwiseAND(F.lit(255)).alias("half"))
+        )).alias("b")).select("doc_id", "simhash", "b.band", "b.half")
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (ba.join(bb, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.half") == F.col("b.half"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("sa"),
+                    F.col("b.simhash").alias("sb"))
+            .distinct())
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cand.where(hamming <= HAMMING_MAX)
+            .select("doc_a", "doc_b", hamming.cast("int").alias("hamming")))
+
+
 # ------------------------------------------------- embedding near-dup
 
 @register(
