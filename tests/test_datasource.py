@@ -735,3 +735,72 @@ def test_segment_cache_hits_on_rereads(spark, log):
     assert second["hits"] == first["misses"]
     # capacity bound holds
     assert len(D._SEGMENT_CACHE) <= D._SEGMENT_CACHE_CAP
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(spans=st.lists(st.tuples(st.integers(0, 2), st.integers(1, 5)),
+                      min_size=1, max_size=5))
+def test_writer_explicit_offset_validation_property(tmp_path_factory, spans):
+    """Property: the explicit-offset commit accepts a staged layout iff
+    it tiles the partition densely from the committed tail (no flag), and
+    always accepts non-overlapping monotone layouts with
+    allowNonConsecutiveOffsets. Drives DisWriter directly with synthetic
+    staged files — no Spark job needed for the driver-side protocol."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+        DisWriter, _Staged, _StagedSeg,
+    )
+    from spark_streaming_dis_plugin_spark.sources.dis_log import DisLog
+
+    root = str(tmp_path_factory.mktemp("wprop"))
+    log = DisLog(root, "wp").create(1)
+    stage = os.path.join(log.stream_dir, "_staging")
+    os.makedirs(stage, exist_ok=True)
+
+    def staged_files():
+        files, offset, dense = [], 0, True
+        for i, (gap, rows) in enumerate(spans):
+            offset += gap
+            if gap:
+                dense = False
+            offs = list(range(offset, offset + rows))
+            path = os.path.join(stage, f"s{i}.parquet")
+            pq.write_table(pa.table({
+                "offset": pa.array(offs, pa.int64()),
+                "key": pa.array([f"k{o}" for o in offs], pa.string()),
+                "value": pa.array(["v"] * rows, pa.string()),
+                "timestamp": pa.array([0] * rows, pa.timestamp("us")),
+            }), path)
+            files.append(_StagedSeg(0, offset, offset + rows, rows, path))
+            offset += rows
+        return files, dense
+
+    cols = ["partition", "offset", "key", "value", "timestamp"]
+    files, dense = staged_files()
+    msg = _Staged(task_id=0, files=tuple(files))
+    strict = DisWriter(log, {}, cols)
+    if dense:
+        strict.commit([msg])
+        assert log.latest_offsets()[0] == files[-1].until_offset
+        assert not log.has_gaps()
+    else:
+        with pytest.raises(ValueError, match="[nN]on.consecutive"):
+            strict.commit([msg])
+        assert log.latest_offsets()[0] == 0     # nothing became visible
+        # retry with the flag: same layout, accepted
+        files2, _ = staged_files()
+        lax = DisWriter(log, {"allownonconsecutiveoffsets": "true"}, cols)
+        lax.commit([_Staged(task_id=0, files=tuple(files2))])
+        assert log.latest_offsets()[0] == files2[-1].until_offset
+        # a LEADING gap is not a reader-visible gap (the log just starts
+        # later — same shape as after retention); only holes between
+        # segments make the log gappy
+        internal_gap = any(g > 0 for g, _ in spans[1:])
+        assert log.has_gaps() == internal_gap
