@@ -77,7 +77,7 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN h % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (SELECT n_chars,
                  {portable_hash_sql("'split:' || CAST(doc_id AS VARCHAR)")}
                  AS h
@@ -121,7 +121,7 @@ TOKEN_BUDGET = 512   # context-window size in (whitespace) tokens
       FROM toks
     )
     SELECT lang, window_id, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS window_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS window_tokens
     FROM packed
     GROUP BY lang, window_id
     """,

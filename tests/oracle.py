@@ -41,7 +41,10 @@ def _norm(v):
     import datetime
     import decimal
     if isinstance(v, decimal.Decimal):
-        return ("float", repr(float(v)))
+        # Type-strict: the driver's stringify-hash distinguishes
+        # Decimal('999') from int 999 (how the r2 split/pack failures
+        # escaped the local gate) — never coerce Decimal to float here.
+        return ("dec", str(v))
     if isinstance(v, (datetime.datetime, datetime.date)):
         return ("dt", v.isoformat())
     if isinstance(v, (list, tuple)):

@@ -31,7 +31,9 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 def norm(v):
-    if isinstance(v, decimal.Decimal): return float(v)
+    # Decimal stays type-distinct (driver's hash separates Decimal from
+    # int/float — verified by the r2 split/pack hash failures).
+    if isinstance(v, decimal.Decimal): return f"dec:{v}"
     if isinstance(v, float): return "nan" if math.isnan(v) else v
     if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
     return v
