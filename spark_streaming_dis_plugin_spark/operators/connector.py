@@ -355,22 +355,40 @@ def dis_wordcount_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL over the same events. This pins the whole streaming lifecycle
     (planning, offsets, stateful agg, sink) to the oracle, not just the
     batch twin (DISSparkStreamingSubscribeExample.scala:46 semantics)."""
-    import uuid
-
     from ..streaming.queries import running_wordcount
 
     log = _materialized_log(spark, sf_dir)
-    name = f"wc_stream_{uuid.uuid4().hex[:8]}"
-    import tempfile
-
     sdf = (spark.readStream.format("dis")
            .option("path", log.root).option("stream", log.stream).load())
-    q = (running_wordcount(sdf).writeStream.format("memory")
-         .queryName(name).outputMode("complete")
-         .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix="wc_stream_ckpt_"))
-         .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    return _drain_to_memory(spark, running_wordcount(sdf), "wc_stream",
+                            output_mode="complete")
+
+
+def _drain_to_memory(spark: SparkSession, streamed: DataFrame, prefix: str,
+                     output_mode: str = "complete",
+                     timeout_s: int = 180) -> DataFrame:
+    """availableNow-drain a streaming DataFrame into a memory sink and
+    return the final table. A timeout raises (stopping the query) instead
+    of returning a partially drained table that would surface as a
+    confusing oracle hash mismatch; the checkpoint dir is cleaned up once
+    the query terminates."""
+    import shutil
+    import tempfile
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    try:
+        q = (streamed.writeStream.format("memory")
+             .queryName(name).outputMode(output_mode)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"streamed query {name} did not drain within {timeout_s}s")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

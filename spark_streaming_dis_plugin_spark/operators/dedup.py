@@ -224,6 +224,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
              .persist())
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).localCheckpoint())
+    changed = -1
     for _ in range(20):
         neighbor_min = (edges.join(labels,
                                    edges["dst"] == labels["doc_id"])
@@ -245,6 +246,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Returning unconverged labels would silently mis-cluster any
+        # duplicate chain whose diameter exceeds the iteration cap.
+        raise RuntimeError(
+            "dedup_connected_components: min-label propagation did not "
+            f"converge within 20 iterations ({changed} labels still "
+            "changing); raise the cap for deeper duplicate chains")
     return labels.select(
         "doc_id", F.col("label").alias("component"),
         (F.col("doc_id") == F.col("label")).alias("survivor"))

@@ -101,7 +101,19 @@ class RangePartition(InputPartition):
 # module-level dict is executor-local state, exactly like the reference's.
 _SEGMENT_CACHE: "dict[str, object]" = {}
 _SEGMENT_CACHE_CAP = 64
+# Primary bound is decoded BYTES, not entries: this cache lives per Python
+# worker process (several per executor), so an entry-only cap could pin
+# 64 × segment-size per worker with large segmentRows — unlike the
+# reference's one-per-JVM consumer cache. 256 MiB default, overridable via
+# SPARK_DIS_SEGMENT_CACHE_BYTES; the 64-entry cap stays as a secondary
+# limit for many-tiny-segment logs.
+_SEGMENT_CACHE_BYTES_CAP = int(
+    os.environ.get("SPARK_DIS_SEGMENT_CACHE_BYTES", 256 * 1024 * 1024))
 _SEGMENT_CACHE_STATS = {"hits": 0, "misses": 0}
+
+
+def _cache_nbytes() -> int:
+    return sum(t.nbytes for t in _SEGMENT_CACHE.values())
 
 
 def _read_segment(path: str):
@@ -114,7 +126,9 @@ def _read_segment(path: str):
         _SEGMENT_CACHE_STATS["misses"] += 1
         table = pq.read_table(path)
     _SEGMENT_CACHE[path] = table          # re-insert = move to MRU end
-    while len(_SEGMENT_CACHE) > _SEGMENT_CACHE_CAP:
+    while len(_SEGMENT_CACHE) > 1 and (
+            len(_SEGMENT_CACHE) > _SEGMENT_CACHE_CAP
+            or _cache_nbytes() > _SEGMENT_CACHE_BYTES_CAP):
         _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
     return table
 
@@ -392,7 +406,13 @@ class DisStreamReader(DataSourceStreamReader):
         ends = clamp(current, latest, allowed)
         if self._pid is not None:
             planned = sum(max(ends[p] - current.get(p, 0), 0) for p in ends)
-            self._inflight.append((time.monotonic() * 1000.0, planned))
+            # Only batches that advance offsets run (and therefore commit);
+            # a planned=0 idle trigger never gets a matching commit(), so
+            # queueing it would permanently skew the plan/commit pairing
+            # (stale entries inflate processing delay and pin the PID at
+            # min_rate) and grow the deque unboundedly on an idle stream.
+            if planned > 0:
+                self._inflight.append((time.monotonic() * 1000.0, planned))
         self._sync(ends)
         return {str(p): o for p, o in ends.items()}
 

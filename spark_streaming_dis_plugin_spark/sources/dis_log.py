@@ -25,6 +25,7 @@ Two representations here:
 from __future__ import annotations
 
 import dataclasses as _dc
+import hashlib as _hashlib
 import json
 import os
 import re as _re
@@ -103,8 +104,18 @@ _SEG_RE = _re.compile(
 
 
 def sanitize_txn(txn: str) -> str:
-    """Filename-safe transaction tag (no '-' so name parsing stays split-safe)."""
-    return _re.sub(r"[^A-Za-z0-9_]", "_", txn)
+    """Filename-safe transaction tag (no '-' so name parsing stays split-safe).
+
+    Lossy substitution alone would alias distinct user tags ('job-1' and
+    'job_1' both → 'job_1'), making a new txn look already-committed (lost
+    append) or letting rollback_txn delete another txn's segments — so any
+    tag that needs rewriting gets a short content hash suffix to keep
+    distinct inputs distinct."""
+    safe = _re.sub(r"[^A-Za-z0-9_]", "_", txn)
+    if safe == txn:
+        return safe
+    digest = _hashlib.sha1(txn.encode("utf-8")).hexdigest()[:8]
+    return f"{safe}_{digest}"
 
 
 def segment_name(from_offset: int, until_offset: int, rows: int,

@@ -737,6 +737,50 @@ def test_segment_cache_hits_on_rereads(spark, log):
     assert len(D._SEGMENT_CACHE) <= D._SEGMENT_CACHE_CAP
 
 
+def test_segment_cache_bounded_by_bytes(spark, log, monkeypatch):
+    """ADVICE r2: the cache budget is decoded bytes (per Python worker),
+    not just entry count — with a byte budget smaller than one segment
+    only the MRU entry may survive eviction."""
+    from spark_streaming_dis_plugin_spark.sources import dis_datasource as D
+
+    reader = D.DisBatchReader(log, {"offsetRanges": '{"0":[0,200]}'})
+    parts = reader.partitions()
+    D._SEGMENT_CACHE.clear()
+    monkeypatch.setattr(D, "_SEGMENT_CACHE_BYTES_CAP", 1)
+    for p in parts:
+        for _ in D._read_range_batches(p):
+            pass
+    assert len(D._SEGMENT_CACHE) <= 1
+    D._SEGMENT_CACHE.clear()
+
+
+def test_backpressure_idle_triggers_do_not_skew_pid(log):
+    """ADVICE r2: a planned=0 idle trigger runs no batch and therefore
+    never gets a commit(), so it must not enqueue an in-flight entry —
+    otherwise commits pop stale idle-era entries, processing delay is
+    overestimated, the PID pins at min_rate, and the deque grows without
+    bound on an idle stream."""
+    from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+        DisStreamReader,
+    )
+    from spark_streaming_dis_plugin_spark.sources.dis_log import DisLog
+
+    reader = DisStreamReader(DisLog(log.root, log.stream), {
+        "backpressureenabled": "true",
+        "batchseconds": "0.1",
+    })
+    cur = reader.initialOffset()
+    end = reader.latestOffset()          # drains the whole backlog
+    assert len(reader._inflight) == 1
+    reader.partitions(cur, end)
+    reader.commit(end)
+    assert len(reader._inflight) == 0
+    for _ in range(3):                   # idle stream: nothing new to plan
+        idle_end = reader.latestOffset()
+        assert idle_end == end
+        assert len(reader._inflight) == 0
+
+
 from hypothesis import given, settings, strategies as st
 
 

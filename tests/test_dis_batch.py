@@ -363,3 +363,21 @@ def test_gappy_count_matches_ground_truth(tmp_path_factory, segs,
     got = dis_count(log, [OffsetRange("ht", 0, lo, hi)])
     truth = sum(1 for o in all_offsets if lo <= o < hi)
     assert got == truth
+
+
+def test_sanitize_txn_distinct_tags_never_alias():
+    """ADVICE r2: lossy substitution alone would map 'job-1' and 'job_1'
+    to the same tag — a colliding txn then looks already-committed (lost
+    append) or rollback_txn deletes another txn's segments. Rewritten tags
+    get a content-hash suffix; clean tags pass through unchanged."""
+    import re
+
+    from spark_streaming_dis_plugin_spark.sources.dis_log import sanitize_txn
+
+    assert sanitize_txn("job_1") == "job_1"            # clean: unchanged
+    a, b = sanitize_txn("job-1"), sanitize_txn("job_1")
+    assert a != b                                       # no aliasing
+    assert sanitize_txn("job-1") == a                   # deterministic
+    assert sanitize_txn("job.1") != a                   # distinct dirty tags
+    for tag in (a, sanitize_txn("job.1"), sanitize_txn("a b/c")):
+        assert re.fullmatch(r"[A-Za-z0-9_]+", tag)      # filename-safe
