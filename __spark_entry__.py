@@ -33,8 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2. Undeclared
+    specs (declared=False) are bench/pytest-gated variants with no
+    cross-engine oracle — kept out of the driver's correctness rows."""
+    return {name: spec.fn for name, spec in all_queries().items()
+            if spec.declared}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -397,7 +397,9 @@ def _lsh_pairs(with_sig: DataFrame) -> DataFrame:
                    # verified pairs are asserted equal to the portable
                    # pipeline's in tests (hash choice affects only which
                    # CANDIDATES surface, verification is exact Jaccard)
-    tags=("dedup", "minhash", "lsh", "production-hash"), bench=True)
+    tags=("dedup", "minhash", "lsh", "production-hash"), bench=True,
+    declared=False)   # bench + parity-pytest gated (COVERAGE.md): keeps
+                      # the driver's correctness file free of err rows
 def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_minhash_lsh with the production hash: JVM xxhash64 signatures
     instead of oracle-portable md5 (the md5 requirement exists only so

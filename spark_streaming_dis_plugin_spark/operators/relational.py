@@ -913,19 +913,39 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_aggregates",
-    oracle=None,   # sketches are engine-specific: rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           TRUE AS hll_within_15pct,
+           TRUE AS approx_median_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("relational", "agg", "approx"))
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB aggregation defaults: HLL distinct counts and t-digest
-    percentiles — single pass, mergeable, bounded memory. Not
-    oracle-comparable (sketch internals differ per engine); correctness is
-    bounded-error vs the exact queries, asserted in tests."""
+    """The 100 TB aggregation defaults: HLL distinct counts and
+    quantile-sketch percentiles — single pass, mergeable, bounded memory.
+    Sketch internals differ per engine, so raw estimates have no
+    cross-engine oracle; the engine-portable semantics of an approx
+    aggregate IS its error bound, so the query runs both the sketch and
+    the exact aggregate and the oracle pins the accuracy contract: HLL
+    (rsd=0.05 default) within 15% (3 sigma), percentile_approx
+    (accuracy=10000, rank error 1e-4) within 1% of the exact median."""
     (li,) = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            .agg(F.approx_count_distinct("l_partkey").alias("ap"),
+                 F.countDistinct("l_partkey").alias("exact_parts"),
                  F.percentile_approx("l_extendedprice", 0.5, 10000)
-                  .alias("approx_median_price"),
-                 F.count(F.lit(1)).alias("n")))
+                  .alias("am"),
+                 F.percentile("l_extendedprice", F.lit(0.5)).alias("em"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("l_returnflag", "exact_parts", "n",
+                    (F.abs(F.col("ap") - F.col("exact_parts"))
+                     <= 0.15 * F.col("exact_parts"))
+                    .alias("hll_within_15pct"),
+                    (F.abs(F.col("am") - F.col("em"))
+                     <= 0.01 * F.col("em"))
+                    .alias("approx_median_within_1pct")))
 
 
 # ---------------------------------------------------------- more join shapes

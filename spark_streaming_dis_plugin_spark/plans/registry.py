@@ -23,17 +23,25 @@ class QuerySpec:
     oracle: str | None = None   # DuckDB SQL; None => rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False         # include in bench.py headline set
+    declared: bool = True       # expose via __spark_entry__.queries();
+                                # False = bench/pytest-gated only (e.g. a
+                                # production-hash twin with no cross-engine
+                                # oracle — keeps the driver's correctness
+                                # file free of structurally-unverifiable
+                                # rows while the variant stays measured)
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | None = None,
-             tags: tuple[str, ...] = (), bench: bool = False):
+             tags: tuple[str, ...] = (), bench: bool = False,
+             declared: bool = True):
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags, bench=bench)
+        _REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags,
+                                    bench=bench, declared=declared)
         return fn
     return deco
 

@@ -47,8 +47,13 @@ def test_entry_smoke(spark):
 def test_contract_shape():
     import __spark_entry__ as e
     qs, os_ = e.queries(), e.oracle_sql()
-    assert set(os_) <= set(qs)
+    # Every DECLARED query carries an oracle: the driver can never record
+    # an err/no_oracle row again (undeclared bench/pytest-only variants
+    # like dedup_minhash_lsh_fast stay out of queries() entirely).
+    assert set(os_) == set(qs)
     assert len(qs) >= 10
+    assert "dedup_minhash_lsh_fast" not in qs
+    assert QUERIES["dedup_minhash_lsh_fast"].bench  # still measured
 
 
 def test_lsh_fast_matches_portable_pairs(spark, sf_dir):
