@@ -2,6 +2,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Each query is timed as the MEDIAN of $SPARK_GRAFT_BENCH_ITERS (default 3)
+warm iterations after one uncounted warmup pass — single-shot timings at
+this scale carry +-0.3s of JVM/IO noise that makes real regressions
+unreadable (BENCH_NOTES.md r2).
 """
 
 from __future__ import annotations
@@ -31,13 +36,22 @@ def main() -> None:
     for t in TABLES:
         load(spark, sf_dir, t).limit(1).count()
 
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        # count() forces the full plan without driver-side row transfer
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples: list[float] = []
+        for i in range(iters + 1):          # first pass = uncounted warmup
+            # persist()-using queries cache per invocation; clear between
+            # runs so iterations stay independent and memory bounded
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            # count() forces the full plan without driver-side row transfer
+            df.count()
+            if i > 0:
+                samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -392,6 +392,86 @@ def _drain_to_memory(spark: SparkSession, streamed: DataFrame, prefix: str,
     return spark.table(name)
 
 
+@register(
+    "dis_window_streamed",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', "timestamp"), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           "partition", COUNT(*) AS n
+    FROM ({_ENV})
+    GROUP BY 1, 2
+    """,
+    tags=("connector", "streaming", "window", "e2e"))
+def dis_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming under the oracle gate: the tumbling-window
+    aggregation executed as a real watermarked stream (on-disk log ->
+    readStream.format('dis') -> window agg -> availableNow drain), final
+    state hash-matched against the batch SQL. Extends the
+    dis_wordcount_streamed pattern from a stateless map/agg to windowed
+    state — the core loop the reference only warns about
+    (DirectDISInputDStream.scala:76-80, windowing caveat).
+
+    Complete output mode keeps every window in the result (append mode
+    would hold back windows still above the final watermark)."""
+    from ..streaming.queries import windowed_counts
+
+    log = _materialized_log(spark, sf_dir)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    final = _drain_to_memory(spark, windowed_counts(sdf), "win_stream",
+                             output_mode="complete")
+    # The watermark machinery requires TIMESTAMP(LTZ); render back to the
+    # wall clock in the session zone (whole-hour offsets + January-only
+    # fixture data keep hour truncation DST-safe).
+    return final.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("window_start"),
+        "partition", "n")
+
+
+@register(
+    "dis_stream_stream_join_streamed",
+    oracle=f"""
+    WITH env AS ({_ENV}),
+    p AS (
+      SELECT "key" AS p_key, "timestamp" AS p_ts,
+             "partition" AS p_partition, "offset" AS p_offset
+      FROM env WHERE "offset" % 3 = 0
+    ),
+    c AS (
+      SELECT "key" AS c_key, "timestamp" AS c_ts,
+             "partition" AS c_partition, "offset" AS c_offset
+      FROM env WHERE "offset" % 3 = 1
+    )
+    SELECT p_key, p_partition, p_offset, c_partition, c_offset
+    FROM p JOIN c ON p_key = c_key
+                 AND c_ts <= p_ts
+                 AND c_ts >= p_ts - INTERVAL 1 HOUR
+    """,
+    tags=("connector", "streaming", "join", "e2e"))
+def dis_stream_stream_join_streamed(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM JOIN under the oracle gate: two typed
+    streams over the same physical log (split by offset residue, standing
+    in for event-type routing), inner-joined on key with a 1-hour time
+    bound, drained and hash-matched against the equivalent batch join.
+    Both sides carry watermarks and the predicate is time-bounded — the
+    conditions for finite join state on unbounded streams; an availableNow
+    drain with no rate cap runs as one micro-batch, so no match can be
+    evicted mid-drain (deterministic output)."""
+    from ..streaming.queries import purchase_click_join
+
+    log = _materialized_log(spark, sf_dir)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    p = sdf.where(F.col("offset") % 3 == 0)
+    c = sdf.where(F.col("offset") % 3 == 1)
+    final = _drain_to_memory(spark, purchase_click_join(p, c), "ssj_stream",
+                             output_mode="append")
+    return final.select("p_key", "p_partition", "p_offset",
+                        "c_partition", "c_offset")
+
+
 NUM_PARTITIONS = DEFAULT_NUM_PARTITIONS
 
 
