@@ -538,6 +538,86 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", hamming.cast("int").alias("hamming")))
 
 
+SIMHASH64_BITS = 64
+SIMHASH64_BAND_BITS = 16
+HAMMING64_MAX = 3     # 4 x 16-bit bands: pigeonhole-lossless for <= 3
+
+
+@register(
+    "dedup_simhash64_pairs",
+    oracle=None,       # xxhash64 token hashes are JVM-only — no
+                       # cross-engine oracle; the banding-losslessness
+                       # claim (banded pairs == brute-force hamming<=3
+                       # over the signatures) is pinned by
+                       # tests/test_queries_vs_oracle.py
+    tags=("dedup", "simhash", "near-dup", "production-hash"), bench=True,
+    declared=False)    # bench + parity-pytest gated, like
+                       # dedup_minhash_lsh_fast (COVERAGE.md)
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SimHash: 64-bit signatures from xxhash64 token
+    hashes, 4 x 16-bit pigeonhole bands, candidate pairs verified at
+    hamming <= 3 — what anyone would deploy, vs the 16-bit/md5
+    dedup_simhash_pairs whose width exists only so the oracle arithmetic
+    stays portable.
+
+    One pass per document builds all 64 bit-votes at once: the token
+    array folds into a 64-wide vote vector (zip_with accumulate), then
+    the signature ORs together 1<<b for every positive vote — O(tokens)
+    per row instead of the 16-bit variant's bit-at-a-time O(16 x tokens).
+    Banding/join topology is identical to the portable variant (and to
+    MinHash-LSH): signature scan -> explode 4 band keys -> band-bucket
+    self-join -> cheap bit_count verify. At 100 TB the candidate join
+    shuffles only (band, 16-bit value) keys."""
+    signatures = simhash64_signatures(spark, sf_dir).persist()
+    n_bands = SIMHASH64_BITS // SIMHASH64_BAND_BITS
+    band_structs = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftright("simhash", i * SIMHASH64_BAND_BITS)
+                  .bitwiseAND(F.lit((1 << SIMHASH64_BAND_BITS) - 1))
+                  .alias("bv"))
+        for i in range(n_bands)])
+    bands = (signatures.select("doc_id", "simhash",
+                               F.explode(band_structs).alias("b"))
+             .select("doc_id", "simhash", "b.band", "b.bv"))
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (ba.join(bb, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bv") == F.col("b.bv"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("sa"),
+                    F.col("b.simhash").alias("sb"))
+            .distinct())
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cand.where(hamming <= HAMMING64_MAX)
+            .select("doc_a", "doc_b", hamming.cast("int").alias("hamming")))
+
+
+def simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + 64-bit xxhash64 SimHash signature (the production
+    signature stage, shared with the banding-losslessness parity test)."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    zero64 = F.array_repeat(F.lit(0).cast("bigint"), SIMHASH64_BITS)
+    bitvec = lambda h: F.transform(       # noqa: E731
+        F.sequence(F.lit(0), F.lit(SIMHASH64_BITS - 1)),
+        lambda b: F.when(F.getbit(h, b) == 1,
+                         F.lit(1)).otherwise(F.lit(-1)).cast("bigint"))
+    votes = F.aggregate(
+        F.transform(F.split("text", " ", -1), lambda t: F.xxhash64(t)),
+        zero64,
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda a, v: a + v))
+    sig = F.aggregate(
+        F.zip_with(votes,
+                   F.sequence(F.lit(0), F.lit(SIMHASH64_BITS - 1)),
+                   lambda v, b: F.when(v > 0, F.call_function(
+                         "shiftleft", F.lit(1).cast("bigint"), b))
+                                 .otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, bit: acc.bitwiseOR(bit))
+    return docs.select("doc_id", sig.alias("simhash"))
+
+
 # ------------------------------------------------- embedding near-dup
 
 @register(

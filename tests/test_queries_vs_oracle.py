@@ -56,6 +56,37 @@ def test_contract_shape():
     assert QUERIES["dedup_minhash_lsh_fast"].bench  # still measured
 
 
+def test_simhash64_banding_is_lossless(spark, sf_dir):
+    """The production 64-bit SimHash's algorithmic claim: 4 x 16-bit
+    pigeonhole bands surface EVERY pair within hamming <= 3 (a pair
+    differing in <= 3 bits must agree exactly on >= 1 of 4 bands), so the
+    banded pipeline equals brute-force all-pairs hamming over the same
+    signatures. (The pair set legitimately differs from MinHash-Jaccard
+    pairs — SimHash thresholds angular distance of term-frequency
+    vectors, not shingle-set Jaccard.)"""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_dis_plugin_spark.operators.dedup import (
+        HAMMING64_MAX, dedup_simhash64_pairs, simhash64_signatures,
+    )
+
+    banded = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup_simhash64_pairs(spark, sf_dir).collect())
+    sig = simhash64_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    brute = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in (a.join(b, F.col("doc_a") < F.col("doc_b"))
+                  .where(ham <= HAMMING64_MAX)
+                  .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+                  .collect()))
+    assert banded == brute
+    assert len(banded) > 0     # non-degenerate: the fixture has near-dups
+
+
 def test_lsh_fast_matches_portable_pairs(spark, sf_dir):
     """The xxhash64 LSH variant must verify the same near-dup pairs as the
     oracle-portable md5 pipeline: the hash family only selects CANDIDATES,
