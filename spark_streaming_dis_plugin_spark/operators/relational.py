@@ -516,9 +516,9 @@ def broadcast_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "subquery_above_nation_avg",
-    oracle="""
+    oracle=f"""
     WITH nation_avg AS (
-      SELECT c_nationkey AS k, AVG(c_acctbal) AS avg_bal
+      SELECT c_nationkey AS k, {davg_sql('c_acctbal', 2)} AS avg_bal
       FROM customer GROUP BY 1
     )
     SELECT c_nationkey, COUNT(*) AS n_above
@@ -530,15 +530,14 @@ def broadcast_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-scalar-subquery semantics (customers above their nation's
     average balance), decorrelated into agg+join — the plan Catalyst
-    produces for the correlated form. avg comparison stays in double on
-    both sides (comparison, not output, so float-exactness is not
-    load-bearing... but both engines compute avg() the same way over the
-    same partition-order-free sum? No: output only counts rows strictly
-    above, and avg differs at most 1 ulp — documented epsilon risk accepted
-    for a comparison 60k values away from any boundary)."""
+    produces for the correlated form. The threshold avg is the
+    deterministic decimal form (davg): a plain double avg() differs
+    between engines by summation order, and a customer sitting within a
+    ulp of the boundary would flip the count at some SF (r2 watch-list
+    hardening)."""
     (customer,) = _t(spark, sf_dir, "customer")
     avg_bal = customer.groupBy(F.col("c_nationkey").alias("k")).agg(
-        F.avg("c_acctbal").alias("avg_bal"))
+        davg("c_acctbal", 2).alias("avg_bal"))
     return (customer.join(avg_bal, F.col("c_nationkey") == F.col("k"))
             .where(F.col("c_acctbal") > F.col("avg_bal"))
             .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_above")))

@@ -132,73 +132,8 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "centroid_id"))
 
 
-@register(
-    "sim_ivf_topk",
-    oracle=f"""
-    WITH cent AS (
-      SELECT vec_id AS centroid_id, embedding AS ce
-      FROM embeddings WHERE vec_id < {N_CENTROIDS}
-    ), assign AS (
-      SELECT vec_id, centroid_id, embedding FROM (
-        SELECT v.vec_id, c.centroid_id, v.embedding,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                  ORDER BY {_l2sq_sql('v.embedding', 'c.ce')},
-                                           c.centroid_id) AS rnk
-        FROM embeddings v CROSS JOIN cent c
-      ) WHERE rnk = 1
-    ), scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             {cosine_sql('q.embedding', 'c.embedding')} AS cos
-      FROM assign q JOIN assign c
-        ON q.centroid_id = c.centroid_id AND q.vec_id != c.vec_id
-      WHERE q.vec_id < {N_QUERIES}
-    )
-    SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rnk
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rnk
-      FROM scored
-    )
-    WHERE rnk <= 3
-    """,
-    tags=("similarity", "ann", "ivf", "topk"), bench=True)
-def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN query: search only the query's own cluster (n_probe=1).
-    Recall vs sim_bruteforce_topk is the standard IVF tradeoff; the join
-    is co-partitioned on centroid_id so each cluster scans independently."""
-    emb = load(spark, sf_dir, "embeddings")
-    cent = (emb.where(F.col("vec_id") < N_CENTROIDS)
-            .select(F.col("vec_id").alias("centroid_id"),
-                    F.col("embedding").alias("ce")))
-    d2 = _l2sq(F.col("embedding"), F.col("ce"))
-    wv = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
-    from ..functions.portable import dot, norm
-
-    # per-side norm precompute — see sim_bruteforce_topk for why
-    assign = (emb.crossJoin(F.broadcast(cent))
-              .select("vec_id", "embedding", "centroid_id", d2.alias("d2"))
-              .withColumn("rnk", F.row_number().over(wv))
-              .where(F.col("rnk") == 1)
-              .select("vec_id", "embedding", "centroid_id",
-                      norm(F.col("embedding")).alias("nrm")))
-    q = (assign.where(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("query_id"),
-                 F.col("embedding").alias("qe"),
-                 F.col("nrm").alias("qn"),
-                 F.col("centroid_id").alias("qc")))
-    c = assign.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("embedding").alias("ce2"),
-                      F.col("nrm").alias("cn"),
-                      F.col("centroid_id").alias("cc"))
-    cos = dot(F.col("qe"), F.col("ce2")) / (F.col("qn") * F.col("cn"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (c.join(F.broadcast(q), (F.col("qc") == F.col("cc"))
-                   & (F.col("query_id") != F.col("neighbor_id")))
-            .select("query_id", "neighbor_id", cos.alias("cos"))
-            .withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= 3)
-            .select("query_id", "neighbor_id",
-                    (F.round("cos", 4) + 0.0).alias("cos"), "rnk"))
+# sim_ivf_topk (trained centroids, n_probe=1) is registered below, after
+# the shared trained-IVF machinery it reuses with sim_ivf_nprobe_trained.
 
 
 @register(
@@ -256,7 +191,7 @@ def _dim_avg_sql(i: int) -> str:
             f"AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*)")
 
 
-def _ivf_nprobe_oracle() -> str:
+def _ivf_nprobe_oracle(n_probe: int) -> str:
     """IVF with trained centroids + multi-probe, DuckDB side. Centroids =
     one decimal-exact Lloyd iteration from the deterministic seeds (the
     same recompute sim_kmeans_lloyd pins), so both engines search
@@ -300,7 +235,7 @@ def _ivf_nprobe_oracle() -> str:
     ),
     probes AS (
       SELECT vec_id AS query_id, centroid_id AS probe
-      FROM ranked WHERE rnk <= {IVF_N_PROBE} AND vec_id < {N_QUERIES}
+      FROM ranked WHERE rnk <= {n_probe} AND vec_id < {N_QUERIES}
     ),
     scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -320,18 +255,10 @@ def _ivf_nprobe_oracle() -> str:
     """
 
 
-@register(
-    "sim_ivf_nprobe_trained",
-    oracle=_ivf_nprobe_oracle(),
-    tags=("similarity", "ann", "ivf", "multiprobe"))
-def sim_ivf_nprobe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-shaped IVF: centroids are TRAINED (one decimal-exact
-    Lloyd iteration over the corpus from deterministic seeds — the
-    k-means|| stand-in sim_kmeans_lloyd pins), and queries probe their
-    n_probe=2 nearest clusters, the standard recall lever. Plan shape at
-    100 TB: centroid training = 2 broadcast joins + 1 hash agg (centroids
-    stay k*dim-sized); the search joins are co-partitioned on cluster id,
-    so each query touches ~n_probe/C of the corpus."""
+def _ivf_trained_search(spark: SparkSession, sf_dir: str,
+                        n_probe: int) -> DataFrame:
+    """Shared trained-IVF search: one decimal-exact Lloyd iteration from
+    deterministic seeds -> assignment -> n_probe nearest-cluster search."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double"))
         .alias("e"))
@@ -363,7 +290,7 @@ def sim_ivf_nprobe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (ranked.where(F.col("rnk") == 1)
               .select("vec_id", F.col("e").alias("ve"),
                       F.col("centroid_id").alias("cluster")))
-    probes = (ranked.where((F.col("rnk") <= IVF_N_PROBE)
+    probes = (ranked.where((F.col("rnk") <= n_probe)
                            & (F.col("vec_id") < N_QUERIES))
               .select(F.col("vec_id").alias("query_id"),
                       F.col("e").alias("qe"),
@@ -379,6 +306,34 @@ def sim_ivf_nprobe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") <= 3)
             .select("query_id", "neighbor_id",
                     (F.round("cos", 4) + 0.0).alias("cos"), "rnk"))
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=_ivf_nprobe_oracle(n_probe=1),
+    tags=("similarity", "ann", "ivf", "topk"), bench=True)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN query over TRAINED centroids (r2 verdict item 9: the
+    trained path is now the default, not a separate query): one
+    decimal-exact Lloyd iteration from deterministic seeds, then each
+    query searches only its own cluster (n_probe=1). Recall vs
+    sim_bruteforce_topk is the standard IVF tradeoff; the search join is
+    co-partitioned on cluster id so each cluster scans independently, and
+    each query touches ~|corpus|/C vectors."""
+    return _ivf_trained_search(spark, sf_dir, n_probe=1)
+
+
+@register(
+    "sim_ivf_nprobe_trained",
+    oracle=_ivf_nprobe_oracle(n_probe=IVF_N_PROBE),
+    tags=("similarity", "ann", "ivf", "multiprobe"))
+def sim_ivf_nprobe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF with multi-probe (n_probe=2), the standard recall
+    lever over sim_ivf_topk. Plan shape at 100 TB: centroid training = 2
+    broadcast joins + 1 hash agg (centroids stay k*dim-sized); the search
+    joins are co-partitioned on cluster id, so each query touches
+    ~n_probe/C of the corpus."""
+    return _ivf_trained_search(spark, sf_dir, n_probe=IVF_N_PROBE)
 
 
 def _kmeans_oracle() -> str:
