@@ -472,6 +472,57 @@ def dis_stream_stream_join_streamed(spark: SparkSession,
                         "c_partition", "c_offset")
 
 
+@register(
+    "dis_session_streamed",
+    oracle=f"""
+    WITH env AS ({_ENV}),
+    gaps AS (
+      SELECT "key", "timestamp", "partition", "offset",
+             CASE WHEN "timestamp" - LAG("timestamp") OVER (
+                    PARTITION BY "key"
+                    ORDER BY "timestamp", "partition", "offset")
+                  >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM env
+    ), sessions AS (
+      SELECT "key", "timestamp",
+             SUM(new_session) OVER (
+               PARTITION BY "key"
+               ORDER BY "timestamp", "partition", "offset"
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    )
+    SELECT "key",
+           strftime(MIN("timestamp"), '%Y-%m-%d %H:%M:%S.%f')
+             AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY "key", sid
+    """,
+    tags=("connector", "streaming", "session", "e2e"))
+def dis_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-WINDOW state under the oracle gate: per-key inactivity-gap
+    sessions (session_window, 30 min) executed as a real watermarked
+    stream and hash-matched against the gap/cumsum SQL formulation —
+    the hardest stateful shape (variable-length, merging windows).
+
+    Boundary semantics: Spark merges an event into a session iff its
+    event time is STRICTLY within gap of the session's last event
+    ([start, last+gap) overlap), so the oracle's new-session predicate is
+    `>= gap`, unlike the `> gap` rule dis_sessionization defines for
+    itself on both sides."""
+    from ..streaming.queries import session_counts
+
+    log = _materialized_log(spark, sf_dir)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    final = _drain_to_memory(spark, session_counts(sdf), "sess_stream",
+                             output_mode="complete")
+    return final.select(
+        "key",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.col("n_events"))
+
+
 NUM_PARTITIONS = DEFAULT_NUM_PARTITIONS
 
 

@@ -620,6 +620,106 @@ def simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- embedding near-dup
 
+EMB_DIM = 64
+RP_PLANES = 16        # 4 bands x 4 bits
+RP_BAND_BITS = 4
+RP_COS_THRESHOLD = 0.4
+
+
+def _rp_plane(p: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane, embedded as literals in
+    BOTH engines' plans (no cross-engine hash needed)."""
+    import hashlib
+    return [1.0 if int(hashlib.md5(f"rp:{p}:{i}".encode()).hexdigest(),
+                       16) % 2 else -1.0
+            for i in range(EMB_DIM)]
+
+
+def _rp_bit_sql(p: int) -> str:
+    plane = "[" + ", ".join(str(x) for x in _rp_plane(p)) + "]"
+    dot = (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           f"list_transform(range(1, {EMB_DIM} + 1), "
+           f"i -> CAST(embedding[i] AS DOUBLE) * ({plane})[i])), "
+           f"(acc, x) -> acc + x)")
+    return f"CASE WHEN {dot} > 0 THEN 1 ELSE 0 END"
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {' , '.join(f'{_rp_bit_sql(p)} AS b{p}' for p in range(RP_PLANES))}
+      FROM embeddings
+    ), bands AS (
+      {' UNION ALL '.join(
+          f"SELECT vec_id, {band} AS band, "
+          + ' + '.join(f'b{band * RP_BAND_BITS + j} * {1 << j}'
+                       for j in range(RP_BAND_BITS))
+          + " AS bucket FROM sig"
+          for band in range(RP_PLANES // RP_BAND_BITS))}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           round({cosine_sql('ea.embedding', 'eb.embedding')}, 4) AS cos
+    FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+              JOIN embeddings eb ON eb.vec_id = vec_b
+    WHERE {cosine_sql('ea.embedding', 'eb.embedding')} >= {RP_COS_THRESHOLD}
+    """,
+    tags=("dedup", "embedding", "lsh", "near-dup"))
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup WITHOUT a blocking label: random-hyperplane
+    (sign) LSH. 16 deterministic ±1 hyperplanes (literals, identical in
+    both engines) give each vector a 16-bit sign signature, banded 4x4
+    bits; same-bucket pairs in any band are candidates, verified by exact
+    cosine >= {RP_COS_THRESHOLD}.
+
+    The complement to dedup_embedding_cosine (label-blocked) and
+    sim_ivf_* (centroid-trained): hyperplane buckets need NO training
+    pass, at the cost of probabilistic recall — P(candidate) =
+    1-(1-(1-θ/π)^4)^4 per pair, ≈0.99 at cos 0.9 but ≈0.5 at this
+    fixture's 0.4 threshold (documented: for real near-dup corpora the
+    threshold sits ≥0.9; band bits scale with corpus size at 100 TB so
+    bucket occupancy stays bounded). Signature is one row-local pass;
+    candidates shuffle only (band, bucket) keys."""
+    emb = load(spark, sf_dir, "embeddings")
+    bits = [
+        (F.aggregate(
+            F.zip_with(F.col("embedding"),
+                       F.array(*[F.lit(x) for x in _rp_plane(p)]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int").alias(f"b{p}")
+        for p in range(RP_PLANES)]
+    sig = emb.select("vec_id", "embedding", *bits).persist()
+    n_bands = RP_PLANES // RP_BAND_BITS
+    band_structs = F.array(*[
+        F.struct(F.lit(band).alias("band"),
+                 sum([F.col(f"b{band * RP_BAND_BITS + j}") * (1 << j)
+                      for j in range(RP_BAND_BITS)], F.lit(0))
+                 .alias("bucket"))
+        for band in range(n_bands)])
+    bands = (sig.select("vec_id", F.explode(band_structs).alias("b"))
+             .select("vec_id", "b.band", "b.bucket"))
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (ba.join(bb, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+    ea = sig.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"))
+    eb = sig.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
+            .where(cos >= RP_COS_THRESHOLD)
+            .select("vec_a", "vec_b", F.round(cos, 4).alias("cos")))
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""

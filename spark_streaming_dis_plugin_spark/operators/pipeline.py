@@ -11,6 +11,8 @@ selection is stable across cluster sizes, re-runs, and engines — and
 therefore oracle-checkable.
 
 - sample_hash_stratified : per-language sampling rates, deterministic
+- sample_domain_mix      : data-derived acceptance rates hitting target
+                           mix proportions, hash-gated
 - split_train_val_test   : stable 3-way split by ID hash
 - pack_context_windows   : greedy sequential packing of documents into
                            fixed token budgets (context windows)
@@ -99,6 +101,80 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("total_chars")))
+
+
+# target mix weights (relative proportions) for the training corpus;
+# languages absent from the map are excluded from the mix
+MIX_WEIGHTS = {"en": 4, "zh": 2, "de": 1, "fr": 1}
+
+
+def _mix_weight_case_sql() -> str:
+    whens = " ".join(f"WHEN lang = '{k}' THEN {v}"
+                     for k, v in MIX_WEIGHTS.items())
+    return f"CASE {whens} ELSE 0 END"
+
+
+@register(
+    "sample_domain_mix",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang, COUNT(*) AS n_total, {_mix_weight_case_sql()} AS w
+      FROM documents GROUP BY lang
+    ), wstats AS (
+      SELECT * FROM stats WHERE w > 0
+    ), k AS (
+      SELECT MIN(CAST(n_total AS DOUBLE) / w) AS k FROM wstats
+    ), targets AS (
+      SELECT lang, n_total,
+             CAST(FLOOR(w * k.k) AS BIGINT) AS n_target,
+             CAST(FLOOR(CAST(FLOOR(w * k.k) AS BIGINT) * 1000000.0
+                        / n_total) AS BIGINT) AS thr
+      FROM wstats CROSS JOIN k
+    )
+    SELECT d.lang, t.n_total, t.n_target, COUNT(*) AS n_sampled
+    FROM documents d JOIN targets t ON d.lang = t.lang
+    WHERE {portable_hash_sql("'mix:' || CAST(doc_id AS VARCHAR)")}
+          % 1000000 < t.thr
+    GROUP BY d.lang, t.n_total, t.n_target
+    """,
+    tags=("pipeline", "sampling", "mix", "deterministic"))
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing to TARGET PROPORTIONS (en:zh:de:fr =
+    4:2:1:1 here): from per-language counts, find the largest corpus
+    satisfying the mix (K = min n_l/w_l), derive each language's target
+    size and integer acceptance threshold, then keep rows by salted-hash
+    gate. Unlike fixed per-stratum rates (sample_hash_stratified), the
+    rates are DERIVED from the data to hit the mix exactly.
+
+    Scale shape: the per-language stats are one tiny hash agg; targets
+    broadcast back; the gate itself is row-local (no shuffle of the
+    corpus). Every arithmetic step is either integer or a single IEEE
+    double op mirrored verbatim in the oracle, and membership is a pure
+    function of the row — stable under repartitioning and engines."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v))
+          for k, v in MIX_WEIGHTS.items()],
+        F.lit(0))
+    stats = (docs.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_total"))
+             .withColumn("w", w).where(F.col("w") > 0))
+    k = stats.agg(F.min(F.col("n_total").cast("double") / F.col("w"))
+                  .alias("k"))
+    targets = (stats.crossJoin(F.broadcast(k))
+               .withColumn("n_target",
+                           F.floor(F.col("w") * F.col("k")).cast("bigint"))
+               .withColumn("thr",
+                           F.floor(F.col("n_target") * 1000000.0
+                                   / F.col("n_total")).cast("bigint"))
+               .select("lang", "n_total", "n_target", "thr"))
+    gate = portable_hash(F.concat(F.lit("mix:"),
+                                  F.col("doc_id").cast("string"))) \
+        % 1000000 < F.col("thr")
+    return (docs.join(F.broadcast(targets), "lang")
+            .where(gate)
+            .groupBy("lang", "n_total", "n_target")
+            .agg(F.count(F.lit(1)).alias("n_sampled")))
 
 
 TOKEN_BUDGET = 512   # context-window size in (whitespace) tokens

@@ -897,7 +897,8 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB `quantile_cont`, same interpolation formula; rounded to absorb
     last-ulp interpolation arithmetic). The 100 TB default is
     approx_percentile/t-digest — covered rows-only since sketches aren't
-    oracle-reproducible."""
+    oracle-gated via its accuracy-contract booleans (approx_aggregates)
+    since raw sketch values aren't oracle-reproducible."""
     (li,) = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
             .agg(F.round(F.percentile("l_quantity", F.lit(0.5)), 6)
@@ -945,6 +946,107 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.abs(F.col("am") - F.col("em"))
                      <= 0.01 * F.col("em"))
                     .alias("approx_median_within_1pct")))
+
+
+@register(
+    "window_rank_distributions",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           round(PERCENT_RANK() OVER w, 6) + 0.0 AS pr,
+           round(CUME_DIST() OVER w, 6) + 0.0 AS cd
+    FROM customer
+    WHERE c_nationkey < 5
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("relational", "window", "distribution"))
+def window_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rank_with_ties/n). Both reduce to one integer rank + one
+    IEEE division, so they are portable without decimal tricks; the
+    c_custkey tiebreak makes ranks deterministic. round(6)+0.0
+    normalizes -0.0 and last-ulp display only."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (customer.where(F.col("c_nationkey") < 5)
+            .select("c_nationkey", "c_custkey",
+                    (F.round(F.percent_rank().over(w), 6) + 0.0).alias("pr"),
+                    (F.round(F.cume_dist().over(w), 6) + 0.0).alias("cd")))
+
+
+def _moments_sql() -> str:
+    """Decimal-exact raw moments -> double formulas (identical ops in
+    both engines, so variance/correlation are deterministic despite
+    float math).
+
+    The decimal->double casts go through VARCHAR on the DuckDB side:
+    DuckDB casts DECIMAL to DOUBLE as (double)unscaled_int / (double)
+    10^scale — TWO roundings, wrong in the last ulp once the unscaled
+    int exceeds 2^53 (these scale-8 sums reach ~10^18). The string path
+    parses the exact decimal text with correct rounding, matching
+    Spark's decimal->double semantics; the cancellation in the moment
+    formulas amplifies that ulp to the 12th digit, which is how this
+    was caught."""
+    sx = ("CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS VARCHAR) "
+          "AS DOUBLE)")
+    sy = ("CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) "
+          "AS VARCHAR) AS DOUBLE)")
+    sxx = ("CAST(CAST(SUM(CAST(l_quantity * l_quantity "
+           "AS DECIMAL(27,8))) AS VARCHAR) AS DOUBLE)")
+    syy = ("CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice "
+           "AS DECIMAL(27,8))) AS VARCHAR) AS DOUBLE)")
+    sxy = ("CAST(CAST(SUM(CAST(l_quantity * l_extendedprice "
+           "AS DECIMAL(27,8))) AS VARCHAR) AS DOUBLE)")
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    var_x = f"(({sxx}) - ({sx}) * ({sx}) / {n}) / ({n} - 1)"
+    var_y = f"(({syy}) - ({sy}) * ({sy}) / {n}) / ({n} - 1)"
+    cov = f"(({sxy}) - ({sx}) * ({sy}) / {n}) / ({n} - 1)"
+    corr = f"({cov}) / (sqrt({var_x}) * sqrt({var_y}))"
+    # corr is the one composite quotient whose sqrt/multiply association
+    # the two engines pick differently (observed 3-ulp divergence);
+    # round(9) absorbs it. var/stddev/covar compare exactly.
+    return (f"{var_x} AS var_qty, sqrt({var_x}) AS stddev_qty, "
+            f"{cov} AS covar_qty_price, "
+            f"round({corr}, 9) + 0.0 AS corr_qty_price")
+
+
+@register(
+    "stats_moments_portable",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {_moments_sql()}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg", "statistics"))
+def stats_moments_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (sample variance/stddev/covariance/correlation)
+    in the PORTABLE formulation: raw moments as exact decimal sums, then
+    the textbook formulas in double. Built-in stddev/corr stream partial
+    aggregates in float whose summation order differs per engine and per
+    partitioning — the decimal moments make the result a pure function of
+    the data. Same single hash-agg shape and partial+final merge as the
+    built-ins (decimal sums are associative), so the 100 TB cost is
+    identical."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    sx = F.sum(q.cast("decimal(27,4)")).cast("double")
+    sy = F.sum(p.cast("decimal(27,4)")).cast("double")
+    sxx = F.sum((q * q).cast("decimal(27,8)")).cast("double")
+    syy = F.sum((p * p).cast("decimal(27,8)")).cast("double")
+    sxy = F.sum((q * p).cast("decimal(27,8)")).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    agg = (li.groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n"), sx.alias("sx"), sy.alias("sy"),
+                sxx.alias("sxx"), syy.alias("syy"), sxy.alias("sxy"),
+                n.alias("nd")))
+    nd = F.col("nd")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / nd) / (nd - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / nd) / (nd - 1)
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / nd) / (nd - 1)
+    corr = cov / (F.sqrt(var_x) * F.sqrt(var_y))
+    return agg.select("l_returnflag", "n",
+                      var_x.alias("var_qty"),
+                      F.sqrt(var_x).alias("stddev_qty"),
+                      cov.alias("covar_qty_price"),
+                      (F.round(corr, 9) + 0.0).alias("corr_qty_price"))
 
 
 # ---------------------------------------------------------- more join shapes
