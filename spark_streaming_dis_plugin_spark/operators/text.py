@@ -162,6 +162,66 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.alias("quality"))
 
 
+REPETITION_THRESHOLD = 0.2
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i + 1]) AS bgs
+      FROM toks
+    )
+    SELECT doc_id,
+           len(bgs) AS n_bigrams,
+           list_max(list_transform(bgs,
+             b -> len(list_filter(bgs, x -> x = b)))) AS top_bigram_count,
+           CAST(list_max(list_transform(bgs,
+             b -> len(list_filter(bgs, x -> x = b)))) AS DOUBLE)
+             / len(bgs) AS top_bigram_ratio
+    FROM bg
+    """,
+    tags=("text", "quality", "repetition"))
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality rule): the share
+    of word bigrams claimed by the single most frequent bigram —
+    boilerplate/template text scores high and gets filtered before
+    training. Entirely within-row; the count-per-bigram kernel is
+    O(bigrams²) on ≤ a-few-hundred-token rows.
+
+    Two persist() barriers keep the token and bigram arrays materialized
+    attributes: CollapseProject would otherwise re-inline the array
+    expressions into every higher-order lambda (the K-fold re-evaluation
+    trap measured in dedup._with_signature)."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = docs.select(
+        "doc_id", F.split("text", " ", -1).alias("t")).persist()
+    # guard: Spark sequence(0, n-2) DESCENDS for n < 2 (step defaults to
+    # -1 when start > stop) where DuckDB range() returns empty
+    bgs_expr = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat(F.get("t", i), F.lit(" "),
+                               F.get("t", i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    bg = toks.select("doc_id", bgs_expr.alias("bgs")).persist()
+    counts = F.transform(
+        F.col("bgs"), lambda b: F.size(F.filter(F.col("bgs"),
+                                                lambda x: x == b)))
+    return bg.select(
+        "doc_id",
+        F.size("bgs").alias("n_bigrams"),
+        F.array_max(counts).alias("top_bigram_count"),
+        (F.array_max(counts).cast("double") / F.size("bgs"))
+        .alias("top_bigram_ratio"))
+
+
 @register(
     "text_fingerprint",
     oracle=f"""
