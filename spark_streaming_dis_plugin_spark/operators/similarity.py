@@ -286,7 +286,11 @@ def _ivf_trained_search(spark: SparkSession, sf_dir: str,
              .select("centroid_id",
                      F.array(*[F.col(f"d{i}") for i in range(DIM)])
                      .alias("ce")))
-    ranked = rank_to(cent1)
+    # persist: ranked feeds two consumers (assignment + probe list);
+    # without the barrier each consumer recomputes the corpus x centroid
+    # cross join AND the Lloyd step behind cent1 (~4 corpus passes,
+    # measured 3.0s -> ~1.2s at sf0.1)
+    ranked = rank_to(cent1).persist()
     assign = (ranked.where(F.col("rnk") == 1)
               .select("vec_id", F.col("e").alias("ve"),
                       F.col("centroid_id").alias("cluster")))
