@@ -523,6 +523,76 @@ def dis_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events"))
 
 
+EWMA_ALPHA = 0.2
+
+
+@register(
+    "events_ewma",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, list("value" ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, len(vals) AS n_events,
+           list_reduce(vals,
+             (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)
+             AS ewma
+    FROM seq
+    """,
+    tags=("connector", "timeseries", "recursive"))
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the
+    order-DEPENDENT recursion (y_i = αx_i + (1-α)y_{i-1}) that no window
+    function can express. Implemented as sorted-array fold: collect each
+    user's values, array_sort by (ts, event_id) to fix the order
+    deterministically, then a sequential F.aggregate fold. Both engines
+    fold the identical sequence with identical IEEE ops, so the result
+    is EXACT (no epsilon absorber).
+
+    Scale shape: one shuffle on user_id; per-user state is the user's
+    event array — bounded by per-key history, the same bound any
+    stateful-timeseries operator carries (for unbounded histories,
+    window the fold per session/day first)."""
+    events = load(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"])
+    seq = (events.groupBy("user_id")
+           .agg(vals.alias("vals")))
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2,
+                F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.get(F.col("vals"), 0),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc)
+    return seq.select("user_id", F.size("vals").alias("n_events"),
+                      ewma.alias("ewma"))
+
+
+@register(
+    "dis_dedup_streamed",
+    oracle=f"""
+    SELECT DISTINCT "key", "value" FROM ({_ENV})
+    """,
+    tags=("connector", "streaming", "dedup", "e2e"))
+def dis_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT DEDUP under the oracle gate:
+    dropDuplicatesWithinWatermark on (key, value) executed as a real
+    watermarked stream. An availableNow drain with no rate cap runs as
+    one micro-batch, so every duplicate is in-watermark and the emitted
+    first-arrivals equal batch DISTINCT — the semantics the operator
+    guarantees at steady state (duplicates within the watermark window;
+    at 100 TB the watermark is what keeps the dedup state finite)."""
+    from ..streaming.queries import dedup_within_watermark
+
+    log = _materialized_log(spark, sf_dir)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    deduped = dedup_within_watermark(sdf).select("key", "value")
+    final = _drain_to_memory(spark, deduped, "dedup_stream",
+                             output_mode="append")
+    return final.select("key", "value")
+
+
 NUM_PARTITIONS = DEFAULT_NUM_PARTITIONS
 
 

@@ -114,6 +114,47 @@ def _shingle_sets_sql() -> str:
     """
 
 
+@register(
+    "dedup_ngram_jaccard_fast",
+    oracle=None,       # xxhash64 shingle keys are JVM-only; pairs are
+                       # asserted equal to the portable string-key
+                       # pipeline in tests (64-bit collisions would be
+                       # the only divergence source)
+    tags=("dedup", "jaccard", "production-hash"), bench=True,
+    declared=False)    # bench + parity-pytest gated (COVERAGE.md)
+def dedup_ngram_jaccard_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard with the production posting keys: each shingle
+    hashed to xxhash64 BEFORE the posting-list self-join, so the shuffle
+    moves 8-byte ints instead of shingle strings and the join compares
+    longs — the same |intersection| / sizes arithmetic on the hashed
+    sets. At 100 TB the posting shuffle is the dominant cost of this
+    operator; hashing its key is the first lever."""
+    docs = load(spark, sf_dir, "documents")
+    para = spark.sparkContext.defaultParallelism
+    sets = (docs.repartition(para)
+            .select("doc_id", tokens("text").alias("tk"))
+            .select("doc_id",
+                    F.array_distinct(
+                        F.transform(word_shingles("tk", SHINGLE_N),
+                                    lambda s: F.xxhash64(s))).alias("sh"))
+            .where(F.size("sh") > 0))
+    sizes = sets.select("doc_id", F.size("sh").alias("n"))
+    posting = sets.select("doc_id", F.explode("sh").alias("s"))
+    pa, pb = posting.alias("a"), posting.alias("b")
+    inter = (pa.join(pb, (F.col("a.s") == F.col("b.s"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("both_n")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("both_n").cast("double") / (F.col("na") + F.col("nb")
+                                            - F.col("both_n"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
 def _jaccard_pairs_ctes() -> str:
     """CTE chain computing near-dup pairs (doc_a, doc_b, jaccard) — shared
     by the pair query and the connected-components clustering oracle."""

@@ -162,6 +162,64 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.alias("quality"))
 
 
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks
+    ), lm AS (
+      SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM bg
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           round(SUM(ln(CAST(lm.c AS DOUBLE) / tot.n)) / COUNT(*), 6)
+             + 0.0 AS avg_logprob
+    FROM bg JOIN lm USING (bigram) CROSS JOIN tot
+    GROUP BY bg.doc_id
+    """,
+    tags=("text", "quality", "language-model"))
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM document scoring — the perplexity-style quality filter:
+    train a unigram-of-bigrams LM on the corpus itself (bigram relative
+    frequencies), then score each document by its mean bigram
+    log-probability. Atypical documents (boilerplate, wrong-language,
+    garbled) score low and get filtered before training.
+
+    Scale shape: one explode + hash-agg builds the LM (bigram counts);
+    scoring joins doc-bigrams to the LM on the bigram key (shuffle on
+    bigram — the LM is corpus-sized, NOT broadcastable at 100 TB) and
+    reduces per doc. round(6) absorbs engine libm ln() last-ulp
+    differences (the sums are otherwise identical: counts are exact
+    ints, division/accumulation order mirrored)."""
+    docs = load(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = docs.select("doc_id",
+                       F.split("text", " ", -1).alias("t")).persist()
+    bgs_expr = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat(F.get("t", i), F.lit(" "),
+                               F.get("t", i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (toks.select("doc_id", F.explode(bgs_expr).alias("bigram"))
+          .persist())
+    lm = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    tot = bg.agg(F.count(F.lit(1)).alias("n"))
+    logp = F.log(F.col("c").cast("double") / F.col("n"))
+    return (bg.join(lm, "bigram").crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 (F.round(F.sum(logp) / F.count(F.lit(1)), 6) + 0.0)
+                 .alias("avg_logprob")))
+
+
 REPETITION_THRESHOLD = 0.2
 
 

@@ -87,6 +87,17 @@ def test_simhash64_banding_is_lossless(spark, sf_dir):
     assert len(banded) > 0     # non-degenerate: the fixture has near-dups
 
 
+def test_ngram_jaccard_fast_matches_portable_pairs(spark, sf_dir):
+    """The xxhash64-posting-key Jaccard variant must produce the same
+    verified pairs AND the same jaccard values as the portable string-key
+    pipeline — hashing only re-keys the posting join; a difference would
+    mean a 64-bit collision merged two shingles."""
+    fast = QUERIES["dedup_ngram_jaccard_fast"].fn(spark, sf_dir)
+    slow = QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    key = lambda r: (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+    assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+
+
 def test_lsh_fast_matches_portable_pairs(spark, sf_dir):
     """The xxhash64 LSH variant must verify the same near-dup pairs as the
     oracle-portable md5 pipeline: the hash family only selects CANDIDATES,
