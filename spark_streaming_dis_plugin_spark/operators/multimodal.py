@@ -133,6 +133,63 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return art.mapInPandas(frame_sample_stub, schema=FRAMES_SCHEMA)
 
 
+N_HIST_BINS = 16
+
+FEATURES_SCHEMA = ("doc_id bigint, " +
+                   ", ".join(f"h{i} bigint" for i in range(N_HIST_BINS)))
+
+
+def byte_histogram_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL (not stub) feature extraction: 16-bin byte-value histogram per
+    payload, vectorized with numpy over Arrow batches — the shape of any
+    binary feature extractor (spectrograms, pixel stats) minus the codec."""
+    import numpy as np
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        out = {"doc_id": pdf["doc_id"]}
+        hist = np.stack([
+            np.bincount(np.frombuffer(bytes(b), dtype=np.uint8) // 16,
+                        minlength=N_HIST_BINS)[:N_HIST_BINS]
+            for b in pdf["payload"]])
+        for i in range(N_HIST_BINS):
+            out[f"h{i}"] = hist[:, i].astype("int64")
+        yield pd.DataFrame(out)
+
+
+def _hist_bins_sql() -> str:
+    return ", ".join(
+        f"CAST(SUM(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS BIGINT) AS h{i}"
+        for i in range(N_HIST_BINS))
+
+
+@register(
+    "multimodal_byte_histogram",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE length(text) > 0
+    ), binned AS (
+      SELECT doc_id, unicode(ch) // 16 AS bin FROM chars
+    )
+    SELECT doc_id, {_hist_bins_sql()}
+    FROM binned GROUP BY doc_id
+    """,
+    tags=("multimodal", "features", "pandas-udf"))
+def multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary feature extraction over multimodal payloads: per-artifact
+    16-bin byte-value histogram, computed with a numpy-vectorized
+    mapInPandas kernel — unlike decode_stub this is REAL computation the
+    oracle reproduces (payloads are ASCII text bytes in the fixture, so
+    character code points == bytes). The contract exercised is the
+    production one: binary column in, fixed-width numeric feature vector
+    out, partition-parallel, no driver involvement."""
+    art = artifacts(spark, sf_dir).where(F.col("byte_len") > 0)
+    return art.select("doc_id", "payload") \
+        .mapInPandas(byte_histogram_kernel, schema=FEATURES_SCHEMA)
+
+
 @register(
     "multimodal_metadata",
     oracle="""

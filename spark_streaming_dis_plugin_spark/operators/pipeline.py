@@ -21,6 +21,8 @@ therefore oracle-checkable.
 - text_scrub             : PII-ish scrubbing (emails/URLs) via regex
                            (patterns restricted to syntax Java regex and
                            RE2 interpret identically)
+- pipeline_end_to_end    : the composed prep job (quality -> dedup ->
+                           split -> accounting) as one declarative plan
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.portable import portable_hash, portable_hash_sql
+from ..functions.portable import portable_hash, portable_hash_sql, tokens_sql
 from ..plans.registry import register
 from ..tables import load
 
@@ -314,3 +316,71 @@ def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit(url), F.lit(0)))
         .alias("n_urls"))
+
+
+@register(
+    "pipeline_end_to_end",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, text,
+             len({tokens_sql('text')}) AS n_tokens,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+             length(text) AS n_chars
+      FROM documents
+    ), passed AS (
+      SELECT doc_id, text, n_tokens FROM feats
+      WHERE n_tokens >= 20 AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+    ), deduped AS (
+      SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM passed
+      ) WHERE rn = 1
+    )
+    SELECT CASE WHEN h % 100 < 80 THEN 'train'
+                WHEN h % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM (SELECT n_tokens,
+                 {portable_hash_sql("'split:' || CAST(doc_id AS VARCHAR)")}
+                 AS h
+          FROM deduped)
+    GROUP BY 1
+    """,
+    tags=("pipeline", "e2e", "composition"))
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data prep pipeline in one declarative plan:
+    quality gate (length + punctuation-ratio rules) -> exact dedup
+    (first doc per content hash) -> deterministic train/val/test split ->
+    per-split token accounting. Each stage is an operator verified
+    individually elsewhere; this query pins that they compose — the
+    \"switch your whole prep job to this engine\" integration check.
+
+    Scale shape: the quality gate is row-local; dedup shuffles the
+    16-byte content hash (never the text) via a window group-limit;
+    the split is a row-local salted hash; one final tiny agg. Catalyst
+    pipelines all four into three stages."""
+    from ..functions.portable import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "text",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]")).alias("n_punct"),
+        F.length("text").alias("n_chars"))
+    passed = feats.where(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_punct").cast("double") / F.col("n_chars") < 0.1))
+    w = Window.partitionBy(F.md5(F.encode("text", "utf-8"))) \
+        .orderBy("doc_id")
+    deduped = (passed.withColumn("rn", F.row_number().over(w))
+               .where(F.col("rn") == 1))
+    h = portable_hash(F.concat(F.lit("split:"),
+                               F.col("doc_id").cast("string"))) % 100
+    split = (F.when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+    return (deduped.select(split.alias("split"), "n_tokens")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens")))
