@@ -23,6 +23,11 @@ therefore oracle-checkable.
                            RE2 interpret identically)
 - pipeline_end_to_end    : the composed prep job (quality -> dedup ->
                            split -> accounting) as one declarative plan
+- decontaminate_eval_overlap : benchmark decontamination — flag training
+                           docs sharing word n-grams with a held-out
+                           eval set (broadcast eval postings)
+- chunk_documents        : fixed-size overlapping token chunks per doc
+                           (row-local explode, the RAG/context prep step)
 """
 
 from __future__ import annotations
@@ -30,7 +35,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.portable import portable_hash, portable_hash_sql, tokens_sql
+from ..functions.portable import (portable_hash, portable_hash_sql, tokens,
+                                  tokens_sql, word_shingles,
+                                  word_shingles_sql)
 from ..plans.registry import register
 from ..tables import load
 
@@ -384,3 +391,138 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens")))
+
+
+# ------------------------------------------------- eval decontamination
+
+CONTAM_N = 4        # words per shingle (short fixture docs; 13 in prod)
+EVAL_PCT = 10       # pseudo-eval-set gate, percent of the corpus
+
+
+def _contam_sets_sql() -> str:
+    return f"""
+      SELECT doc_id, {word_shingles_sql('text', CONTAM_N)} AS sh,
+             {portable_hash_sql("'eval:' || CAST(doc_id AS VARCHAR)")}
+               % 100 < {EVAL_PCT} AS is_eval
+      FROM documents
+    """
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+    WITH sets AS ({_contam_sets_sql()}),
+    tp AS (SELECT doc_id, unnest(sh) AS s FROM sets WHERE NOT is_eval),
+    ep AS (SELECT doc_id, unnest(sh) AS s FROM sets WHERE is_eval)
+    SELECT tp.doc_id AS doc_id,
+           COUNT(DISTINCT tp.s) AS n_hit_shingles,
+           COUNT(DISTINCT ep.doc_id) AS n_eval_docs
+    FROM tp JOIN ep ON tp.s = ep.s
+    GROUP BY 1
+    """,
+    tags=("pipeline", "decontamination", "dedup"), bench=True)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that shares
+    a word {CONTAM_N}-gram with the held-out eval set (here: a
+    deterministic hash-gated {EVAL_PCT}% of the corpus standing in for the
+    benchmark suite). Output is the contamination report — training doc,
+    how many distinct shingles leaked, how many eval docs they touch —
+    which a prep job anti-joins against before training.
+
+    Scale shape: the eval side of a decontamination run is TINY relative
+    to a 100 TB corpus (benchmarks are megabytes), so its exploded posting
+    list is broadcast — the corpus-side postings never shuffle; the plan
+    is scan -> shingle -> broadcast-hash-join -> partial agg. The shingle
+    relation feeds both sides, and as with the jaccard posting join the
+    regex shingling is cheap enough that recompute beats a persist
+    barrier at this fan-out (see _jaccard_pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    para = spark.sparkContext.defaultParallelism
+    sets = (docs.repartition(para)
+            .select("doc_id", tokens("text").alias("tk"),
+                    (portable_hash(
+                        F.concat(F.lit("eval:"),
+                                 F.col("doc_id").cast("string"))) % 100
+                     < EVAL_PCT).alias("is_eval"))
+            .select("doc_id", word_shingles("tk", CONTAM_N).alias("sh"),
+                    "is_eval"))
+    # no explicit size(sh) > 0 filter: explode drops empty arrays, and
+    # InferFiltersFromGenerate adds the early-drop scan filter itself
+    # (recomputing the shingle expr there — same recompute-vs-persist
+    # tradeoff as _jaccard_pairs, where recompute measured cheaper)
+    train = (sets.where(~F.col("is_eval"))
+             .select("doc_id", F.explode("sh").alias("s")))
+    ev = (sets.where(F.col("is_eval"))
+          .select(F.col("doc_id").alias("eval_doc"),
+                  F.explode("sh").alias("s")))
+    return (train.join(F.broadcast(ev), "s")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("s").alias("n_hit_shingles"),
+                 F.countDistinct("eval_doc").alias("n_eval_docs")))
+
+
+# ------------------------------------------------------ document chunking
+
+CHUNK_TOKENS = 32   # tokens per chunk
+CHUNK_STRIDE = 24   # stride between chunk starts (8-token overlap)
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {tokens_sql('text')} AS tk FROM documents
+    ), pos AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk), {CHUNK_STRIDE}))
+               AS chunk_start
+      FROM tk WHERE len(tk) > 0
+    )
+    SELECT doc_id,
+           (chunk_start - 1) // {CHUNK_STRIDE} AS chunk_idx,
+           chunk_start,
+           len(list_slice(tk, chunk_start,
+                          chunk_start + {CHUNK_TOKENS} - 1))
+             AS n_chunk_tokens,
+           md5(array_to_string(
+               list_slice(tk, chunk_start,
+                          chunk_start + {CHUNK_TOKENS} - 1), ' '))
+             AS chunk_hash
+    FROM pos
+    """,
+    tags=("pipeline", "chunking"))
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking ({CHUNK_TOKENS}-token chunks
+    every {CHUNK_STRIDE} tokens) — the context-window / RAG-passage prep
+    step. Each chunk is identified by (doc_id, chunk_idx) and carries its
+    md5 so downstream exact-dedup can run at chunk granularity.
+
+    Scale shape: tokenize + sequence + explode + slice are all row-local
+    (narrow, no shuffle anywhere); output partitioning inherits the scan,
+    so a 100 TB corpus chunks embarrassingly parallel. The token array is
+    materialized in a projection BEFORE the explode so the slice reads a
+    bound column, never re-tokenizes per chunk (see
+    functions/portable.word_shingles on lambda re-evaluation)."""
+    docs = load(spark, sf_dir, "documents")
+    para = spark.sparkContext.defaultParallelism
+    tk = (docs.repartition(para)
+          .select("doc_id", tokens("text").alias("tk")))
+    # empty docs contribute no chunks: sequence(1, 0) would throw, so
+    # gate it with a `when` (posexplode of the empty array emits
+    # nothing) — semantics match the oracle's generate_series, which
+    # returns an empty list for len(tk) = 0
+    starts = F.when(F.size("tk") > 0,
+                    F.sequence(F.lit(1), F.size("tk"),
+                               F.lit(CHUNK_STRIDE))) \
+        .otherwise(F.array().cast("array<int>"))
+    pos = tk.select(
+        "doc_id", "tk",
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+    chunk = F.slice("tk", F.col("chunk_start"), CHUNK_TOKENS)
+    return pos.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.encode(F.concat_ws(" ", chunk), "utf-8"))
+        .alias("chunk_hash"))

@@ -111,3 +111,23 @@ def test_trained_ivf_reuses_ranked_relation(spark, sf_dir):
     plan = _plan(spark, "sim_ivf_topk", sf_dir)
     assert plan.count("InMemoryTableScan") >= 2
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_eval_postings(spark, sf_dir):
+    """Decontamination: the eval-set posting list is the broadcast side —
+    the corpus postings must never shuffle for the join (benchmarks are
+    megabytes; the corpus is the 100 TB side)."""
+    plan = _plan(spark, "decontaminate_eval_overlap", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_no_shuffle_beyond_repartition(spark, sf_dir):
+    """Chunking is row-local: tokenize -> sequence -> posexplode -> slice
+    plans exactly one Exchange (the explicit round-robin input spread),
+    no hash/range partitioning anywhere."""
+    plan = _plan(spark, "chunk_documents", sf_dir)
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan
