@@ -26,21 +26,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects. Read nanos as long (legacy conf, runtime-settable) and truncate
-    to microsecond TIMESTAMP_NTZ — exactly what DuckDB does on read, so the
-    oracle sees identical values. NTZ keeps every downstream format/compare
-    independent of the session timezone."""
+    """The driver has shipped events.parquet in two layouts: TIMESTAMP(MICROS,
+    isAdjustedToUTC=false), which Spark reads natively as TIMESTAMP_NTZ, and
+    TIMESTAMP(NANOS), which Spark's parquet reader rejects unless nanos are
+    read as long (legacy conf, runtime-settable) and truncated to microsecond
+    TIMESTAMP_NTZ — exactly what DuckDB does on read, so the oracle sees
+    identical values either way. NTZ keeps every downstream format/compare
+    independent of the session timezone. Branch on the physical type."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # NTZ built by pure interval arithmetic from the epoch — NEVER via
-    # timestamp_micros/convert_timezone: those round-trip through LTZ and
-    # an implicit LTZ->NTZ cast that uses the SESSION timezone (correct in
-    # UTC sessions, 5h off in America/New_York — caught by the TZ-variant
-    # contract drive). Exactness verified to the microsecond against a
-    # Python reference across TZs.
+    if not isinstance(raw.schema["ts"].dataType, LongType):
+        return raw  # native TIMESTAMP_NTZ micros — nothing to convert
+    # Nanos-as-long layout: build NTZ by pure interval arithmetic from the
+    # epoch — NEVER via timestamp_micros/convert_timezone: those round-trip
+    # through LTZ and an implicit LTZ->NTZ cast that uses the SESSION
+    # timezone (correct in UTC sessions, 5h off in America/New_York —
+    # caught by the TZ-variant contract drive). Exactness verified to the
+    # microsecond against a Python reference across TZs.
     return raw.withColumn(
         "ts",
         F.expr("""
