@@ -593,6 +593,266 @@ def dis_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("key", "value")
 
 
+@register(
+    "dis_restart_streamed",
+    oracle=f"""
+    SELECT word, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex("value", '[^a-zA-Z0-9_]+')) AS word
+      FROM ({_ENV})
+    )
+    WHERE word != ''
+    GROUP BY word
+    """,
+    tags=("connector", "streaming", "restart", "exactly-once", "e2e"))
+def dis_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RESTART + EXACTLY-ONCE under the oracle gate — the
+    reference's subtlest behavior (checkpoint restore + no-reread,
+    DirectDISInputDStream.scala:367-397, DISUtils.scala:222-237) pinned
+    end-to-end: the SAME stateful query is started, stopped mid-backlog
+    TWICE, and resumed from the SAME checkpoint, and its final state must
+    still hash-match the batch SQL — any re-read or skipped range across
+    the restarts shows up as a wrong word count.
+
+    Three runs over one checkpoint lineage:
+
+    1. rate-limited ``availableNow`` — the Python DataSource API captures
+       the first (clamped) planned offset as the drain target, so this
+       deterministically consumes ~1/6 of the log and terminates: the
+       checkpoint now sits mid-backlog by construction, not by timing.
+    2. rate-limited processing-time run KILLED from the driver after the
+       first data batch commits — exercises stop with a possibly
+       in-flight batch, which the restart must re-plan from the offset
+       log (partitions(start, end) replay, sources/dis_datasource.py).
+    3. unthrottled processing-time run drained to idle via
+       ``drain_available`` — NOT availableNow: if run 2's kill lands
+       after the offset-log write but before the batch commit, an
+       availableNow restart captures the recovered (still rate-limited)
+       batch end as its drain target and stops mid-backlog (observed
+       flake). Idle-detection drains to the true end regardless of which
+       side of the WAL the kill landed on; complete-mode state is then
+       the full word count.
+    """
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    from ..streaming.drain import drain_available
+    from ..streaming.queries import running_wordcount
+
+    log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per_trigger = max(total // 6, 1)
+    name = f"restart_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="restart_ckpt_")
+
+    def start(trigger: dict, rate_limited: bool):
+        r = (spark.readStream.format("dis")
+             .option("path", log.root).option("stream", log.stream))
+        if rate_limited:
+            r = r.option("maxOffsetsPerTrigger", str(per_trigger))
+        return (running_wordcount(r.load())
+                .writeStream.format("memory")
+                .queryName(name).outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger).start())
+
+    try:
+        # run 1: one clamped batch, clean termination mid-backlog
+        q = start({"availableNow": True}, rate_limited=True)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("restart phase 1 did not terminate")
+        # run 2: resumed, then killed after >=1 data batch commits
+        q = start({"processingTime": "0 seconds"}, rate_limited=True)
+        deadline = _time.monotonic() + 120
+        try:
+            while _time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                    break
+                _time.sleep(0.05)
+            else:
+                raise TimeoutError("restart phase 2 made no progress")
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        # run 3: resumed unthrottled, drained to idle (see docstring for
+        # why this is not availableNow)
+        q = start({"processingTime": "0 seconds"}, rate_limited=False)
+        drain_available(q, timeout_seconds=180)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+@register(
+    "dis_stateful_totals_streamed",
+    oracle=f"""
+    SELECT "key",
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string("value", '$.k') AS BIGINT))
+                AS DOUBLE) AS total
+    FROM ({_ENV})
+    GROUP BY "key"
+    """,
+    tags=("connector", "streaming", "stateful", "e2e"))
+def dis_stateful_totals_streamed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """CUSTOM arbitrary-state operator (applyInPandasWithState) under the
+    oracle gate: per-key running (count, sum of the JSON payload's k)
+    executed as a real stream (streaming/stateful.py) — the Spark-first
+    replacement for the reference's user-side stateful DStream code.
+
+    Update mode emits one row per key per micro-batch it appears in; the
+    running totals are strictly monotone in n_events, so the final state
+    per key is the row with the max n_events — selected with a window
+    group-limit, which also makes the query robust to the drain executing
+    as multiple micro-batches (a rate-limited run would emit
+    intermediates)."""
+    from ..streaming.stateful import running_totals_per_key
+
+    log = _materialized_log(spark, sf_dir)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    final = _drain_to_memory(spark, running_totals_per_key(sdf),
+                             "stateful_stream", output_mode="update")
+    w = Window.partitionBy("key").orderBy(F.desc("n_events"))
+    return (final.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("key", "n_events", "total"))
+
+
+# ----------------------------------------------- multi-stream subscription
+
+_MULTI_LOG_CACHE: dict[str, str] = {}
+
+MULTI_STREAM_SPLIT = (("events_a", 0), ("events_b", 1))
+
+
+def _materialized_multi_log(spark: SparkSession, sf_dir: str) -> str:
+    """Two physical streams under one log root (events_a = even event_id,
+    events_b = odd), each a real on-disk DisLog written through the
+    format('dis') explicit-offset writer."""
+    import tempfile
+
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog
+    from ..tables import load_events
+
+    spark.dataSource.register(DisDataSource)
+    if sf_dir not in _MULTI_LOG_CACHE:
+        root = tempfile.mkdtemp(prefix="dis_multilog_")
+        events = load_events(spark, sf_dir)
+        for stream, residue in MULTI_STREAM_SPLIT:
+            DisLog(root, stream).create(DEFAULT_NUM_PARTITIONS)
+            env = envelope(events.where(F.col("event_id") % 2 == residue),
+                           stream, DEFAULT_NUM_PARTITIONS)
+            (env.select("partition", "offset", "key", "value", "timestamp")
+                .repartition(DEFAULT_NUM_PARTITIONS, "partition")
+                .sortWithinPartitions("partition", "offset")
+                .write.format("dis")
+                .option("path", root).option("stream", stream)
+                .option("segmentRows", "2000")
+                .mode("append").save())
+        _MULTI_LOG_CACHE[sf_dir] = root
+    return _MULTI_LOG_CACHE[sf_dir]
+
+
+def _split_envelope_sql(stream: str, residue: int) -> str:
+    return f"""
+        SELECT '{stream}' AS stream,
+               CAST(user_id % {DEFAULT_NUM_PARTITIONS} AS INT) AS "partition",
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY user_id % {DEFAULT_NUM_PARTITIONS}
+                    ORDER BY event_id) - 1 AS BIGINT) AS "offset",
+               CAST(user_id AS VARCHAR) AS "key",
+               props AS "value",
+               CAST(ts AS TIMESTAMP) AS "timestamp"
+        FROM events WHERE event_id % 2 = {residue}
+    """
+
+
+@register(
+    "dis_subscribe_pattern_multi",
+    oracle=f"""
+    WITH multi AS (
+      SELECT * FROM ({_split_envelope_sql(*MULTI_STREAM_SPLIT[0])})
+      UNION ALL
+      SELECT * FROM ({_split_envelope_sql(*MULTI_STREAM_SPLIT[1])})
+    )
+    SELECT stream, "partition", "offset", "key", "value",
+           strftime("timestamp", '{TS_FMT_DUCK}') AS ts_utc
+    FROM multi
+    """,
+    tags=("connector", "datasource", "multi-stream", "physical"))
+def dis_subscribe_pattern_multi(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ConsumerStrategies.SubscribePattern under the oracle gate: two
+    PHYSICAL on-disk streams (events split by event_id parity, each with
+    its own per-stream offset assignment) read back through ONE
+    ``format('dis')`` scan with ``subscribePattern='events_[ab]'``
+    (ConsumerStrategy.scala:132-171 — the directory listing is the
+    subscription, so stream pickup happens at plan time). The union
+    envelope must reproduce the pure-transform split exactly — offsets
+    are per-stream, so any cross-stream mixup breaks the hash."""
+    root = _materialized_multi_log(spark, sf_dir)
+    df = (spark.read.format("dis")
+          .option("path", root)
+          .option("subscribePattern", "events_[ab]")
+          .load())
+    return df.select(
+        "stream", "partition", "offset", "key", "value",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc"))
+
+
+@register(
+    "events_ewma_windowed",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             list("value" ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           len(vals) AS n_events,
+           list_reduce(vals,
+             (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)
+             AS ewma
+    FROM seq
+    """,
+    tags=("connector", "timeseries", "recursive", "bounded-state"))
+def events_ewma_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE EWMA: the per-user fold windowed by calendar day, so
+    per-key state is one day's history instead of the user's entire
+    lifetime — the scale-safe form of :func:`events_ewma` (whose docstring
+    names exactly this windowing as the unbounded-history fix). At 100 TB
+    a hot key's daily slice is bounded by its daily event rate; the global
+    fold stays registered alongside as the oracle anchor for the exact
+    whole-history recursion.
+
+    Same exact cross-engine arithmetic: both engines fold the identical
+    (ts, event_id)-sorted sequence with identical IEEE ops — no epsilon."""
+    events = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"])
+    seq = (events.groupBy("user_id", day.alias("day"))
+           .agg(vals.alias("vals")))
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2,
+                F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.get(F.col("vals"), 0),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc)
+    return seq.select("user_id",
+                      F.date_format("day", "yyyy-MM-dd").alias("day"),
+                      F.size("vals").alias("n_events"),
+                      ewma.alias("ewma"))
+
+
 NUM_PARTITIONS = DEFAULT_NUM_PARTITIONS
 
 

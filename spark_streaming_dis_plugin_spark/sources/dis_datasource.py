@@ -337,6 +337,12 @@ class DisStreamReader(DataSourceStreamReader):
         # consumed by commit() to measure each batch's processing delay.
         self._inflight: deque[tuple[float, int]] = deque()
 
+    def _trace(self, msg: str) -> None:
+        path = os.environ.get("SPARK_DIS_TRACE")
+        if path:
+            with open(path, "a") as f:
+                f.write(f"pid={os.getpid()} id={id(self)} {msg}\n")
+
     # -- planning (driver side) --
 
     def initialOffset(self) -> dict:
@@ -355,6 +361,7 @@ class DisStreamReader(DataSourceStreamReader):
                 out[p] = (latest[p] if o == LATEST
                           else earliest[p] if o == EARLIEST else o)
         self._sync(out)
+        self._trace(f"initialOffset -> {out}")
         return {str(p): o for p, o in out.items()}
 
     def latestOffset(self) -> dict:
@@ -414,6 +421,7 @@ class DisStreamReader(DataSourceStreamReader):
             if planned > 0:
                 self._inflight.append((time.monotonic() * 1000.0, planned))
         self._sync(ends)
+        self._trace(f"latestOffset -> {ends}")
         return {str(p): o for p, o in ends.items()}
 
     def partitions(self, start: dict, end: dict):
@@ -434,13 +442,26 @@ class DisStreamReader(DataSourceStreamReader):
             ranges.append(OffsetRange(self.log.stream, p, frm, int(until)))
         for p_str, o in start.items():
             p = int(p_str)
-            self._floor[p] = max(self._floor.get(p, 0), int(o))
+            # A batch start is commit evidence (everything below it is in
+            # Spark's offset log as processed) ONLY for partitions the
+            # batch actually advances. On restart the engine first issues
+            # a zero-width resync call partitions(latest_wal, latest_wal)
+            # BEFORE replaying the uncommitted batch; taking that start as
+            # floor would clamp the genuine replay [prev_wal, latest_wal)
+            # to empty and silently drop a committed-to-WAL batch (exactly
+            # the data-loss mode the replay exists to prevent — caught by
+            # the dis_restart_streamed oracle flake, pinned by
+            # test_replay_uncommitted_batch_after_restart).
+            if int(end.get(p_str, o)) > int(o):
+                self._floor[p] = max(self._floor.get(p, 0), int(o))
         self._sync({int(p): int(o) for p, o in end.items()})
         from .dis_batch import check_consecutive, check_data_loss
 
         ranges = check_data_loss(self.log, ranges, self.fail_on_data_loss)
         check_consecutive(self.log, ranges, self.allow_gaps)
         planned = _plan_partitions(self.log, ranges)
+        self._trace(f"partitions start={start} end={end} floor={self._floor} "
+                    f"-> {[(r.partition, r.from_offset, r.until_offset) for r in ranges]}")
         if planned:
             return planned
         # Spark requires >=1 partition per batch; emit one empty range.

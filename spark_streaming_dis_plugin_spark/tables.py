@@ -34,12 +34,23 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical values either way. NTZ keeps every downstream format/compare
     independent of the session timezone. Branch on the physical type."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if not isinstance(raw.schema["ts"].dataType, LongType):
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, TimestampNTZType):
         return raw  # native TIMESTAMP_NTZ micros — nothing to convert
+    if not isinstance(ts_type, LongType):
+        # e.g. TIMESTAMP(MICROS, isAdjustedToUTC=true) reads as session-
+        # timezone-dependent TimestampType (LTZ); silently passing it
+        # through would break the NTZ/timezone-independence contract every
+        # downstream format/compare relies on. Fail loudly instead.
+        raise TypeError(
+            f"events.ts read as {ts_type}; expected TIMESTAMP_NTZ or "
+            "nanos-as-long (set by spark.sql.legacy.parquet.nanosAsLong). "
+            "An isAdjustedToUTC=true layout would make results depend on "
+            "the session timezone — refusing to load it.")
     # Nanos-as-long layout: build NTZ by pure interval arithmetic from the
     # epoch — NEVER via timestamp_micros/convert_timezone: those round-trip
     # through LTZ and an implicit LTZ->NTZ cast that uses the SESSION

@@ -4,6 +4,8 @@ checkpoint restart), and the writer/sink paths."""
 
 from __future__ import annotations
 
+import time
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -487,6 +489,56 @@ def test_restart_with_rate_limit_no_duplicates(spark, tmp_path):
     assert got.count() == 300
     assert (got.groupBy("partition", "offset").count()
             .where(F.col("count") > 1).count()) == 0
+
+
+def test_replay_uncommitted_batch_after_restart(spark, log, tmp_path):
+    """A batch whose offsets reached the WAL but whose commit marker did
+    not (crash between offset-log write and commit) MUST be re-read on
+    restart. Regression: the engine's post-restart zero-width resync call
+    partitions(latest_wal, latest_wal) used to poison the _floor guard,
+    clamping the genuine replay [prev_wal, latest_wal) to empty — a
+    silently dropped batch (≅ the recovery contract of
+    DirectDISInputDStream.scala:367-397)."""
+    import glob
+    import os
+
+    from spark_streaming_dis_plugin_spark.streaming.drain import (
+        drain_available,
+    )
+
+    ckpt = str(tmp_path / "replay_ckpt")
+    out = str(tmp_path / "replay_out")
+    total = sum(log.latest_offsets().values())
+
+    def start(limited):
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream))
+        if limited:
+            sdf = sdf.option("maxOffsetsPerTrigger", str(max(total // 6, 1)))
+        return (sdf.load().writeStream.format("parquet")
+                .option("path", out).option("checkpointLocation", ckpt)
+                .trigger(processingTime="0 seconds").start())
+
+    q = start(limited=True)
+    deadline = time.monotonic() + 120
+    while len(glob.glob(ckpt + "/commits/[0-9]*")) < 3:
+        assert time.monotonic() < deadline, "no 3 commits within 120s"
+        time.sleep(0.05)
+    q.stop()
+    q.awaitTermination(60)
+    # simulate the crash window: drop the newest commit marker (+ crc)
+    last = sorted(glob.glob(ckpt + "/commits/[0-9]*"),
+                  key=lambda p: int(os.path.basename(p)))[-1]
+    os.remove(last)
+    crc = os.path.join(os.path.dirname(last),
+                       "." + os.path.basename(last) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    drain_available(start(limited=False), timeout_seconds=120)
+    got = spark.read.parquet(out)
+    assert got.count() == total          # nothing lost
+    assert (got.groupBy("partition", "offset").count()
+            .where(F.col("count") > 1).count()) == 0   # nothing doubled
 
 
 def test_subscribe_pattern_multi_stream(spark, log, tmp_path):
