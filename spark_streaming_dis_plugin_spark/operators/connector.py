@@ -346,7 +346,7 @@ def dis_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE word != ''
     GROUP BY word
     """,
-    tags=("connector", "streaming", "e2e"))
+    tags=("connector", "streaming", "e2e"), bench=True)
 def dis_wordcount_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference demo pipeline EXECUTED AS A STREAM under the oracle
     gate: physical on-disk log -> readStream.format('dis') -> running

@@ -526,3 +526,67 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.encode(F.concat_ws(" ", chunk), "utf-8"))
         .alias("chunk_hash"))
+
+
+_CHUNKS_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id, {tokens_sql('text')} AS tk FROM documents
+    ), pos AS (
+      SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk), {CHUNK_STRIDE}))
+               AS chunk_start
+      FROM tk WHERE len(tk) > 0
+    )
+    SELECT doc_id, chunk_start,
+           md5(array_to_string(
+               list_slice(tk, chunk_start,
+                          chunk_start + {CHUNK_TOKENS} - 1), ' '))
+             AS chunk_hash
+    FROM pos
+"""
+
+
+@register(
+    "chunk_dedup_containment",
+    oracle=f"""
+    WITH chunks AS ({_CHUNKS_SQL}),
+    ranked AS (
+      SELECT doc_id, chunk_hash,
+             ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                ORDER BY doc_id, chunk_start) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_frac
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    tags=("pipeline", "chunking", "dedup", "composition"))
+def chunk_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-LEVEL DEDUP, composed: chunk every document (the
+    chunk_documents operator) -> exact dedup on chunk_hash (survivor =
+    first (doc_id, chunk_start) per hash) -> per-document CONTAINMENT
+    report: how many of a doc's chunks are duplicates of chunks already
+    seen elsewhere. This is the RAG boilerplate/near-dup pipeline: a doc
+    with high dup_frac is mostly made of passages another doc already
+    contributes, and a prep job drops or down-weights it — finer-grained
+    than whole-document dedup (catches partial copies and shared
+    boilerplate that document-level hashes miss).
+
+    Scale shape: chunking is row-local (no shuffle); the dedup shuffles
+    the 16-byte chunk_hash only (never text) into a window group-limit;
+    the containment report is one partial agg back on doc_id. dup_frac
+    is a single IEEE division of two small ints — exact cross-engine."""
+    chunks = chunk_documents(spark, sf_dir)
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_start")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    dup = F.when(F.col("rn") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (ranked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+                 (F.sum(dup).cast("double") / F.count(F.lit(1)))
+                 .alias("dup_frac")))

@@ -255,28 +255,32 @@ def _ivf_nprobe_oracle(n_probe: int) -> str:
     """
 
 
-def _ivf_trained_search(spark: SparkSession, sf_dir: str,
-                        n_probe: int) -> DataFrame:
-    """Shared trained-IVF search: one decimal-exact Lloyd iteration from
-    deterministic seeds -> assignment -> n_probe nearest-cluster search."""
+def _rank_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, e, centroid_id, d2, rnk): every vector ranked against the
+    (broadcast) centroid set by L2 distance, deterministic tie-break."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("e"), F.col("ce"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    return (emb.crossJoin(F.broadcast(cent))
+            .select("vec_id", "e", "centroid_id", d2.alias("d2"))
+            .withColumn("rnk", F.row_number().over(w)))
+
+
+def _ivf_build_relations(spark: SparkSession,
+                         sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """IVF BUILD: one decimal-exact Lloyd iteration from deterministic
+    seeds -> (trained centroids, inverted file). The inverted file is the
+    full corpus tagged with its cluster (vec_id, e, cluster) — the
+    index relation a production system materializes once and amortizes."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double"))
         .alias("e"))
-
-    def rank_to(cent: DataFrame) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(F.col("e"), F.col("ce"),
-                       lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x)
-        w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
-        return (emb.crossJoin(F.broadcast(cent))
-                .select("vec_id", "e", "centroid_id", d2.alias("d2"))
-                .withColumn("rnk", F.row_number().over(w)))
-
     cent0 = (emb.where(F.col("vec_id") < N_CENTROIDS)
              .select(F.col("vec_id").alias("centroid_id"),
                      F.col("e").alias("ce")))
-    assign0 = rank_to(cent0).where(F.col("rnk") == 1)
+    assign0 = _rank_to_centroids(emb, cent0).where(F.col("rnk") == 1)
     dim_avgs = [
         (F.sum(F.element_at("e", i + 1).cast("decimal(27,8)"))
          .cast("double") / F.count(F.lit(1))).alias(f"d{i}")
@@ -286,24 +290,66 @@ def _ivf_trained_search(spark: SparkSession, sf_dir: str,
              .select("centroid_id",
                      F.array(*[F.col(f"d{i}") for i in range(DIM)])
                      .alias("ce")))
-    # persist: ranked feeds two consumers (assignment + probe list);
-    # without the barrier each consumer recomputes the corpus x centroid
-    # cross join AND the Lloyd step behind cent1 (~4 corpus passes,
-    # measured 3.0s -> ~1.2s at sf0.1)
-    ranked = rank_to(cent1).persist()
-    assign = (ranked.where(F.col("rnk") == 1)
-              .select("vec_id", F.col("e").alias("ve"),
-                      F.col("centroid_id").alias("cluster")))
-    probes = (ranked.where((F.col("rnk") <= n_probe)
-                           & (F.col("vec_id") < N_QUERIES))
-              .select(F.col("vec_id").alias("query_id"),
-                      F.col("e").alias("qe"),
+    inverted = (_rank_to_centroids(emb, cent1).where(F.col("rnk") == 1)
+                .select("vec_id", "e",
+                        F.col("centroid_id").alias("cluster")))
+    return cent1, inverted
+
+
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized IVF index (built once per sf_dir per process): the
+    trained centroids and the inverted file written as parquet — a real
+    stored index, not a cached plan (bench.py clearCache() between
+    iterations would silently rebuild a persist()-based cache, hiding the
+    build cost inside the search row it exists to isolate). Deterministic
+    content (decimal-exact Lloyd from fixed seeds + exact double
+    round-trip through parquet), so search results are oracle-stable."""
+    import tempfile
+
+    if sf_dir not in _IVF_INDEX_CACHE:
+        root = tempfile.mkdtemp(prefix="ivf_index_")
+        cent, inverted = _ivf_build_relations(spark, sf_dir)
+        cent.write.mode("overwrite").parquet(f"{root}/centroids")
+        inverted.write.mode("overwrite").parquet(f"{root}/inverted")
+        _IVF_INDEX_CACHE[sf_dir] = root
+    return _IVF_INDEX_CACHE[sf_dir]
+
+
+def _ivf_search_prebuilt(spark: SparkSession, sf_dir: str,
+                         n_probe: int) -> DataFrame:
+    """IVF SEARCH over the prebuilt index — the amortized production
+    path: scan the stored inverted file, rank each query vector against
+    the (tiny, broadcast) stored centroids at query time to pick its
+    n_probe clusters, then score only those clusters' members. Each
+    query touches ~|corpus| / C * n_probe vectors; the corpus-side scan
+    carries no Lloyd work at all (pinned by test_plan_shapes)."""
+    root = _ivf_index_root(spark, sf_dir)
+    inverted = spark.read.parquet(f"{root}/inverted")
+    cent = spark.read.parquet(f"{root}/centroids")
+    queries = (inverted.where(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("e").alias("qe")))
+    # query -> probe clusters: rank against C stored centroids (query-time
+    # work proportional to |queries| * C, independent of corpus size)
+    qd2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    wq = Window.partitionBy("query_id").orderBy("d2", "centroid_id")
+    probes = (queries.crossJoin(F.broadcast(cent))
+              .select("query_id", "qe", "centroid_id", qd2.alias("d2"))
+              .withColumn("prnk", F.row_number().over(wq))
+              .where(F.col("prnk") <= n_probe)
+              .select("query_id", "qe",
                       F.col("centroid_id").alias("probe")))
-    cos = cosine(F.col("qe"), F.col("ve"))
+    cos = cosine(F.col("qe"), F.col("e"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    return (assign.join(F.broadcast(probes),
-                        (F.col("cluster") == F.col("probe"))
-                        & (F.col("vec_id") != F.col("query_id")))
+    return (inverted.join(F.broadcast(probes),
+                          (F.col("cluster") == F.col("probe"))
+                          & (F.col("vec_id") != F.col("query_id")))
             .select("query_id", F.col("vec_id").alias("neighbor_id"),
                     cos.alias("cos"))
             .withColumn("rnk", F.row_number().over(w))
@@ -312,19 +358,75 @@ def _ivf_trained_search(spark: SparkSession, sf_dir: str,
                     (F.round("cos", 4) + 0.0).alias("cos"), "rnk"))
 
 
+def _ivf_build_oracle() -> str:
+    """DuckDB twin of the build: same Lloyd step, final assignment."""
+    dims = ", ".join(f"{_dim_avg_sql(i + 1)} AS d{i}" for i in range(DIM))
+    cent_array = "[" + ", ".join(f"d{i}" for i in range(DIM)) + "]"
+    d2 = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(range(1, {dim} + 1), "
+          "i -> (CAST(v.embedding[i] AS DOUBLE) - c.ce[i]) "
+          "* (CAST(v.embedding[i] AS DOUBLE) - c.ce[i]))), "
+          "(acc, x) -> acc + x)").format(dim=DIM)
+    return f"""
+    WITH cent0 AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign0 AS (
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2}, c.centroid_id) AS rnk
+        FROM embeddings v CROSS JOIN cent0 c
+      ) WHERE rnk = 1
+    ),
+    cent1 AS (
+      SELECT cluster AS centroid_id, {cent_array} AS ce FROM (
+        SELECT a.cluster, {dims}
+        FROM assign0 a JOIN embeddings v ON a.vec_id = v.vec_id
+        GROUP BY a.cluster
+      )
+    )
+    SELECT vec_id, centroid_id AS cluster FROM (
+      SELECT v.vec_id, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {d2}, c.centroid_id) AS rnk
+      FROM embeddings v CROSS JOIN cent1 c
+    ) WHERE rnk = 1
+    """
+
+
+@register(
+    "sim_ivf_build",
+    oracle=_ivf_build_oracle(),
+    tags=("similarity", "ann", "ivf", "build"), bench=True)
+def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD as its own measured operator (split from search so
+    the bench separates one-time build cost from per-query search cost —
+    in production the index is built once and amortized over every
+    query): one decimal-exact Lloyd iteration from deterministic seeds,
+    then the final nearest-centroid assignment. Build is 2 broadcast-join
+    corpus passes + 1 tiny hash agg; centroids stay k*dim-sized at any
+    corpus scale. Runs the build FRESH on every call (no index cache) so
+    its bench row times the build honestly."""
+    _, inverted = _ivf_build_relations(spark, sf_dir)
+    return inverted.select("vec_id", "cluster")
+
+
 @register(
     "sim_ivf_topk",
     oracle=_ivf_nprobe_oracle(n_probe=1),
     tags=("similarity", "ann", "ivf", "topk"), bench=True)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN query over TRAINED centroids (r2 verdict item 9: the
-    trained path is now the default, not a separate query): one
-    decimal-exact Lloyd iteration from deterministic seeds, then each
-    query searches only its own cluster (n_probe=1). Recall vs
-    sim_bruteforce_topk is the standard IVF tradeoff; the search join is
-    co-partitioned on cluster id so each cluster scans independently, and
-    each query touches ~|corpus|/C vectors."""
-    return _ivf_trained_search(spark, sf_dir, n_probe=1)
+    """IVF ANN SEARCH over the PREBUILT index (build split into
+    sim_ivf_build): each query ranks the stored centroids to pick its
+    cluster (n_probe=1), then scores only that cluster's members from
+    the stored inverted file. Recall vs sim_bruteforce_topk is the
+    standard IVF tradeoff; the search join is co-partitioned on cluster
+    id, each query touches ~|corpus|/C vectors, and the bench row now
+    measures search alone — the amortized production shape."""
+    return _ivf_search_prebuilt(spark, sf_dir, n_probe=1)
 
 
 @register(
@@ -332,12 +434,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_ivf_nprobe_oracle(n_probe=IVF_N_PROBE),
     tags=("similarity", "ann", "ivf", "multiprobe"))
 def sim_ivf_nprobe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained IVF with multi-probe (n_probe=2), the standard recall
-    lever over sim_ivf_topk. Plan shape at 100 TB: centroid training = 2
-    broadcast joins + 1 hash agg (centroids stay k*dim-sized); the search
-    joins are co-partitioned on cluster id, so each query touches
-    ~n_probe/C of the corpus."""
-    return _ivf_trained_search(spark, sf_dir, n_probe=IVF_N_PROBE)
+    """Prebuilt-index IVF with multi-probe (n_probe=2), the standard
+    recall lever over sim_ivf_topk: each query scores its 2 nearest
+    clusters, touching ~2/C of the corpus. Same stored index, same
+    oracle geometry (the trained-centroid Lloyd step)."""
+    return _ivf_search_prebuilt(spark, sf_dir, n_probe=IVF_N_PROBE)
 
 
 def _kmeans_oracle() -> str:

@@ -103,14 +103,34 @@ def test_embedding_lsh_band_join_not_cartesian(spark, sf_dir):
     assert "InMemoryTableScan" in plan
 
 
-def test_trained_ivf_reuses_ranked_relation(spark, sf_dir):
-    """Trained IVF search: the corpus x centroid rank relation is
-    persisted and feeds BOTH the assignment and the probe list (without
-    the barrier each consumer would recompute the Lloyd pass — measured
-    3.0 s vs 1.2 s of pure recompute at sf0.1); centroids stay broadcast."""
+def test_ivf_search_reads_prebuilt_index(spark, sf_dir):
+    """IVF search (build split out): the plan scans the MATERIALIZED
+    parquet index (inverted file + centroids) and carries NO Lloyd work —
+    the decimal-exact centroid sums belong to sim_ivf_build only. Probes
+    come from broadcasting the tiny centroid/query sides."""
     plan = _plan(spark, "sim_ivf_topk", sf_dir)
-    assert plan.count("InMemoryTableScan") >= 2
+    assert "FileScan parquet" in plan           # stored index, not a plan
+    assert "decimal(27,8)" not in plan          # no Lloyd step at search
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    build = _plan(spark, "sim_ivf_build", sf_dir)
+    assert "decimal(27,8)" in build             # the build does train
+
+
+def test_jaccard_capped_df_filter_before_self_join(spark, sf_dir):
+    """df-capped Jaccard: the heavy-shingle drop is a BROADCAST LeftAnti
+    join feeding the posting self-join (the drop-set is small by
+    construction; the corpus postings never shuffle for the cap)."""
+    plan = _plan(spark, "dedup_ngram_jaccard_capped", sf_dir)
+    assert "LeftAnti" in plan
+    assert "BuildRight" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_shuffles_hash_only(spark, sf_dir):
+    """Chunk-level dedup: the only hash shuffle key is the 16-byte
+    chunk_hash (the window group-limit); chunk text never shuffles."""
+    plan = _plan(spark, "chunk_dedup_containment", sf_dir)
+    assert "hashpartitioning(chunk_hash" in plan
 
 
 def test_decontaminate_broadcasts_eval_postings(spark, sf_dir):
