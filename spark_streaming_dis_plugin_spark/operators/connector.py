@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.portable import portable_hash_sql
 from ..plans.registry import register
 from ..sources.dis_log import DEFAULT_NUM_PARTITIONS, envelope, envelope_sql
 from ..tables import load
@@ -851,6 +852,143 @@ def events_ewma_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.date_format("day", "yyyy-MM-dd").alias("day"),
                       F.size("vals").alias("n_events"),
                       ewma.alias("ewma"))
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)
+             AS p_transition
+    FROM pairs
+    """,
+    tags=("connector", "analytics", "sequence"))
+def events_markov_transitions(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    — the behavior-sequence prep step (next-event models, session
+    embeddings, anomaly baselines): order each user's events by
+    (ts, event_id), pair each event with its successor via lead(), count
+    (from, to) transitions, and normalize per source state.
+
+    Scale shape: one shuffle on user_id for the lead window (per-user
+    sequences sort independently), then the pair counts collapse to a
+    |event_type|^2-sized relation — tiny — so the normalizing window is
+    free. p_transition is one IEEE division of two exact ints, identical
+    cross-engine."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+    pairs = (seq.where(F.col("to_type").isNotNull())
+             .groupBy("from_type", "to_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt))
+        .alias("p_transition"))
+
+
+@register(
+    "dis_producer_roundtrip",
+    oracle=f"""
+    SELECT CAST({portable_hash_sql('"key"')} % {DEFAULT_NUM_PARTITIONS}
+                AS INT) AS "partition",
+           "key", "value",
+           strftime("timestamp", '{TS_FMT_DUCK}') AS ts_utc
+    FROM ({_ENV})
+    """,
+    tags=("connector", "datasource", "sink", "physical"))
+def dis_producer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCER-mode sink under the oracle gate (assign-at-commit,
+    DISSink.scala:23-55): envelope rows written through format('dis')
+    WITHOUT partition/offset columns, so the writer routes each record by
+    portable key-hash % num_partitions (the reference's key-routing
+    semantics, DISSink.scala:27-34) and the commit assigns offsets from
+    the log tail. Reading the log back must reproduce every record with
+    its hash-routed partition — the oracle recomputes the routing
+    directly. Offsets are commit-order-dependent (deterministic only up
+    to task scheduling), so they are deliberately NOT projected; content
+    and routing are what the producer contract guarantees."""
+    import tempfile
+
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog
+
+    spark.dataSource.register(DisDataSource)
+    root = tempfile.mkdtemp(prefix="dis_producer_")
+    DisLog(root, "produced").create(DEFAULT_NUM_PARTITIONS)
+    (_envelope(spark, sf_dir)
+        .select("key", "value", "timestamp")
+        .write.format("dis")
+        .option("path", root).option("stream", "produced")
+        .option("segmentRows", "2000")
+        .mode("append").save())
+    df = (spark.read.format("dis")
+          .option("path", root).option("stream", "produced").load())
+    return df.select(
+        "partition", "key", "value",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc"))
+
+
+@register(
+    "dis_stream_sink_roundtrip",
+    oracle=f"""
+    SELECT "partition", "key", "value",
+           strftime("timestamp", '{TS_FMT_DUCK}') AS ts_utc
+    FROM ({_ENV})
+    """,
+    tags=("connector", "streaming", "sink", "exactly-once", "e2e"))
+def dis_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE STREAMING SINK under the oracle gate: a rate-limited
+    stream copies the log through ``writeStream.format('dis')`` into a
+    fresh log, so the copy commits as SEVERAL per-batch transactions
+    (txn ``copy_b<batchId>`` each, the exactly-once ledger protocol of
+    DisStreamWriter); reading the destination back must reproduce every
+    record exactly once — a dropped, doubled, or cross-routed batch txn
+    breaks the hash. Offsets in the destination are assigned at commit
+    (producer-mode tail append) and deliberately not projected; the
+    forwarded partition column pins explicit routing."""
+    import tempfile
+
+    from ..sources.dis_log import DisLog
+    from ..streaming.drain import drain_available
+
+    log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    dest_root = tempfile.mkdtemp(prefix="dis_copy_")
+    DisLog(dest_root, "copy").create(DEFAULT_NUM_PARTITIONS)
+    ckpt = tempfile.mkdtemp(prefix="dis_copy_ckpt_")
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("maxOffsetsPerTrigger", str(max(total // 4, 1)))
+           .load())
+    q = (sdf.select("partition", "key", "value", "timestamp")
+         .writeStream.format("dis")
+         .option("path", dest_root).option("stream", "copy")
+         .option("txnPrefix", "copy")
+         .option("segmentRows", "2000")
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="0 seconds").start())
+    drain_available(q, timeout_seconds=180)
+    df = (spark.read.format("dis")
+          .option("path", dest_root).option("stream", "copy").load())
+    return df.select(
+        "partition", "key", "value",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc"))
 
 
 NUM_PARTITIONS = DEFAULT_NUM_PARTITIONS

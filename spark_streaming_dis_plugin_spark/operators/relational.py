@@ -2200,3 +2200,154 @@ def mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (mode_pick.join(med, "l_returnflag")
             .select(F.col("l_returnflag").alias("returnflag"),
                     "mode_line", "median_disc"))
+
+
+# ----------------------------------------- adapted partsupp-family TPC-H
+#
+# The fixture ships no partsupp table, so the partsupp-dependent TPC-H
+# shapes (Q9/Q11/Q16) run with the standard adaptation: the supplier-part
+# relationship is DERIVED from lineitem (distinct (l_suppkey, l_partkey)
+# observed pairs) and supply cost is the deterministic stand-in
+# 0.6 * p_retailprice. The JOIN/AGG/SUBQUERY shapes — what the operators
+# exist to exercise — are the canonical ones.
+
+SUPPLYCOST_FACTOR = 0.6
+
+
+@register(
+    "q9_product_type_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           {dsum_sql(f'l_extendedprice * (1 - l_discount) - '
+                     f'{SUPPLYCOST_FACTOR} * p_retailprice * l_quantity', 6)}
+             AS sum_profit
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "tpch", "join", "adapted"))
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted:
+    supply cost = 0.6 * p_retailprice (no partsupp in the fixture).
+    Five-way join where the three dimension sides broadcast and lineitem
+    never moves; profit summed decimal-exact per (nation, year)."""
+    li, part, supp, nation, orders = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - SUPPLYCOST_FACTOR * F.col("p_retailprice")
+              * F.col("l_quantity"))
+    return (li.join(F.broadcast(part.where(F.col("p_name").like("%red%"))),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(dsum(profit, 6).alias("sum_profit")))
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH supply AS (
+      SELECT l_partkey, {SUPPLYCOST_FACTOR} * p_retailprice * l_quantity
+               AS stock_value
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    ),
+    per_part AS (
+      SELECT l_partkey AS partkey,
+             {dsum_sql('stock_value', 6)} AS part_value
+      FROM supply GROUP BY 1
+    ),
+    total AS (SELECT SUM(part_value) AS corpus_value,
+                     COUNT(*) AS n_parts FROM per_part)
+    SELECT partkey, part_value
+    FROM per_part CROSS JOIN total
+    WHERE part_value > 2.0 * corpus_value / n_parts
+    """,
+    tags=("relational", "tpch", "subquery", "adapted"))
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock: parts whose held value exceeds a
+    fraction of one nation's total), adapted to the lineitem-derived
+    supply relation. The scalar total comes from one tiny agg broadcast
+    back over the per-part values — the canonical HAVING-over-global-
+    fraction pattern. The threshold is 2x the MEAN per-part share (the
+    canonical fixed fraction is SF-dependent and selects nothing at 10x
+    the parts); comparison happens on DOUBLE values both engines derived
+    from identical decimal-exact sums."""
+    li, part, supp, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    stock_value = (SUPPLYCOST_FACTOR * F.col("p_retailprice")
+                   * F.col("l_quantity"))
+    supply = (li.join(F.broadcast(supp),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .select(F.col("l_partkey").alias("partkey"),
+                      stock_value.alias("stock_value")))
+    per_part = (supply.groupBy("partkey")
+                .agg(dsum(F.col("stock_value"), 6).alias("part_value")))
+    total = per_part.agg(F.sum("part_value").alias("corpus_value"),
+                         F.count(F.lit(1)).alias("n_parts"))
+    return (per_part.crossJoin(F.broadcast(total))
+            .where(F.col("part_value")
+                   > 2.0 * F.col("corpus_value") / F.col("n_parts"))
+            .select("partkey", "part_value"))
+
+
+@register(
+    "q16_parts_supplier_relationship",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem
+    ),
+    excluded AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT suppkey) AS supplier_cnt
+    FROM pairs
+      JOIN part ON partkey = p_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT IN ('PROMO')
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("relational", "tpch", "anti-join", "adapted"))
+def q16_parts_supplier_relationship(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier counts per part attribute bucket with
+    brand/type/size filters and a supplier blacklist), adapted: the
+    part-supplier pairs come from distinct lineitem observations and the
+    blacklist is s_acctbal < 0 (the fixture has no comment column).
+    The blacklist is a broadcast anti-join; part attributes broadcast;
+    COUNT(DISTINCT) collapses pair duplicates exactly."""
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    pairs = (li.select(F.col("l_partkey").alias("partkey"),
+                       F.col("l_suppkey").alias("suppkey"))
+             .distinct())
+    excluded = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    part_f = part.where(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").isin("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)))
+    return (pairs.join(F.broadcast(part_f),
+                       F.col("partkey") == F.col("p_partkey"))
+            .join(F.broadcast(excluded),
+                  F.col("suppkey") == F.col("s_suppkey"), "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("suppkey").alias("supplier_cnt")))

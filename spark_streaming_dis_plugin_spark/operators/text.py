@@ -8,7 +8,7 @@ transforms that scale linearly with input splits at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import (
@@ -308,3 +308,63 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         portable_hash(F.col("text")).alias("content_hash"),
         rolling.alias("rolling_fp"))
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) + 0.0
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TFIDF_TOP_K}
+    """,
+    tags=("text", "tfidf", "ranking"))
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-{TFIDF_TOP_K} terms per document — the classic corpus
+    keyword/relevance operator (tf = term count in doc, idf = ln(N/df)).
+    The per-doc top terms are the cheap salience signal prep pipelines
+    use for topic tagging and boilerplate spotting.
+
+    Scale shape: tf is one shuffle on (doc_id, term) with map-side
+    combine; df folds tf by term (vocabulary-sized, shrinks fast); the
+    tf<->df join keys on term, and at 100 TB the df relation is
+    vocabulary-sized — broadcastable after a df floor, else a hash join
+    that AQE sizes; the top-k is a window group-limit per doc. Ranking
+    keys on the ROUNDED score (6 dp) in BOTH engines so a last-ulp ln()
+    divergence cannot reorder near-ties; remaining ties break on term."""
+    docs = load(spark, sf_dir, "documents")
+    para = spark.sparkContext.defaultParallelism
+    toks = (docs.repartition(para)
+            .select("doc_id", F.explode(tokens("text")).alias("term")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        6) + 0.0
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+            .select("doc_id", "term", score.alias("tfidf"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= TFIDF_TOP_K)
+            .select("doc_id", "term", "tfidf", "rnk"))
