@@ -991,6 +991,164 @@ def dis_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc"))
 
 
+@register(
+    "dis_sliding_window_streamed",
+    oracle=f"""
+    WITH env AS ({_ENV}),
+    w AS (
+      SELECT make_timestamp(
+               (epoch_us("timestamp") // 1800000000) * 1800000000) AS w0
+      FROM env
+    ),
+    starts AS (
+      SELECT w0 AS ws FROM w
+      UNION ALL
+      SELECT w0 - INTERVAL 30 MINUTE FROM w
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, COUNT(*) AS n
+    FROM starts GROUP BY 1
+    """,
+    tags=("connector", "streaming", "window", "sliding", "e2e"))
+def dis_sliding_window_streamed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows (1 hour every 30 minutes) as a real
+    watermarked stream under the oracle gate — each record lands in
+    exactly two overlapping windows, which the oracle reproduces by
+    unioning the record's two epoch-aligned 30-minute bucket starts
+    (Spark's window() aligns to the epoch; the oracle derives the same
+    starts from integer microsecond arithmetic, no timezone anywhere)."""
+    from ..streaming.queries import sliding_counts
+
+    log = _materialized_log(spark, sf_dir)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    final = _drain_to_memory(spark, sliding_counts(sdf), "slide_stream",
+                             output_mode="complete")
+    return final.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("window_start"), "n")
+
+
+@register(
+    "dis_backpressure_streamed",
+    oracle=f"""
+    SELECT word, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex("value", '[^a-zA-Z0-9_]+')) AS word
+      FROM ({_ENV})
+    )
+    WHERE word != ''
+    GROUP BY word
+    """,
+    tags=("connector", "streaming", "backpressure", "e2e"))
+def dis_backpressure_streamed(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The PID BACKPRESSURE path executed end-to-end under the oracle
+    gate: the word-count stream drains with backpressureEnabled=true and
+    a deliberately low initial rate, so every micro-batch is planned
+    through the PID estimator + lag-proportional split
+    (sources/pid.py, sources/rate.py ≅ PIDRateEstimator +
+    maxMessagesPerPartition). Batch BOUNDARIES are timing-dependent;
+    the drained UNION is not — the final complete-mode state must still
+    hash-match the batch SQL, pinning that rate control never drops or
+    doubles a record no matter where the batch cuts land."""
+    from ..streaming.drain import drain_available
+    from ..streaming.queries import running_wordcount
+
+    import tempfile
+    import uuid
+
+    log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    name = f"bp_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="bp_ckpt_")
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("backpressureEnabled", "true")
+           .option("backpressureInitialRate", str(max(total // 4, 1)))
+           .option("backpressureMinRate", str(max(total // 20, 1)))
+           .load())
+    q = (running_wordcount(sdf).writeStream.format("memory")
+         .queryName(name).outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="0 seconds").start())
+    import shutil
+    try:
+        drain_available(q, timeout_seconds=180)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+@register(
+    "dis_boundary_read",
+    oracle=f"""
+    SELECT "partition", "offset", "key", "value"
+    FROM ({_ENV})
+    WHERE ("partition" = 0 AND "offset" >= 100 AND "offset" < 400)
+       OR ("partition" = 1 AND "offset" >= 50)
+       OR ("partition" = 2 AND "offset" < 60)
+       OR ("partition" = 3)
+    """,
+    tags=("connector", "scan", "boundaries"))
+def dis_boundary_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The startingOffsets/endingOffsets JSON dialect (the createRDD
+    boundary form, DISUtils.scala:240-303 / JsonUtils.scala:34-60) on the
+    physical source: partitions absent from the start map default to
+    earliest, absent from the end map default to latest — partition 1 is
+    unbounded above, partition 2 below, partition 3 both. Exercises
+    _parse_boundary + sentinel defaulting against real log bounds."""
+    log = _materialized_log(spark, sf_dir)
+    df = (spark.read.format("dis")
+          .option("path", log.root).option("stream", log.stream)
+          .option("startingOffsets",
+                  '{"events": {"0": 100, "1": 50}}')
+          .option("endingOffsets",
+                  '{"events": {"0": 400, "2": 60}}')
+          .load())
+    return df.select("partition", "offset", "key", "value")
+
+
+_COMPACT_LOG_CACHE: dict[str, str] = {}
+
+
+@register(
+    "dis_compacted_read",
+    oracle=f"""
+    SELECT "partition", "offset", "key", "value"
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY "partition", "key"
+                                   ORDER BY "offset" DESC) AS rn
+      FROM ({_ENV})
+    ) WHERE rn = 1
+    """,
+    tags=("connector", "compaction", "physical"))
+def dis_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTED-LOG read under the oracle gate: a fresh physical log is
+    compacted Kafka-style (last record per key per partition wins,
+    offsets preserved, segments become sparse), then scanned with
+    ``allowNonConsecutiveOffsets=true`` — the gappy-range substrate the
+    reference reads behind spark.streaming.dis.allowNonConsecutiveOffsets
+    (DISRDD.scala:74-75,271-315). The oracle reproduces compaction
+    declaratively: highest-offset row per (partition, key)."""
+    import tempfile
+
+    from ..sources.dis_log import compact_log, create_log_from_events
+
+    if sf_dir not in _COMPACT_LOG_CACHE:
+        root = tempfile.mkdtemp(prefix="dis_compact_")
+        log = create_log_from_events(spark, f"{sf_dir}/events.parquet",
+                                     root, segment_rows=2000)
+        compact_log(log)
+        _COMPACT_LOG_CACHE[sf_dir] = root
+    df = (spark.read.format("dis")
+          .option("path", _COMPACT_LOG_CACHE[sf_dir])
+          .option("stream", "events")
+          .option("allowNonConsecutiveOffsets", "true")
+          .load())
+    return df.select("partition", "offset", "key", "value")
+
+
 NUM_PARTITIONS = DEFAULT_NUM_PARTITIONS
 
 

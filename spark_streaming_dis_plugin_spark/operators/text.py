@@ -368,3 +368,79 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= TFIDF_TOP_K)
             .select("doc_id", "term", "tfidf", "rnk"))
+
+
+MIN_TOKENS = 20
+MAX_PUNCT_RATIO = 0.1
+MIN_STOPWORD_RATIO = 0.01
+MIN_TTR = 0.30
+
+
+@register(
+    "text_quality_verdict",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, {tokens_sql('text')} AS tk,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+             CAST({_lang_hits_sql('tk', 'en')} AS DOUBLE)
+               / GREATEST(len(tk), 1) AS sw_ratio,
+             CAST(len(list_distinct(tk)) AS DOUBLE)
+               / GREATEST(len(tk), 1) AS ttr
+      FROM f
+    )
+    SELECT doc_id, n_tokens,
+           n_tokens < {MIN_TOKENS} AS too_short,
+           punct_ratio >= {MAX_PUNCT_RATIO} AS high_punct,
+           sw_ratio < {MIN_STOPWORD_RATIO} AS low_stopword,
+           ttr < {MIN_TTR} AS repetitive_vocab,
+           (n_tokens >= {MIN_TOKENS} AND punct_ratio < {MAX_PUNCT_RATIO}
+            AND sw_ratio >= {MIN_STOPWORD_RATIO} AND ttr >= {MIN_TTR})
+             AS keep
+    FROM s
+    """,
+    tags=("text", "quality", "composition"))
+def text_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed QUALITY VERDICT per document — the keep/drop decision a
+    prep job applies, with per-rule reason flags for auditability
+    (which rule killed a doc matters more than that it died): length
+    floor, punctuation-density ceiling, stopword-ratio floor (natural
+    prose contains function words; their absence flags tables/code/
+    gibberish), and a type-token-ratio floor (low TTR = loops of the
+    same tokens, the cheap repetition signal next to the full Gopher
+    operator). All signals are row-local Column expressions — no
+    shuffle, no UDF; every ratio is one IEEE division of exact ints, so
+    the flags are bit-identical cross-engine with no epsilon."""
+    docs = load(spark, sf_dir, "documents")
+    tk = tokens("text")
+    feats = docs.select(
+        "doc_id", tk.alias("tk"),
+        F.regexp_count("text", F.lit("[^a-zA-Z0-9 ]")).alias("n_punct"),
+        F.length("text").alias("n_chars"))
+    n_tokens = F.size("tk")
+    punct_ratio = (F.col("n_punct").cast("double")
+                   / F.greatest(F.col("n_chars"), F.lit(1)))
+    sw_ratio = (_lang_hits(F.col("tk"), "en").cast("double")
+                / F.greatest(n_tokens, F.lit(1)))
+    ttr = (F.size(F.array_distinct("tk")).cast("double")
+           / F.greatest(n_tokens, F.lit(1)))
+    s = feats.select(
+        "doc_id", n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        sw_ratio.alias("sw_ratio"), ttr.alias("ttr"))
+    keep = ((F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("punct_ratio") < MAX_PUNCT_RATIO)
+            & (F.col("sw_ratio") >= MIN_STOPWORD_RATIO)
+            & (F.col("ttr") >= MIN_TTR))
+    return s.select(
+        "doc_id", "n_tokens",
+        (F.col("n_tokens") < MIN_TOKENS).alias("too_short"),
+        (F.col("punct_ratio") >= MAX_PUNCT_RATIO).alias("high_punct"),
+        (F.col("sw_ratio") < MIN_STOPWORD_RATIO).alias("low_stopword"),
+        (F.col("ttr") < MIN_TTR).alias("repetitive_vocab"),
+        keep.alias("keep"))
