@@ -634,26 +634,35 @@ def dis_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
        side of the WAL the kill landed on; complete-mode state is then
        the full word count.
     """
+    from ..streaming.queries import running_wordcount
+
+    return _restart_drain(spark, sf_dir, running_wordcount, "restart")
+
+
+def _restart_drain(spark: SparkSession, sf_dir: str, build,
+                   prefix: str) -> DataFrame:
+    """The 3-run kill/resume harness documented on dis_restart_streamed:
+    ``build`` maps the streaming envelope to the stateful query; the
+    final complete-mode memory table is returned for the oracle."""
     import shutil
     import tempfile
     import time as _time
     import uuid
 
     from ..streaming.drain import drain_available
-    from ..streaming.queries import running_wordcount
 
     log = _materialized_log(spark, sf_dir)
     total = sum(log.latest_offsets().values())
     per_trigger = max(total // 6, 1)
-    name = f"restart_stream_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="restart_ckpt_")
+    name = f"{prefix}_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
 
     def start(trigger: dict, rate_limited: bool):
         r = (spark.readStream.format("dis")
              .option("path", log.root).option("stream", log.stream))
         if rate_limited:
             r = r.option("maxOffsetsPerTrigger", str(per_trigger))
-        return (running_wordcount(r.load())
+        return (build(r.load())
                 .writeStream.format("memory")
                 .queryName(name).outputMode("complete")
                 .option("checkpointLocation", ckpt)
@@ -687,6 +696,33 @@ def dis_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "dis_window_restart_streamed",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', "timestamp"), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           "partition", COUNT(*) AS n
+    FROM ({_ENV})
+    GROUP BY 1, 2
+    """,
+    tags=("connector", "streaming", "restart", "window", "e2e"))
+def dis_window_restart_streamed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Checkpoint restart for WINDOWED watermark state: the tumbling
+    window aggregation run through the same 3-run kill/resume harness as
+    dis_restart_streamed — windowed state adds watermark recovery to the
+    contract (the restored watermark must not drop records that were
+    in-flight at the kill as 'late'). Final windows must hash-match the
+    batch SQL."""
+    from ..streaming.queries import windowed_counts
+
+    final = _restart_drain(spark, sf_dir, windowed_counts, "winrestart")
+    return final.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("window_start"),
+        "partition", "n")
 
 
 @register(

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import (
-    portable_hash, portable_hash_sql, tokens, tokens_sql,
+    portable_hash, portable_hash_sql, tokens, tokens_sql, word_shingles_sql,
 )
 from ..plans.registry import register
 from ..tables import load
@@ -444,3 +444,62 @@ def text_quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sw_ratio") < MIN_STOPWORD_RATIO).alias("low_stopword"),
         (F.col("ttr") < MIN_TTR).alias("repetitive_vocab"),
         keep.alias("keep"))
+
+
+NOVELTY_SHINGLE_N = 3
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id, {word_shingles_sql('text', NOVELTY_SHINGLE_N)} AS sh
+      FROM documents
+    ),
+    posting AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    first_intro AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM posting GROUP BY s
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM posting p JOIN first_intro f ON p.s = f.s
+    GROUP BY p.doc_id
+    """,
+    tags=("text", "novelty", "dedup"))
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY per document: the fraction of a doc's word
+    {NOVELTY_SHINGLE_N}-grams that no earlier document (by doc_id order —
+    in production, crawl/ingest order) has introduced. Low-novelty docs
+    are recombinations of text the corpus already has — the incremental-
+    ingest dedup signal that catches "new" documents assembled from old
+    parts, which pairwise near-dup misses when no single source is
+    similar enough.
+
+    Scale shape: one shuffle of (shingle -> min doc_id) with map-side
+    combine (the first-introduction relation), one join back on the
+    shingle key, one partial agg per doc. No self-join anywhere — cost
+    is linear in corpus shingles, unlike the pairwise kernels; this is
+    the shape that stays cheap at 100 TB. novelty is one IEEE division
+    of exact ints — no epsilon."""
+    from ..functions.portable import word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    para = spark.sparkContext.defaultParallelism
+    sets = (docs.repartition(para)
+            .select("doc_id", tokens("text").alias("tk"))
+            .select("doc_id",
+                    word_shingles("tk", NOVELTY_SHINGLE_N).alias("sh")))
+    posting = sets.select("doc_id", F.explode("sh").alias("s"))
+    first_intro = posting.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1)) \
+        .otherwise(F.lit(0))
+    return (posting.join(first_intro, "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(novel).cast("bigint").alias("n_novel"),
+                 (F.sum(novel).cast("double") / F.count(F.lit(1)))
+                 .alias("novelty")))
