@@ -1185,6 +1185,85 @@ def dis_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("partition", "offset", "key", "value")
 
 
+@register(
+    "dis_sink_restart_roundtrip",
+    oracle=f"""
+    SELECT "partition", "key", "value",
+           strftime("timestamp", '{TS_FMT_DUCK}') AS ts_utc
+    FROM ({_ENV})
+    """,
+    tags=("connector", "streaming", "sink", "restart", "exactly-once",
+          "e2e"))
+def dis_sink_restart_roundtrip(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """SINK-side exactly-once under kill/resume, oracle-gated: the
+    rate-limited log copy (readStream -> writeStream.format('dis')) is
+    stopped mid-backlog twice and resumed from the same checkpoint, so
+    the destination log accumulates per-batch transactions across three
+    query runs — including the replay of any batch whose offsets reached
+    the WAL but whose sink txn did or did not land before the kill. The
+    txn ledger must make the replay idempotent (committed txn skipped
+    wholesale, crashed txn's tail segments rolled back,
+    DisStreamWriter.commit); any slip shows up as a missing or doubled
+    record in the destination read-back vs the envelope SQL."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..sources.dis_log import DisLog
+    from ..streaming.drain import drain_available
+
+    log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per_trigger = max(total // 6, 1)
+    dest_root = tempfile.mkdtemp(prefix="dis_sinkrestart_")
+    DisLog(dest_root, "copy").create(DEFAULT_NUM_PARTITIONS)
+    ckpt = tempfile.mkdtemp(prefix="dis_sinkrestart_ckpt_")
+
+    def start(trigger: dict, rate_limited: bool):
+        r = (spark.readStream.format("dis")
+             .option("path", log.root).option("stream", log.stream))
+        if rate_limited:
+            r = r.option("maxOffsetsPerTrigger", str(per_trigger))
+        return (r.load()
+                .select("partition", "key", "value", "timestamp")
+                .writeStream.format("dis")
+                .option("path", dest_root).option("stream", "copy")
+                .option("txnPrefix", "copyrs")
+                .option("segmentRows", "2000")
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger).start())
+
+    try:
+        q = start({"availableNow": True}, rate_limited=True)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("sink restart phase 1 did not terminate")
+        q = start({"processingTime": "0 seconds"}, rate_limited=True)
+        deadline = _time.monotonic() + 120
+        try:
+            while _time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                    break
+                _time.sleep(0.05)
+            else:
+                raise TimeoutError("sink restart phase 2 made no progress")
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        q = start({"processingTime": "0 seconds"}, rate_limited=False)
+        drain_available(q, timeout_seconds=180)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    df = (spark.read.format("dis")
+          .option("path", dest_root).option("stream", "copy").load())
+    return df.select(
+        "partition", "key", "value",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc"))
+
+
 NUM_PARTITIONS = DEFAULT_NUM_PARTITIONS
 
 

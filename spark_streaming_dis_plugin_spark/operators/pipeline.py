@@ -590,3 +590,50 @@ def chunk_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(dup).cast("bigint").alias("n_dup_chunks"),
                  (F.sum(dup).cast("double") / F.count(F.lit(1)))
                  .alias("dup_frac")))
+
+
+EXACT_SAMPLE_K = 70
+
+
+@register(
+    "sample_exact_stratified",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {portable_hash_sql(
+                   "'exact:' || CAST(doc_id AS VARCHAR)")}, doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS member_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked WHERE rn <= {EXACT_SAMPLE_K}
+    GROUP BY lang
+    """,
+    tags=("pipeline", "sampling", "exact-size", "deterministic"))
+def sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SIZE stratified sampling: exactly min(|stratum|, K={EXACT_SAMPLE_K})
+    documents per language — the K docs with the smallest salted hash,
+    i.e. a deterministic uniform draw that needs no RNG state and no
+    second pass to hit the quota (rate-based gates like
+    sample_hash_stratified only hit sizes in expectation). Membership is
+    stable under repartitioning and engines; growing the corpus evicts
+    at the hash boundary only. member_sum pins the exact kept SET, not
+    just its size.
+
+    Scale shape: one hash shuffle on the stratum key into a window
+    group-limit (top-K by hash computed partially per partition before
+    the shuffle — the corpus never globally sorts), then a tiny agg."""
+    docs = load(spark, sf_dir, "documents")
+    h = portable_hash(F.concat(F.lit("exact:"),
+                               F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (docs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= EXACT_SAMPLE_K)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").cast("bigint").alias("member_sum"),
+                 F.sum("n_chars").cast("bigint").alias("kept_chars")))

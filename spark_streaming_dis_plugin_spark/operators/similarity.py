@@ -520,3 +520,77 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.array(*[F.col(f"d{i}") for i in range(DIM)])
                         .alias("ce")))
     return assigned.select("vec_id", "cluster")
+
+
+OUTLIER_BOTTOM_K = 3
+
+
+def _lang_centroid_oracle() -> str:
+    dims = ", ".join(
+        f"CAST(SUM(CAST(CAST(e.embedding[{i + 1}] AS DOUBLE) "
+        f"AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*) AS d{i}"
+        for i in range(DIM))
+    cent_array = "[" + ", ".join(f"d{i}" for i in range(DIM)) + "]"
+    return f"""
+    WITH joined AS (
+      SELECT d.doc_id, d.lang, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    cent AS (
+      SELECT lang, {cent_array} AS ce FROM (
+        SELECT d.lang, {dims}
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        GROUP BY d.lang
+      )
+    )
+    SELECT doc_id, lang, cos, rnk FROM (
+      SELECT j.doc_id, j.lang,
+             round({cosine_sql('j.embedding', 'c.ce')}, 4) + 0.0 AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY j.lang
+               ORDER BY round({cosine_sql('j.embedding', 'c.ce')}, 4),
+                        j.doc_id) AS rnk
+      FROM joined j JOIN cent c ON j.lang = c.lang
+    ) WHERE rnk <= {OUTLIER_BOTTOM_K}
+    """
+
+
+@register(
+    "embedding_lang_outliers",
+    oracle=_lang_centroid_oracle(),
+    tags=("similarity", "embedding", "outlier", "composition"))
+def embedding_lang_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING OUTLIER DETECTION, composed across tables: join each
+    document's embedding (doc_id = vec_id), compute the per-language
+    centroid decimal-exact (so both engines derive identical geometry),
+    then surface the {OUTLIER_BOTTOM_K} docs per language LEAST similar
+    to their own language's centroid — mislabeled-language and
+    off-distribution candidates, the embedding-space quality audit that
+    complements the token-level rules in text_quality_verdict.
+
+    Scale shape: centroids are one hash agg producing a |langs| x dim
+    relation that broadcasts back; the outlier rank is a per-language
+    window group-limit. Ranking keys on the ROUNDED cosine so a last-ulp
+    fold divergence cannot reorder near-ties; remaining ties break on
+    doc_id."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("e"))
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "lang", "e")
+    dim_avgs = [
+        (F.sum(F.element_at("e", i + 1).cast("decimal(27,8)"))
+         .cast("double") / F.count(F.lit(1))).alias(f"d{i}")
+        for i in range(DIM)]
+    cent = (joined.groupBy("lang").agg(*dim_avgs)
+            .select("lang", F.array(*[F.col(f"d{i}") for i in range(DIM)])
+                    .alias("ce")))
+    cos = (F.round(cosine(F.col("e"), F.col("ce")), 4) + 0.0).alias("cos")
+    scored = joined.join(F.broadcast(cent), "lang").select(
+        "doc_id", "lang", cos)
+    w = Window.partitionBy("lang").orderBy(F.col("cos").asc(),
+                                           F.col("doc_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= OUTLIER_BOTTOM_K)
+            .select("doc_id", "lang", "cos", "rnk"))
