@@ -58,3 +58,60 @@ def running_totals_per_key(env: DataFrame) -> DataFrame:
                 stateStructType=STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ------------------------- transformWithState (Spark 4 arbitrary state)
+
+ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider")
+
+
+class RunningTotalsProcessor:
+    """StatefulProcessor twin of _update_running_totals on the MODERN
+    arbitrary-state API (transformWithStateInPandas, Spark 4): typed
+    value state, explicit lifecycle, timer support (unused here — wall
+    clock would break determinism). Requires the RocksDB state store
+    provider; see running_totals_transform_with_state."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = self._state.get() if self._state.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["amount"].sum())
+        self._state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n],
+                            "total": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_transform_with_state(env: DataFrame) -> DataFrame:
+    """Envelope stream -> per-key running totals via
+    transformWithStateInPandas — same semantics as running_totals_per_key
+    but on the API that supersedes applyInPandasWithState (typed state
+    variables, timers, TTL). The session must run the RocksDB state
+    store provider (the API rejects the HDFS-backed default), and the
+    runtime needs a working ``google.protobuf`` (the API's driver worker
+    speaks protobuf to the JVM) — absent from this container, so the
+    path is exercised by a skip-gated test rather than an oracle query
+    (tests/test_datasource.py::test_transform_with_state_totals)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass dynamically so module import never requires the API
+    proc = type("_Proc", (StatefulProcessor,),
+                dict(RunningTotalsProcessor.__dict__))()
+    amounts = env.select(
+        F.col("key"),
+        F.get_json_object("value", "$.k").cast("double").alias("amount"))
+    return (amounts
+            .groupBy("key")
+            .transformWithStateInPandas(
+                statefulProcessor=proc,
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))

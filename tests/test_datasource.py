@@ -491,6 +491,53 @@ def test_restart_with_rate_limit_no_duplicates(spark, tmp_path):
             .where(F.col("count") > 1).count()) == 0
 
 
+def test_transform_with_state_totals(spark, log, tmp_path):
+    """transformWithStateInPandas (the modern arbitrary-state API) twin
+    of the applyInPandasWithState running totals — skip-gated on the
+    protobuf runtime the API's driver worker requires (absent from this
+    container; the applyInPandasWithState path carries the oracle row,
+    dis_stateful_totals_streamed)."""
+    pytest.importorskip("google.protobuf.descriptor")
+
+    from pyspark.sql import Window
+
+    from spark_streaming_dis_plugin_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER, running_totals_per_key,
+        running_totals_transform_with_state,
+    )
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .load())
+        q = (running_totals_transform_with_state(sdf)
+             .writeStream.format("memory").queryName("tws")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "tws"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+    finally:
+        spark.conf.unset(conf_key)
+    sdf2 = (spark.readStream.format("dis")
+            .option("path", log.root).option("stream", log.stream).load())
+    q2 = (running_totals_per_key(sdf2)
+          .writeStream.format("memory").queryName("aipws")
+          .outputMode("update")
+          .option("checkpointLocation", str(tmp_path / "aipws"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    w = Window.partitionBy("key").orderBy(F.desc("n_events"))
+    final = {}
+    for name in ("tws", "aipws"):
+        rows = (spark.table(name)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1).collect())
+        final[name] = {(r["key"], r["n_events"], r["total"]) for r in rows}
+    assert final["tws"] == final["aipws"]
+
+
 def test_replay_uncommitted_batch_after_restart(spark, log, tmp_path):
     """A batch whose offsets reached the WAL but whose commit marker did
     not (crash between offset-log write and commit) MUST be re-read on
