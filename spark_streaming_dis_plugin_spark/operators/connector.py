@@ -762,6 +762,50 @@ def dis_stateful_totals_streamed(spark: SparkSession,
             .select("key", "n_events", "total"))
 
 
+@register(
+    "dis_metadata_probes",
+    oracle=f"""
+    WITH env AS ({_ENV}),
+    p0 AS (SELECT COUNT(*) AS n FROM env
+           WHERE "partition" = 0 AND "offset" >= 100 AND "offset" < 600),
+    p1 AS (SELECT COUNT(*) AS n FROM env WHERE "partition" = 1),
+    p2 AS (SELECT COUNT(*) AS n FROM env
+           WHERE "partition" = 2 AND "offset" >= 5 AND "offset" < 5),
+    p3 AS (SELECT COUNT(*) AS n FROM env
+           WHERE "partition" = 3 AND "offset" >= 10 AND "offset" < 25)
+    SELECT 'p0_mid_range' AS probe, n AS n_records, n = 0 AS is_empty FROM p0
+    UNION ALL SELECT 'p1_full_sentinels', n, n = 0 FROM p1
+    UNION ALL SELECT 'p2_zero_width', n, n = 0 FROM p2
+    UNION ALL SELECT 'p3_small', n, n = 0 FROM p3
+    """,
+    tags=("connector", "metadata", "pushdown"))
+def dis_metadata_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / countApprox / isEmpty answered from METADATA ALONE
+    (offset arithmetic + segment filenames, zero data I/O on a dense log
+    — DISRDD.scala:89-112), verified against a real scan: each probe's
+    (count, is_empty) comes from dis_count/dis_is_empty on the physical
+    log, the oracle recomputes them by actually counting the envelope.
+    Probes cover a mid-partition range, a [-2,-1] sentinel pair, a
+    zero-width range (the isEmpty=true case), and a small bounded range.
+    Driver-side arithmetic over a handful of filenames — not a data
+    collect (nothing is scanned on the Spark side either)."""
+    from ..sources.dis_batch import dis_count, dis_is_empty
+    from ..sources.offsets import OffsetRange
+
+    log = _materialized_log(spark, sf_dir)
+    stream = log.stream
+    probes = [
+        ("p0_mid_range", [OffsetRange(stream, 0, 100, 600)]),
+        ("p1_full_sentinels", '{"1": [-2, -1]}'),
+        ("p2_zero_width", [OffsetRange(stream, 2, 5, 5)]),
+        ("p3_small", [OffsetRange(stream, 3, 10, 25)]),
+    ]
+    rows = [(name, dis_count(log, r), dis_is_empty(log, r))
+            for name, r in probes]
+    return spark.createDataFrame(
+        rows, "probe string, n_records bigint, is_empty boolean")
+
+
 # ----------------------------------------------- multi-stream subscription
 
 _MULTI_LOG_CACHE: dict[str, str] = {}
