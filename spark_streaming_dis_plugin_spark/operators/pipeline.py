@@ -637,3 +637,51 @@ def sample_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_kept"),
                  F.sum("doc_id").cast("bigint").alias("member_sum"),
                  F.sum("n_chars").cast("bigint").alias("kept_chars")))
+
+
+WEIGHT_FULL_TOKENS = 400   # docs at/above this length keep probability 1
+
+
+@register(
+    "sample_quality_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             len({tokens_sql('text')}) AS n_tokens,
+             LEAST(len({tokens_sql('text')}), {WEIGHT_FULL_TOKENS})
+               AS w_num
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS member_sum,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+    FROM w
+    WHERE {portable_hash_sql("'qw:' || CAST(doc_id AS VARCHAR)")}
+          % {WEIGHT_FULL_TOKENS} < w_num
+    GROUP BY lang
+    """,
+    tags=("pipeline", "sampling", "weighted", "deterministic"))
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORTANCE (weighted) sampling with a deterministic hash gate:
+    each document's keep probability is proportional to its own quality
+    weight — here min(n_tokens, {WEIGHT_FULL_TOKENS})/{WEIGHT_FULL_TOKENS},
+    the 'longer docs carry more signal' heuristic; substitute any
+    row-derived score. Unlike the fixed-rate (sample_hash_stratified)
+    and exact-size (sample_exact_stratified) gates, the acceptance
+    threshold varies PER ROW — yet membership is still a pure function
+    of the row: hash(salt+id) % D < weight_numerator. No RNG state, no
+    shuffle, stable under repartitioning and corpus growth; member_sum
+    pins the exact kept set."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text"))
+    w_num = F.least(n_tokens, F.lit(WEIGHT_FULL_TOKENS))
+    gate = (portable_hash(F.concat(F.lit("qw:"),
+                                   F.col("doc_id").cast("string")))
+            % WEIGHT_FULL_TOKENS) < w_num
+    return (docs.select("doc_id", "lang", n_tokens.alias("n_tokens"),
+                        gate.alias("keep"))
+            .where(F.col("keep"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").cast("bigint").alias("member_sum"),
+                 F.sum("n_tokens").cast("bigint").alias("kept_tokens")))
