@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import portable_hash_sql
 from ..plans.registry import register
+from ..scratch import scratch_dir
 from ..sources.dis_log import DEFAULT_NUM_PARTITIONS, envelope, envelope_sql
 from ..tables import load
 
@@ -295,14 +296,13 @@ _LOG_CACHE: dict[str, str] = {}
 def _materialized_log(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir per process) a real on-disk DisLog from the
     events fixture and register format('dis')."""
-    import tempfile
 
     from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog, create_log_from_events
 
     spark.dataSource.register(DisDataSource)
     if sf_dir not in _LOG_CACHE:
-        root = tempfile.mkdtemp(prefix="dis_log_")
+        root = scratch_dir("dis_log_")
         create_log_from_events(spark, f"{sf_dir}/events.parquet", root,
                                segment_rows=2000)
         _LOG_CACHE[sf_dir] = root
@@ -374,11 +374,10 @@ def _drain_to_memory(spark: SparkSession, streamed: DataFrame, prefix: str,
     confusing oracle hash mismatch; the checkpoint dir is cleaned up once
     the query terminates."""
     import shutil
-    import tempfile
     import uuid
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    ckpt = scratch_dir(f"{prefix}_ckpt_")
     try:
         q = (streamed.writeStream.format("memory")
              .queryName(name).outputMode(output_mode)
@@ -594,6 +593,364 @@ def dis_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("key", "value")
 
 
+_SCRAMBLE_LOG_CACHE: dict[str, str] = {}
+
+# Deterministic arrival-order scramble for the late-data gate: reading the
+# log in offset order interleaves 7 strides of the time-ordered event
+# sequence, so after the first rate-limited batch (which contains stride 0
+# end-to-end and thus the global max event time) every later batch is
+# almost entirely behind the watermark. 7 is coprime to the 6-batch split
+# so stride and batch boundaries never align.
+_SCRAMBLE_STRIDES = 7
+
+
+def _materialized_scrambled_log(spark: SparkSession, sf_dir: str):
+    """A single-partition on-disk DisLog whose ARRIVAL order is a
+    deterministic scramble of event time: offset = rank over
+    (event_id % 7, event_id). Single-partition by design — it makes the
+    rate-limited batch plan a pure function of maxOffsetsPerTrigger
+    (batch = offset // per_trigger, no lag split to model), which is what
+    lets the oracle recompute the watermark progression declaratively.
+    Harness fixture only; production logs stay partitioned."""
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog
+    from ..tables import load_events
+
+    spark.dataSource.register(DisDataSource)
+    if sf_dir not in _SCRAMBLE_LOG_CACHE:
+        root = scratch_dir("dis_latelog_")
+        log = DisLog(root, "late").create(1)
+        events = load_events(spark, sf_dir)
+        w = Window.orderBy(F.col("event_id") % _SCRAMBLE_STRIDES, "event_id")
+        env = events.select(
+            F.lit(0).cast("int").alias("partition"),
+            (F.row_number().over(w) - 1).cast("long").alias("offset"),
+            F.col("user_id").cast("string").alias("key"),
+            F.col("props").alias("value"),
+            F.col("ts").alias("timestamp"))
+        (env.repartition(1, "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.format("dis")
+            .option("path", root).option("stream", "late")
+            .option("segmentRows", "500")
+            .mode("append").save())
+        _SCRAMBLE_LOG_CACHE[sf_dir] = root
+    return DisLog(_SCRAMBLE_LOG_CACHE[sf_dir], "late")
+
+
+_ORDERED_LOG_CACHE: dict[str, str] = {}
+
+
+def _materialized_ordered_log(spark: SparkSession, sf_dir: str):
+    """A single-partition on-disk DisLog in STRICT EVENT-TIME order:
+    offset = rank by event_id (the fixture's event_id is globally
+    time-ordered — verified 0 inversions). The multi-batch gates use it
+    because (a) batch boundaries under maxOffsetsPerTrigger become a pure
+    function of the log (batch = offset // per), and (b) time-ordered
+    arrival makes watermark behavior provable: nothing is ever late, and
+    the per-batch running-max event time is just the batch's last row."""
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog
+    from ..tables import load_events
+
+    spark.dataSource.register(DisDataSource)
+    if sf_dir not in _ORDERED_LOG_CACHE:
+        root = scratch_dir("dis_orderedlog_")
+        DisLog(root, "ordered").create(1)
+        events = load_events(spark, sf_dir)
+        w = Window.orderBy("event_id")
+        env = events.select(
+            F.lit(0).cast("int").alias("partition"),
+            (F.row_number().over(w) - 1).cast("long").alias("offset"),
+            F.col("user_id").cast("string").alias("key"),
+            F.col("props").alias("value"),
+            F.col("ts").alias("timestamp"))
+        (env.repartition(1, "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.format("dis")
+            .option("path", root).option("stream", "ordered")
+            .option("segmentRows", "500")
+            .mode("append").save())
+        _ORDERED_LOG_CACHE[sf_dir] = root
+    return DisLog(_ORDERED_LOG_CACHE[sf_dir], "ordered")
+
+
+@register(
+    "dis_late_drop_streamed",
+    oracle=f"""
+    WITH env AS (
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY event_id % {_SCRAMBLE_STRIDES}, event_id) - 1
+             AS BIGINT) AS "offset",
+             CAST(ts AS TIMESTAMP) AS "timestamp"
+      FROM events
+    ),
+    tot AS (SELECT GREATEST(CAST(CEIL(COUNT(*) / 6.0) AS BIGINT), 1) AS per
+            FROM env),
+    b AS (SELECT "offset" // per AS batch, "timestamp" FROM env, tot),
+    bmax AS (SELECT batch, MAX("timestamp") AS m FROM b GROUP BY batch),
+    run AS (SELECT batch,
+                   MAX(m) OVER (ORDER BY batch
+                                ROWS UNBOUNDED PRECEDING) AS r
+            FROM bmax),
+    -- Spark >=3.4 runs TWO watermarks per batch: late-event filtering in
+    -- batch k uses the PREVIOUS batch's watermark (max event time through
+    -- batch k-2, minus delay), while state eviction/emission uses the
+    -- batch's updated watermark (through k-1). Hence LAG(r, 2) here for
+    -- the drop filter and MAX(r) below for the final emission frontier.
+    wm AS (SELECT batch,
+                  LAG(r, 2) OVER (ORDER BY batch) - INTERVAL 2 HOUR AS w
+           FROM run),
+    kept AS (
+      SELECT date_trunc('hour', b."timestamp") AS ws
+      FROM b JOIN wm USING (batch)
+      WHERE w IS NULL
+         OR date_trunc('hour', b."timestamp") + INTERVAL 1 HOUR > w
+    ),
+    fin AS (SELECT MAX(r) - INTERVAL 2 HOUR AS fw FROM run)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n
+    FROM kept, fin
+    WHERE ws + INTERVAL 1 HOUR <= fw
+    GROUP BY 1
+    """,
+    tags=("connector", "streaming", "watermark", "late-drop", "e2e"))
+def dis_late_drop_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA DROP under the oracle gate — the one core
+    Structured-Streaming semantic every other *_streamed row deliberately
+    neutralizes (one-batch availableNow or complete mode). Here eviction
+    is forced AND deterministic:
+
+    - the log's arrival order is a fixed scramble of event time
+      (:func:`_materialized_scrambled_log`), so out-of-order records
+      genuinely straddle the watermark across batches;
+    - ``maxOffsetsPerTrigger = ceil(total/6)`` over a single-partition
+      log makes batch boundaries a pure function of the log
+      (batch = offset // per_trigger) — no timing dependence;
+    - the watermark progression is then deterministic arithmetic Spark
+      defines: the watermark during batch k is (max event time over
+      batches < k) - delay; a row is dropped iff its window end is
+      behind that watermark; append mode emits a window exactly once,
+      when the watermark passes its end.
+
+    The oracle recomputes all three declaratively (batch assignment ->
+    running-max watermark -> drop filter -> final-emission filter). The
+    function asserts the run actually dropped rows
+    (``numRowsDroppedByWatermark > 0``), so a regression that silently
+    stopped evicting cannot pass by matching the no-watermark answer —
+    the two answers differ by construction.
+
+    Uses a processing-time trigger + idle-detection drain
+    (streaming/drain.drain_available): a rate-limited availableNow run
+    would stop after one clamped batch (Python DataSource API limitation,
+    see that module's docstring)."""
+    import shutil
+    import uuid
+
+    from ..streaming.drain import drain_available
+    from ..streaming.queries import late_window_counts
+
+    log = _materialized_scrambled_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 6), 1)
+    name = f"latedrop_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir("latedrop_ckpt_")
+    try:
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .option("maxOffsetsPerTrigger", str(per))
+               .load())
+        q = (late_window_counts(sdf)
+             .writeStream.format("memory")
+             .queryName(name).outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(processingTime="0 seconds").start())
+        drain_available(q, timeout_seconds=300)
+        dropped = sum(
+            int(op.get("numRowsDroppedByWatermark", 0))
+            for p in q.recentProgress
+            for op in p.get("stateOperators", []))
+        if dropped == 0:
+            raise AssertionError(
+                "late-drop gate ran without dropping any rows — "
+                "watermark eviction is not being exercised")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    final = spark.table(name)
+    return final.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("window_start"),
+        "n")
+
+
+_ORDERED_ENV = """
+      SELECT CAST(user_id AS VARCHAR) AS "key",
+             props AS "value",
+             CAST(ts AS TIMESTAMP) AS "timestamp",
+             CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1
+                  AS BIGINT) AS "offset"
+      FROM events
+"""
+
+
+def _drain_multibatch(spark: SparkSession, streamed: DataFrame, prefix: str,
+                      min_batches: int = 3,
+                      timeout_s: int = 300) -> DataFrame:
+    """Rate-limited multi-batch drain for the *_multibatch_* gates:
+    processing-time trigger + idle-detection (a rate-limited availableNow
+    would stop after one clamped batch), asserting the run really spread
+    the backlog over >= ``min_batches`` data batches — the property these
+    gates exist to exercise."""
+    import shutil
+    import uuid
+
+    from ..streaming.drain import drain_available
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir(f"{prefix}_ckpt_")
+    try:
+        q = (streamed.writeStream.format("memory")
+             .queryName(name).outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(processingTime="0 seconds").start())
+        data_batches = drain_available(q, timeout_seconds=timeout_s)
+        if data_batches < min_batches:
+            raise AssertionError(
+                f"{prefix}: backlog drained in {data_batches} batches; "
+                f"the multi-batch gate requires >= {min_batches}")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+@register(
+    "dis_multibatch_join_streamed",
+    oracle=f"""
+    WITH env AS ({_ORDERED_ENV}),
+    p AS (
+      SELECT "key" AS p_key, "timestamp" AS p_ts, "offset" AS p_offset
+      FROM env WHERE "offset" % 3 = 0
+    ),
+    c AS (
+      SELECT "key" AS c_key, "timestamp" AS c_ts, "offset" AS c_offset
+      FROM env WHERE "offset" % 3 = 1
+    )
+    SELECT p_key, p_offset, c_offset
+    FROM p JOIN c ON p_key = c_key
+                 AND c_ts <= p_ts
+                 AND c_ts >= p_ts - INTERVAL 1 HOUR
+    """,
+    tags=("connector", "streaming", "join", "multibatch", "e2e"))
+def dis_multibatch_join_streamed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN with state carried across >= 3 rate-limited
+    batches (the r4 gate guaranteed single-batch execution; this one
+    forbids it). Runs over the strictly time-ordered single-partition log,
+    which makes watermark eviction PROVABLY lossless, so the batch join
+    stays the exact oracle:
+
+    a pair could only be lost if a click row were evicted before its
+    purchase arrived. Eviction of a click at time c_ts requires the
+    eviction watermark (arrival frontier - 2h) to pass c_ts + 1h, i.e.
+    frontier > c_ts + 3h; any purchase arriving later has p_ts >= that
+    frontier (time-ordered arrival), so p_ts - 1h > c_ts + 2h — outside
+    the join bound. No match can straddle an eviction."""
+    from ..streaming.queries import purchase_click_join
+
+    log = _materialized_ordered_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("maxOffsetsPerTrigger", str(per))
+           .load())
+    p = sdf.where(F.col("offset") % 3 == 0)
+    c = sdf.where(F.col("offset") % 3 == 1)
+    final = _drain_multibatch(
+        spark, purchase_click_join(p, c), "mbjoin")
+    return final.select("p_key", "p_offset", "c_offset")
+
+
+@register(
+    "dis_multibatch_dedup_streamed",
+    oracle=f"""
+    WITH RECURSIVE env AS ({_ORDERED_ENV}),
+    tot AS (SELECT GREATEST(CAST(CEIL(COUNT(*) / 5.0) AS BIGINT), 1) AS per
+            FROM env),
+    b AS (SELECT env.*, "offset" // per AS batch FROM env, tot),
+    bmax AS (SELECT batch, MAX("timestamp") AS m FROM b GROUP BY batch),
+    run AS (SELECT batch,
+                   MAX(m) OVER (ORDER BY batch
+                                ROWS UNBOUNDED PRECEDING) AS r
+            FROM bmax),
+    -- f = the late-event watermark base for the batch (max event time
+    -- through batch k-2; see dis_late_drop_streamed on Spark's
+    -- two-watermark model). State for an anchor is gone by batch k iff
+    -- f - delay > anchor + delay.
+    filt AS (SELECT batch, LAG(r, 2) OVER (ORDER BY batch) AS f FROM run),
+    arr AS (SELECT b."key", b."value", b."timestamp" AS t, b."offset", f,
+                   ROW_NUMBER() OVER (PARTITION BY b."key", b."value"
+                                      ORDER BY b."offset") AS i
+            FROM b JOIN filt USING (batch)),
+    chain AS (
+      SELECT "key", "value", "offset", i, TRUE AS emitted, t AS anchor
+      FROM arr WHERE i = 1
+      UNION ALL
+      SELECT a."key", a."value", a."offset", a.i,
+             (a.f IS NOT NULL
+              AND a.f - INTERVAL 2 HOUR > c.anchor + INTERVAL 2 HOUR)
+               AS emitted,
+             CASE WHEN a.f IS NOT NULL
+                       AND a.f - INTERVAL 2 HOUR
+                           > c.anchor + INTERVAL 2 HOUR
+                  THEN a.t ELSE c.anchor END AS anchor
+      FROM chain c
+        JOIN arr a ON a."key" = c."key" AND a."value" = c."value"
+                  AND a.i = c.i + 1
+    )
+    SELECT "key", "value", "offset" FROM chain WHERE emitted
+    """,
+    tags=("connector", "streaming", "dedup", "multibatch", "e2e"))
+def dis_multibatch_dedup_streamed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark with state carried AND EVICTED across
+    >= 3 rate-limited batches — the r4 gate guaranteed one batch, so
+    eviction never fired; here duplicates spread across the month WILL
+    outlive the 2-hour watermark state and re-emit, and the oracle
+    recomputes the exact re-emission set with a recursive anchor chain:
+
+    - first arrival of (key, value) emits and anchors the state;
+    - a later duplicate in batch k is dropped iff the state is still
+      alive, i.e. NOT (R(k-2) - delay > anchor + delay), where R(j) =
+      max event time through batch j (the late-event watermark base —
+      Spark's filter watermark lags its eviction watermark by one batch);
+    - a re-emitted duplicate becomes the new anchor.
+
+    This model was pinned against a real multi-batch run (exact set match
+    including WHICH arrival re-emitted, offset-for-offset). The emitted
+    offsets pin arrival identity, not just the distinct key set. The
+    function asserts re-emissions actually happened, so the gate cannot
+    degenerate back to single-batch DISTINCT."""
+    from ..streaming.queries import dedup_within_watermark
+
+    log = _materialized_ordered_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("maxOffsetsPerTrigger", str(per))
+           .load())
+    deduped = dedup_within_watermark(sdf).select("key", "value", "offset")
+    final = _drain_multibatch(spark, deduped, "mbdedup")
+    n_emitted = final.count()
+    n_distinct = final.select("key", "value").distinct().count()
+    if n_emitted <= n_distinct:
+        raise AssertionError(
+            "multibatch dedup gate saw no watermark re-emissions — "
+            "state eviction is not being exercised")
+    return final
+
+
 @register(
     "dis_restart_streamed",
     oracle=f"""
@@ -645,7 +1002,6 @@ def _restart_drain(spark: SparkSession, sf_dir: str, build,
     ``build`` maps the streaming envelope to the stateful query; the
     final complete-mode memory table is returned for the oracle."""
     import shutil
-    import tempfile
     import time as _time
     import uuid
 
@@ -655,7 +1011,7 @@ def _restart_drain(spark: SparkSession, sf_dir: str, build,
     total = sum(log.latest_offsets().values())
     per_trigger = max(total // 6, 1)
     name = f"{prefix}_stream_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    ckpt = scratch_dir(f"{prefix}_ckpt_")
 
     def start(trigger: dict, rate_limited: bool):
         r = (spark.readStream.format("dis")
@@ -817,7 +1173,6 @@ def _materialized_multi_log(spark: SparkSession, sf_dir: str) -> str:
     """Two physical streams under one log root (events_a = even event_id,
     events_b = odd), each a real on-disk DisLog written through the
     format('dis') explicit-offset writer."""
-    import tempfile
 
     from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
@@ -825,7 +1180,7 @@ def _materialized_multi_log(spark: SparkSession, sf_dir: str) -> str:
 
     spark.dataSource.register(DisDataSource)
     if sf_dir not in _MULTI_LOG_CACHE:
-        root = tempfile.mkdtemp(prefix="dis_multilog_")
+        root = scratch_dir("dis_multilog_")
         events = load_events(spark, sf_dir)
         for stream, residue in MULTI_STREAM_SPLIT:
             DisLog(root, stream).create(DEFAULT_NUM_PARTITIONS)
@@ -1003,13 +1358,12 @@ def dis_producer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly. Offsets are commit-order-dependent (deterministic only up
     to task scheduling), so they are deliberately NOT projected; content
     and routing are what the producer contract guarantees."""
-    import tempfile
 
     from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
 
     spark.dataSource.register(DisDataSource)
-    root = tempfile.mkdtemp(prefix="dis_producer_")
+    root = scratch_dir("dis_producer_")
     DisLog(root, "produced").create(DEFAULT_NUM_PARTITIONS)
     (_envelope(spark, sf_dir)
         .select("key", "value", "timestamp")
@@ -1042,16 +1396,15 @@ def dis_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash. Offsets in the destination are assigned at commit
     (producer-mode tail append) and deliberately not projected; the
     forwarded partition column pins explicit routing."""
-    import tempfile
 
     from ..sources.dis_log import DisLog
     from ..streaming.drain import drain_available
 
     log = _materialized_log(spark, sf_dir)
     total = sum(log.latest_offsets().values())
-    dest_root = tempfile.mkdtemp(prefix="dis_copy_")
+    dest_root = scratch_dir("dis_copy_")
     DisLog(dest_root, "copy").create(DEFAULT_NUM_PARTITIONS)
-    ckpt = tempfile.mkdtemp(prefix="dis_copy_ckpt_")
+    ckpt = scratch_dir("dis_copy_ckpt_")
     sdf = (spark.readStream.format("dis")
            .option("path", log.root).option("stream", log.stream)
            .option("maxOffsetsPerTrigger", str(max(total // 4, 1)))
@@ -1135,13 +1488,12 @@ def dis_backpressure_streamed(spark: SparkSession,
     from ..streaming.drain import drain_available
     from ..streaming.queries import running_wordcount
 
-    import tempfile
     import uuid
 
     log = _materialized_log(spark, sf_dir)
     total = sum(log.latest_offsets().values())
     name = f"bp_stream_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="bp_ckpt_")
+    ckpt = scratch_dir("bp_ckpt_")
     sdf = (spark.readStream.format("dis")
            .option("path", log.root).option("stream", log.stream)
            .option("backpressureEnabled", "true")
@@ -1211,12 +1563,11 @@ def dis_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference reads behind spark.streaming.dis.allowNonConsecutiveOffsets
     (DISRDD.scala:74-75,271-315). The oracle reproduces compaction
     declaratively: highest-offset row per (partition, key)."""
-    import tempfile
 
     from ..sources.dis_log import compact_log, create_log_from_events
 
     if sf_dir not in _COMPACT_LOG_CACHE:
-        root = tempfile.mkdtemp(prefix="dis_compact_")
+        root = scratch_dir("dis_compact_")
         log = create_log_from_events(spark, f"{sf_dir}/events.parquet",
                                      root, segment_rows=2000)
         compact_log(log)
@@ -1251,7 +1602,6 @@ def dis_sink_restart_roundtrip(spark: SparkSession,
     DisStreamWriter.commit); any slip shows up as a missing or doubled
     record in the destination read-back vs the envelope SQL."""
     import shutil
-    import tempfile
     import time as _time
 
     from ..sources.dis_log import DisLog
@@ -1260,9 +1610,9 @@ def dis_sink_restart_roundtrip(spark: SparkSession,
     log = _materialized_log(spark, sf_dir)
     total = sum(log.latest_offsets().values())
     per_trigger = max(total // 6, 1)
-    dest_root = tempfile.mkdtemp(prefix="dis_sinkrestart_")
+    dest_root = scratch_dir("dis_sinkrestart_")
     DisLog(dest_root, "copy").create(DEFAULT_NUM_PARTITIONS)
-    ckpt = tempfile.mkdtemp(prefix="dis_sinkrestart_ckpt_")
+    ckpt = scratch_dir("dis_sinkrestart_ckpt_")
 
     def start(trigger: dict, rate_limited: bool):
         r = (spark.readStream.format("dis")

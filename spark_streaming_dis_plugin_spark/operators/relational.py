@@ -2269,7 +2269,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
              {dsum_sql('stock_value', 6)} AS part_value
       FROM supply GROUP BY 1
     ),
-    total AS (SELECT SUM(part_value) AS corpus_value,
+    total AS (SELECT {dsum_sql('part_value', 6)} AS corpus_value,
                      COUNT(*) AS n_parts FROM per_part)
     SELECT partkey, part_value
     FROM per_part CROSS JOIN total
@@ -2299,7 +2299,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                       stock_value.alias("stock_value")))
     per_part = (supply.groupBy("partkey")
                 .agg(dsum(F.col("stock_value"), 6).alias("part_value")))
-    total = per_part.agg(F.sum("part_value").alias("corpus_value"),
+    total = per_part.agg(dsum(F.col("part_value"), 6).alias("corpus_value"),
                          F.count(F.lit(1)).alias("n_parts"))
     return (per_part.crossJoin(F.broadcast(total))
             .where(F.col("part_value")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import cosine, cosine_sql
 from ..plans.registry import register
+from ..scratch import scratch_dir
 from ..tables import load
 
 N_QUERIES = 10       # query set: vec_id < 10
@@ -307,10 +308,9 @@ def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
     build cost inside the search row it exists to isolate). Deterministic
     content (decimal-exact Lloyd from fixed seeds + exact double
     round-trip through parquet), so search results are oracle-stable."""
-    import tempfile
 
     if sf_dir not in _IVF_INDEX_CACHE:
-        root = tempfile.mkdtemp(prefix="ivf_index_")
+        root = scratch_dir("ivf_index_")
         cent, inverted = _ivf_build_relations(spark, sf_dir)
         cent.write.mode("overwrite").parquet(f"{root}/centroids")
         inverted.write.mode("overwrite").parquet(f"{root}/inverted")

@@ -336,11 +336,15 @@ class DisStreamReader(DataSourceStreamReader):
         # FIFO of (planned_monotonic_ms, planned_new_records) per batch,
         # consumed by commit() to measure each batch's processing delay.
         self._inflight: deque[tuple[float, int]] = deque()
+        # Planner trace knob: set SPARK_DIS_TRACE=/path/to/file before the
+        # session starts to append one line per initialOffset/latestOffset/
+        # partitions call (driver-side only; readers never trace). Resolved
+        # once here so the planner hot path does no env lookups.
+        self._trace_path = os.environ.get("SPARK_DIS_TRACE")
 
     def _trace(self, msg: str) -> None:
-        path = os.environ.get("SPARK_DIS_TRACE")
-        if path:
-            with open(path, "a") as f:
+        if self._trace_path:
+            with open(self._trace_path, "a") as f:
                 f.write(f"pid={os.getpid()} id={id(self)} {msg}\n")
 
     # -- planning (driver side) --

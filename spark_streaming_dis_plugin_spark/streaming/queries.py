@@ -58,6 +58,21 @@ def sliding_counts(env: DataFrame, window: str = "1 hour",
             .select(F.col("w.start").alias("window_start"), "n"))
 
 
+def late_window_counts(env: DataFrame, window: str = "1 hour",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Tumbling window counts for the LATE-DATA-DROP gate: unlike
+    :func:`windowed_counts` this groups on the window alone (the gate's
+    log is single-partition) and is meant for APPEND output mode, where
+    the watermark genuinely evicts — rows whose window end has fallen
+    behind the watermark are dropped before aggregation, and a window is
+    emitted exactly once, when the watermark passes its end."""
+    return (_with_event_time(env)
+            .withWatermark("timestamp", watermark)
+            .groupBy(F.window("timestamp", window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n"))
+
+
 def session_counts(env: DataFrame, gap: str = "30 minutes",
                    watermark: str = "2 hours") -> DataFrame:
     """Session windows keyed by the record key (inactivity gap).

@@ -127,10 +127,23 @@ def test_jaccard_capped_df_filter_before_self_join(spark, sf_dir):
 
 
 def test_chunk_dedup_shuffles_hash_only(spark, sf_dir):
-    """Chunk-level dedup: the only hash shuffle key is the 16-byte
-    chunk_hash (the window group-limit); chunk text never shuffles."""
+    """Chunk-level dedup: every hash-shuffle key is either the 16-byte
+    chunk_hash (window group-limit) or doc_id (the containment agg) —
+    chunk text NEVER appears in an Exchange key. The negative assertion
+    is the point: a regression that shuffled chunk/text columns would
+    still contain the chunk_hash partitioning and must not pass."""
+    import re
+
     plan = _plan(spark, "chunk_dedup_containment", sf_dir)
-    assert "hashpartitioning(chunk_hash" in plan
+    keyed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    keys = {
+        frag.strip().split("#")[0]
+        for group in keyed
+        for frag in group.split(",")
+        if "#" in frag
+    }
+    assert "chunk_hash" in keys
+    assert keys <= {"chunk_hash", "doc_id"}, f"unexpected shuffle keys: {keys}"
 
 
 def test_decontaminate_broadcasts_eval_postings(spark, sf_dir):
