@@ -2351,3 +2351,131 @@ def q16_parts_supplier_relationship(spark: SparkSession,
                   F.col("suppkey") == F.col("s_suppkey"), "left_anti")
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("suppkey").alias("supplier_cnt")))
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice * (1 - l_discount) / l_quantity)
+               AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT p_partkey, p_brand, ps_supplycost,
+             s_suppkey, s_name, s_acctbal, n_name
+      FROM ps
+        JOIN part ON ps_partkey = p_partkey
+        JOIN supplier ON ps_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE p_type = 'ECONOMY' AND p_size <= 10 AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+    FROM cand c
+    WHERE ps_supplycost = (
+      SELECT MIN(ps_supplycost) FROM cand c2
+      WHERE c2.p_partkey = c.p_partkey)
+    """,
+    tags=("relational", "tpch", "subquery", "correlated", "adapted"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part within a region) —
+    the correlated min-per-group subquery, adapted to the derived
+    partsupp: ps_supplycost = MIN observed discounted unit price of the
+    (part, supplier) pair, which varies per pair (the flat 0.6 *
+    p_retailprice stand-in would tie every supplier of a part and
+    degenerate the MIN).
+
+    Spark plan: the correlated scalar subquery becomes a MIN window over
+    p_partkey on the already-filtered candidate set — one extra shuffle
+    on the small candidate relation instead of a re-scan + self-join;
+    all four dimension sides broadcast; lineitem is touched once (the
+    pair aggregation). Double equality against the window MIN is safe:
+    both values are the same IEEE double picked from the same set."""
+    li, part, supp, nation, region = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
+    ps = (li.groupBy(F.col("l_partkey").alias("ps_partkey"),
+                     F.col("l_suppkey").alias("ps_suppkey"))
+          .agg(F.min(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                     / F.col("l_quantity")).alias("ps_supplycost")))
+    cand = (ps.join(F.broadcast(part.where((F.col("p_type") == "ECONOMY")
+                                           & (F.col("p_size") <= 10))),
+                    F.col("ps_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp),
+                  F.col("ps_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+                  F.col("n_regionkey") == F.col("r_regionkey")))
+    w = Window.partitionBy("p_partkey")
+    return (cand.withColumn("min_cost", F.min("ps_supplycost").over(w))
+            .where(F.col("ps_supplycost") == F.col("min_cost"))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_brand", "ps_supplycost"))
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_nationkey >= 10
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(27,2))) AS DOUBLE)
+                   AS availqty
+          FROM lineitem WHERE l_shipdate < DATE '1996-01-01'
+          GROUP BY 1, 2
+        ) pre
+        WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND availqty > (
+            SELECT 0.5 * CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,2)))
+                              AS DOUBLE)
+            FROM lineitem l
+            WHERE l.l_partkey = pre.l_partkey
+              AND l.l_suppkey = pre.l_suppkey
+              AND l.l_shipdate >= DATE '1996-01-01'
+              AND l.l_shipdate < DATE '1997-01-01')
+      )
+    """,
+    tags=("relational", "tpch", "subquery", "semi-join", "adapted"))
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock of promoted parts) —
+    the nested semi-join chain with a correlated scalar threshold,
+    adapted to the derived partsupp: ps_availqty = quantity the pair
+    shipped BEFORE 1996 (stock on hand), threshold = half the pair's
+    1996 shipments. Both sums are decimal-exact (the dsum convention) so
+    the > comparison is order-independent cross-engine.
+
+    Spark plan: the correlated aggregate becomes a pre-aggregated
+    relation joined on the pair key (inner join doubles as the NULL
+    semantics of the canonical subquery: a pair with no 1996 shipments
+    compares against NULL and drops), the part-name filter is a
+    broadcast semi-join, and the final supplier membership is a
+    left-semi join — lineitem aggregates shuffle once on the pair key,
+    suppliers/parts broadcast."""
+    li, part, supp, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    pre = (li.where(F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+           .groupBy("l_partkey", "l_suppkey")
+           .agg(dsum(F.col("l_quantity"), 2).alias("availqty")))
+    y96 = (li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date")))
+           .groupBy("l_partkey", "l_suppkey")
+           .agg(dsum(F.col("l_quantity"), 2).alias("qty96")))
+    small = part.where(F.col("p_name").like("small%")).select("p_partkey")
+    qualified = (pre.join(y96, ["l_partkey", "l_suppkey"])
+                 .join(F.broadcast(small),
+                       F.col("l_partkey") == F.col("p_partkey"),
+                       "left_semi")
+                 .where(F.col("availqty") > 0.5 * F.col("qty96"))
+                 .select("l_suppkey"))
+    return (supp.join(F.broadcast(nation.where(F.col("n_nationkey") >= 10)),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .select("s_name", "s_acctbal"))

@@ -16,6 +16,13 @@ def get_spark(app_name: str = "spark_streaming_dis_plugin_spark",
               cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    # Stage the vendored protobuf runtime BEFORE the JVM launches so
+    # transformWithStateInPandas workers (which inherit the JVM's env)
+    # can import google.protobuf — no-op when already resolved or when
+    # the JVM exists (streaming/pbvendor.py documents the constraint).
+    from .streaming.pbvendor import ensure_vendored_protobuf
+
+    ensure_vendored_protobuf()
     return (
         SparkSession.builder
         .master(f"local[{cpus}]")

@@ -493,11 +493,21 @@ def test_restart_with_rate_limit_no_duplicates(spark, tmp_path):
 
 def test_transform_with_state_totals(spark, log, tmp_path):
     """transformWithStateInPandas (the modern arbitrary-state API) twin
-    of the applyInPandasWithState running totals — skip-gated on the
-    protobuf runtime the API's driver worker requires (absent from this
-    container; the applyInPandasWithState path carries the oracle row,
-    dis_stateful_totals_streamed)."""
-    pytest.importorskip("google.protobuf.descriptor")
+    of the applyInPandasWithState running totals. The protobuf runtime
+    the API requires is VENDORED (streaming/pbvendor.py stages the Cloud
+    SDK's pure-Python protobuf into PYTHONPATH before session.get_spark
+    launches the JVM), so this test runs for real here; it only skips if
+    the runtime genuinely cannot reach the JVM-spawned workers (e.g. a
+    session created before the vendor staging). The equality chain to
+    the oracle: tws == applyInPandasWithState == the DuckDB-anchored
+    dis_stateful_totals_streamed row."""
+    from spark_streaming_dis_plugin_spark.streaming.pbvendor import (
+        tws_runtime_ready,
+    )
+
+    if not tws_runtime_ready(spark):
+        pytest.skip("protobuf runtime not visible to Spark workers "
+                    "(JVM launched before vendor staging)")
 
     from pyspark.sql import Window
 
