@@ -872,6 +872,168 @@ def dis_multibatch_join_streamed(spark: SparkSession,
 
 
 @register(
+    "dis_left_outer_join_streamed",
+    oracle=f"""
+    WITH env AS ({_ORDERED_ENV}),
+    p AS (
+      SELECT "key" AS p_key, "timestamp" AS p_ts, "offset" AS p_offset
+      FROM env WHERE "offset" % 3 = 0
+    ),
+    c AS (
+      SELECT "key" AS c_key, "timestamp" AS c_ts, "offset" AS c_offset
+      FROM env WHERE "offset" % 3 = 1
+    ),
+    -- the query's global watermark is the MIN across its watermark
+    -- nodes: each side tracks its own max event time, and the final
+    -- frontier is the smaller side's max minus the delay
+    fin AS (SELECT LEAST((SELECT MAX(p_ts) FROM p),
+                         (SELECT MAX(c_ts) FROM c))
+                   - INTERVAL 2 HOUR AS fw)
+    SELECT p_key, p_offset, c_offset
+    FROM p LEFT JOIN c ON p_key = c_key
+                      AND c_ts <= p_ts
+                      AND c_ts >= p_ts - INTERVAL 1 HOUR, fin
+    WHERE c_offset IS NOT NULL OR p_ts < fw
+    """,
+    tags=("connector", "streaming", "join", "outer", "multibatch", "e2e"))
+def dis_left_outer_join_streamed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join under the oracle gate, multi-batch:
+    the outer semantics Structured Streaming adds on top of the inner
+    join — a left row with no match is null-extended and emitted only
+    once the watermark proves no future match is possible. Over the
+    time-ordered log the whole output is deterministic:
+
+    - matched pairs equal the batch join (eviction provably lossless,
+      same argument as dis_multibatch_join_streamed);
+    - an unmatched purchase is emitted null-extended iff the final
+      watermark passed its event time — the point after which any
+      matching click (c_ts <= p_ts) would be dropped as late. The
+      query's watermark is the MIN across its two watermark nodes
+      (each side's max event time - 2h; the sides are offset-residue
+      splits, so their maxima differ), and unmatched rows at or above
+      that frontier stay withheld in state. The oracle's exclusion
+      predicate (p_ts < least(max_p, max_c) - 2h) was pinned
+      row-for-row against a real multi-batch drain at two SFs.
+    """
+    from ..streaming.queries import purchase_click_join
+
+    log = _materialized_ordered_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("maxOffsetsPerTrigger", str(per))
+           .load())
+    p = sdf.where(F.col("offset") % 3 == 0)
+    c = sdf.where(F.col("offset") % 3 == 1)
+    final = _drain_multibatch(
+        spark, purchase_click_join(p, c, how="left_outer"), "lojoin")
+    return final.select("p_key", "p_offset", "c_offset")
+
+
+@register(
+    "dis_full_outer_join_streamed",
+    oracle=f"""
+    WITH env AS ({_ORDERED_ENV}),
+    p AS (
+      SELECT "key" AS p_key, "timestamp" AS p_ts, "offset" AS p_offset
+      FROM env WHERE "offset" % 3 = 0
+    ),
+    c AS (
+      SELECT "key" AS c_key, "timestamp" AS c_ts, "offset" AS c_offset
+      FROM env WHERE "offset" % 3 = 1
+    ),
+    fin AS (SELECT LEAST((SELECT MAX(p_ts) FROM p),
+                         (SELECT MAX(c_ts) FROM c))
+                   - INTERVAL 2 HOUR AS fw)
+    SELECT p_key, p_offset, c_key, c_offset
+    FROM p FULL JOIN c ON p_key = c_key
+                      AND c_ts <= p_ts
+                      AND c_ts >= p_ts - INTERVAL 1 HOUR, fin
+    WHERE (p_offset IS NOT NULL AND c_offset IS NOT NULL)
+       OR (c_offset IS NULL AND p_ts < fw)
+       OR (p_offset IS NULL AND c_ts + INTERVAL 1 HOUR < fw)
+    """,
+    tags=("connector", "streaming", "join", "outer", "multibatch", "e2e"))
+def dis_full_outer_join_streamed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """FULL-OUTER stream-stream join under the oracle gate — both sides'
+    null-extension semantics at once, and the two thresholds DIFFER in a
+    way that pins the engine's constraint analysis:
+
+    - an unmatched purchase emits once the watermark passes p_ts (no
+      later click can satisfy c_ts <= p_ts);
+    - an unmatched click must wait ONE JOIN BOUND LONGER: a click can
+      still match purchases up to 1h after it (c_ts >= p_ts - 1h), so
+      its state survives until the watermark passes c_ts + 1h.
+
+    fw = least(max_p, max_c) - 2h (the query watermark is the min
+    across both watermark nodes). Both exclusion predicates pinned
+    row-for-row against real multi-batch drains at two SFs — the
+    asymmetry (+1h on the click side only) is exactly Spark's
+    state-value-watermark derivation from the join condition."""
+    from ..streaming.queries import purchase_click_join
+
+    log = _materialized_ordered_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("maxOffsetsPerTrigger", str(per))
+           .load())
+    p = sdf.where(F.col("offset") % 3 == 0)
+    c = sdf.where(F.col("offset") % 3 == 1)
+    final = _drain_multibatch(
+        spark, purchase_click_join(p, c, how="full_outer"), "fojoin")
+    return final.select("p_key", "p_offset", "c_key", "c_offset")
+
+
+@register(
+    "dis_stream_static_join_streamed",
+    oracle=f"""
+    WITH env AS ({_ENV}),
+    profile AS (
+      SELECT CAST(user_id AS VARCHAR) AS "key",
+             CAST(COUNT(*) AS BIGINT) AS user_events,
+             CAST(SUM(CAST("value" AS DECIMAL(27,6))) AS DOUBLE)
+               AS user_value
+      FROM events GROUP BY 1
+    )
+    SELECT e."key", e."partition", e."offset",
+           p.user_events, p.user_value
+    FROM env e JOIN profile p ON e."key" = p."key"
+    WHERE e."offset" % 10 = 0
+    """,
+    tags=("connector", "streaming", "join", "stream-static", "e2e"))
+def dis_stream_static_join_streamed(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN under the oracle gate: the streaming envelope
+    enriched against a precomputed per-user profile dimension (count +
+    decimal-exact value sum from the batch events table) — the standard
+    feature-enrichment shape. Stateless on the stream side: no watermark,
+    no state store; the static side is broadcast into every micro-batch.
+    At 100 TB the profile relation is the output of a batch job and the
+    broadcast stays dimension-sized (|users|), which is why this join
+    never shuffles the stream."""
+    from ..tables import load_events
+
+    log = _materialized_log(spark, sf_dir)
+    events = load_events(spark, sf_dir)
+    profile = (events.groupBy(F.col("user_id").cast("string").alias("key"))
+               .agg(F.count(F.lit(1)).alias("user_events"),
+                    F.sum(F.col("value").cast("decimal(27,6)"))
+                     .cast("double").alias("user_value")))
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    joined = (sdf.where(F.col("offset") % 10 == 0)
+              .join(F.broadcast(profile), "key")
+              .select("key", "partition", "offset",
+                      "user_events", "user_value"))
+    return _drain_to_memory(spark, joined, "ssjoin", output_mode="append")
+
+
+@register(
     "dis_multibatch_dedup_streamed",
     oracle=f"""
     WITH RECURSIVE env AS ({_ORDERED_ENV}),
@@ -1659,6 +1821,60 @@ def dis_sink_restart_roundtrip(spark: SparkSession,
 
 
 NUM_PARTITIONS = DEFAULT_NUM_PARTITIONS
+
+
+@register(
+    "dis_restart_recovery_bench",
+    tags=("connector", "streaming", "restart", "bench-only"),
+    bench=True, declared=False)
+def dis_restart_recovery_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RECOVERY COST as a tracked bench row: one rate-limited
+    availableNow batch leaves the checkpoint mid-backlog, then a second
+    query lifecycle resumes from it and drains the remaining ~5/6 of the
+    log to the dis sink in one unthrottled availableNow pass. Times the
+    full restart path (offset-log replay, txn-ledger idempotence check,
+    sink re-open) without the kill-timing loops and idle-detection waits
+    of the oracle-gated correctness twin (dis_sink_restart_roundtrip,
+    ~28 s at sf0.1 — correct but too harness-heavy to read as a perf
+    signal). Bench-only: the correctness of this exact path is already
+    pinned by the oracle twin, so this row exists purely to catch
+    recovery-cost regressions round-over-round."""
+    import shutil
+
+    from ..sources.dis_log import DisLog
+
+    log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per_trigger = max(total // 6, 1)
+    dest_root = scratch_dir("dis_recbench_")
+    DisLog(dest_root, "copy").create(DEFAULT_NUM_PARTITIONS)
+    ckpt = scratch_dir("dis_recbench_ckpt_")
+
+    def run(rate_limited: bool) -> None:
+        r = (spark.readStream.format("dis")
+             .option("path", log.root).option("stream", log.stream))
+        if rate_limited:
+            r = r.option("maxOffsetsPerTrigger", str(per_trigger))
+        q = (r.load()
+             .select("partition", "key", "value", "timestamp")
+             .writeStream.format("dis")
+             .option("path", dest_root).option("stream", "copy")
+             .option("txnPrefix", "recbench")
+             .option("segmentRows", "2000")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("recovery bench drain did not terminate")
+
+    try:
+        run(rate_limited=True)    # one clamped batch -> ckpt mid-backlog
+        run(rate_limited=False)   # resume + full drain: the timed meat
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.read.format("dis")
+            .option("path", dest_root).option("stream", "copy").load()
+            .select("partition", "offset", "key"))
 
 
 @register(

@@ -327,6 +327,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE."""
     pairs = _jaccard_pairs(load(spark, sf_dir, "documents")) \
         .select("doc_a", "doc_b")
+    labels = _min_label_components(pairs)
+    return labels.select(
+        "doc_id", F.col("label").alias("component"),
+        (F.col("doc_id") == F.col("label")).alias("survivor"))
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Iterative min-label propagation over an undirected pair relation —
+    the shared connected-components kernel (see
+    dedup_connected_components for the scale rationale). Returns
+    (doc_id, label) for every endpoint; label = min doc_id of the
+    component."""
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionAll(pairs.select(F.col("doc_b").alias("src"),
@@ -360,12 +372,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Returning unconverged labels would silently mis-cluster any
         # duplicate chain whose diameter exceeds the iteration cap.
         raise RuntimeError(
-            "dedup_connected_components: min-label propagation did not "
+            "min-label propagation did not "
             f"converge within 20 iterations ({changed} labels still "
             "changing); raise the cap for deeper duplicate chains")
-    return labels.select(
-        "doc_id", F.col("label").alias("component"),
-        (F.col("doc_id") == F.col("label")).alias("survivor"))
+    return labels
 
 
 # --------------------------------------------------------- MinHash + LSH
@@ -430,9 +440,7 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_signature(docs).drop("sh")
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+_LSH_PAIRS_ORACLE = f"""
     WITH sig AS (
       SELECT doc_id, {', '.join(_minhash_sig_sql())}
       FROM documents
@@ -460,7 +468,12 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
           >= {JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_LSH_PAIRS_ORACLE,
     tags=("dedup", "minhash", "lsh"), bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MinHash+LSH near-dup pipeline: signatures -> 4 bands of 2
@@ -469,6 +482,103 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is one shuffle on band keys; the quadratic verify kernel
     touches only same-bucket pairs."""
     return _lsh_pairs(_with_signature(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "dedup_end_to_end",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_LSH_PAIRS_ORACLE})
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(label) AS component
+             FROM reach GROUP BY doc_id),
+    ranked AS (
+      SELECT c.component, c.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rnk
+      FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    groups AS (
+      SELECT component,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) - 1 AS BIGINT) AS n_removed,
+             MAX(CASE WHEN rnk = 1 THEN doc_id END) AS survivor_id,
+             CAST(SUM(CASE WHEN rnk > 1 THEN n_chars ELSE 0 END)
+                  AS BIGINT) AS bytes_saved
+      FROM ranked GROUP BY component
+    )
+    SELECT 'group' AS scope, component, n_docs, n_removed,
+           survivor_id, bytes_saved
+    FROM groups
+    UNION ALL
+    SELECT 'corpus', CAST(NULL AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           CAST(COALESCE(SUM(n_removed), 0) AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(COALESCE(SUM(bytes_saved), 0) AS BIGINT)
+    FROM groups
+    """,
+    tags=("dedup", "pipeline", "graph", "e2e"))
+def dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production dedup job as one composed oracle query:
+    MinHash+LSH candidate pairs -> connected components (transitive
+    duplicate groups) -> canonical-survivor selection (keep the LONGEST
+    doc per group, tie-broken by doc_id — a quality choice, not just
+    min-id) -> corpus accounting (per-group rows plus one corpus row:
+    docs in corpus, docs removed, bytes saved).
+
+    Composition is the point: it puts the iterative component kernel
+    (driver-checked individually in r1-r2) back under a hard row via the
+    job shape users actually run. Scale: LSH pairs shuffle band keys
+    only, propagation shuffles doc ids, survivor ranking shuffles the
+    (tiny) component relation, and the corpus row is a broadcast-sized
+    aggregate union — the full corpus is scanned exactly once (the
+    signature pass)."""
+    from pyspark.sql import Window
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _min_label_components(pairs)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = (labels.select("doc_id", F.col("label").alias("component"))
+            .join(docs, "doc_id"))
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = comp.withColumn("rnk", F.row_number().over(w))
+    groups = (ranked.groupBy("component")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   (F.count(F.lit(1)) - 1).alias("n_removed"),
+                   F.max(F.when(F.col("rnk") == 1, F.col("doc_id")))
+                    .alias("survivor_id"),
+                   F.sum(F.when(F.col("rnk") > 1, F.col("n_chars"))
+                          .otherwise(F.lit(0)))
+                    .cast("bigint").alias("bytes_saved")))
+    total = docs.agg(F.count(F.lit(1)).alias("corpus_docs"))
+    corpus = (groups.agg(
+                F.coalesce(F.sum("n_removed"), F.lit(0))
+                 .cast("bigint").alias("n_removed"),
+                F.coalesce(F.sum("bytes_saved"), F.lit(0))
+                 .cast("bigint").alias("bytes_saved"))
+              .crossJoin(F.broadcast(total))
+              .select(F.lit("corpus").alias("scope"),
+                      F.lit(None).cast("bigint").alias("component"),
+                      F.col("corpus_docs").alias("n_docs"),
+                      "n_removed",
+                      F.lit(None).cast("bigint").alias("survivor_id"),
+                      "bytes_saved"))
+    return (groups.select(F.lit("group").alias("scope"), "component",
+                          "n_docs", "n_removed", "survivor_id",
+                          "bytes_saved")
+            .unionByName(corpus))
 
 
 def _lsh_pairs(with_sig: DataFrame) -> DataFrame:

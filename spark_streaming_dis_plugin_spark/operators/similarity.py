@@ -47,9 +47,7 @@ def _l2sq(a, b):
         F.lit(0.0), lambda acc, x: acc + x)
 
 
-@register(
-    "sim_bruteforce_topk",
-    oracle=f"""
+_BF_ORACLE = f"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {cosine_sql('q.embedding', 'c.embedding')} AS cos
@@ -63,7 +61,12 @@ def _l2sq(a, b):
       FROM scored
     )
     WHERE rnk <= {TOP_K}
-    """,
+    """
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=_BF_ORACLE,
     tags=("similarity", "ann", "topk"), bench=True)
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each query vector (vec_id < 10).
@@ -439,6 +442,61 @@ def sim_ivf_nprobe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters, touching ~2/C of the corpus. Same stored index, same
     oracle geometry (the trained-centroid Lloyd step)."""
     return _ivf_search_prebuilt(spark, sf_dir, n_probe=IVF_N_PROBE)
+
+
+@register(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH bf3 AS (
+      SELECT query_id, neighbor_id
+      FROM ({_BF_ORACLE}) WHERE rnk <= 3
+    ),
+    i1 AS (SELECT query_id, neighbor_id
+           FROM ({_ivf_nprobe_oracle(n_probe=1)})),
+    i2 AS (SELECT query_id, neighbor_id
+           FROM ({_ivf_nprobe_oracle(n_probe=IVF_N_PROBE)}))
+    SELECT b.query_id,
+           CAST(COUNT(*) FILTER (WHERE i1.neighbor_id IS NOT NULL)
+                AS BIGINT) AS hits_p1,
+           CAST(COUNT(*) FILTER (WHERE i2.neighbor_id IS NOT NULL)
+                AS BIGINT) AS hits_p2,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM bf3 b
+      LEFT JOIN i1 ON b.query_id = i1.query_id
+                  AND b.neighbor_id = i1.neighbor_id
+      LEFT JOIN i2 ON b.query_id = i2.query_id
+                  AND b.neighbor_id = i2.neighbor_id
+    GROUP BY 1
+    """,
+    tags=("similarity", "ann", "ivf", "recall"))
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN ACCURACY CONTRACT: per-query recall@3 of the IVF search
+    against exact brute force, as exact integers under the oracle gate —
+    search *quality*, not just determinism, becomes part of the
+    correctness surface (the approx_aggregates pattern: pin a
+    deterministic quantity exactly rather than epsilon-compare).
+
+    hits_p1 = |IVF(n_probe=1) top-3 ∩ exact top-3| per query;
+    hits_p2 = the n_probe=2 multi-probe variant (the recall lever —
+    hits_p2 >= hits_p1 by construction since probe sets nest). Both
+    searches run over the prebuilt materialized index; the ground truth
+    is the broadcast brute-force pass. At 100 TB the same relation is
+    the monitoring query you run on a sampled query set to size
+    n_probe."""
+    bf3 = (sim_bruteforce_topk(spark, sf_dir)
+           .where(F.col("rnk") <= 3).select("query_id", "neighbor_id"))
+    i1 = (sim_ivf_topk(spark, sf_dir)
+          .select("query_id", "neighbor_id", F.lit(1).alias("h1")))
+    i2 = (sim_ivf_nprobe_trained(spark, sf_dir)
+          .select("query_id", "neighbor_id", F.lit(1).alias("h2")))
+    return (bf3.join(i1, ["query_id", "neighbor_id"], "left")
+            .join(i2, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("h1"), F.lit(0)))
+                  .cast("bigint").alias("hits_p1"),
+                 F.sum(F.coalesce(F.col("h2"), F.lit(0)))
+                  .cast("bigint").alias("hits_p2"),
+                 F.count(F.lit(1)).alias("k")))
 
 
 def _kmeans_oracle() -> str:

@@ -105,7 +105,8 @@ def running_wordcount(env: DataFrame) -> DataFrame:
 
 def purchase_click_join(purchases: DataFrame, clicks: DataFrame,
                         watermark: str = "2 hours",
-                        within: str = "1 hour") -> DataFrame:
+                        within: str = "1 hour",
+                        how: str = "inner") -> DataFrame:
     """Stream-stream inner join: each purchase joined to the same user's
     clicks within the preceding `within` interval. Both sides carry
     watermarks and the join condition is time-bounded, so Spark can evict
@@ -132,4 +133,4 @@ def purchase_click_join(purchases: DataFrame, clicks: DataFrame,
         (F.col("p_key") == F.col("c_key"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}")),
-        "inner")
+        how)
