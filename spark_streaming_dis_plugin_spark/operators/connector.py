@@ -795,7 +795,8 @@ _ORDERED_ENV = """
 
 def _drain_multibatch(spark: SparkSession, streamed: DataFrame, prefix: str,
                       min_batches: int = 3,
-                      timeout_s: int = 300) -> DataFrame:
+                      timeout_s: int = 300,
+                      output_mode: str = "append") -> DataFrame:
     """Rate-limited multi-batch drain for the *_multibatch_* gates:
     processing-time trigger + idle-detection (a rate-limited availableNow
     would stop after one clamped batch), asserting the run really spread
@@ -810,7 +811,7 @@ def _drain_multibatch(spark: SparkSession, streamed: DataFrame, prefix: str,
     ckpt = scratch_dir(f"{prefix}_ckpt_")
     try:
         q = (streamed.writeStream.format("memory")
-             .queryName(name).outputMode("append")
+             .queryName(name).outputMode(output_mode)
              .option("checkpointLocation", ckpt)
              .trigger(processingTime="0 seconds").start())
         data_batches = drain_available(q, timeout_seconds=timeout_s)
@@ -869,6 +870,79 @@ def dis_multibatch_join_streamed(spark: SparkSession,
     final = _drain_multibatch(
         spark, purchase_click_join(p, c), "mbjoin")
     return final.select("p_key", "p_offset", "c_offset")
+
+
+@register(
+    "dis_update_mode_streamed",
+    oracle=f"""
+    WITH env AS ({_ORDERED_ENV}),
+    tot AS (SELECT GREATEST(CAST(CEIL(COUNT(*) / 5.0) AS BIGINT), 1) AS per
+            FROM env),
+    words AS (
+      SELECT unnest(string_split_regex("value", '[^a-zA-Z0-9_]+')) AS word,
+             "offset" // per AS batch
+      FROM env, tot
+    ),
+    per_batch AS (
+      SELECT word, batch, COUNT(*) AS c FROM words
+      WHERE word != '' GROUP BY 1, 2
+    )
+    SELECT word, batch,
+           CAST(SUM(c) OVER (PARTITION BY word ORDER BY batch
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+    FROM per_batch
+    """,
+    tags=("connector", "streaming", "update-mode", "multibatch", "e2e"))
+def dis_update_mode_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode under the oracle gate — the third output mode
+    (append and complete are covered elsewhere), where the sink receives
+    the CHANGED aggregate rows of every batch and the full emission
+    HISTORY is the contract. Over the time-ordered single-partition log
+    with deterministic batch boundaries (batch = offset // per_trigger),
+    that history is a pure function of the log: for each word, one row
+    per batch in which it occurred, carrying the cumulative count
+    through that batch. The oracle recomputes it as per-batch counts +
+    a running sum; the memory sink's accumulated table (which appends
+    each batch's updates) must match row-for-row — including HOW MANY
+    times each word was re-emitted, which pins batch attribution, not
+    just final totals.
+
+    The batch column is reconstructed on the Spark side by ranking each
+    word's distinct cumulative counts (cumulative counts are strictly
+    increasing per word, so rank order = batch order); emitting it makes
+    the oracle comparison sensitive to any mis-batched update."""
+    from pyspark.sql import Window
+
+    log = _materialized_ordered_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("maxOffsetsPerTrigger", str(per))
+           .load())
+    wc = (sdf.select(
+            F.explode(F.split("value", "[^a-zA-Z0-9_]+")).alias("word"))
+          .where(F.col("word") != "")
+          .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+    final = _drain_multibatch(spark, wc, "updmode", output_mode="update")
+    # Batch attribution: a word's cumulative counts are strictly
+    # increasing, so its k-th update (by n) belongs to the k-th batch in
+    # which it occurred; that batch sequence is recomputed from a batch
+    # read of the same log and joined back on (word, k).
+    env_words = (spark.read.format("dis")
+                 .option("path", log.root).option("stream", log.stream)
+                 .load()
+                 .select(F.explode(F.split("value", "[^a-zA-Z0-9_]+"))
+                          .alias("word"),
+                         F.expr(f"offset div {per}").alias("batch"))
+                 .where(F.col("word") != "")
+                 .select("word", "batch").distinct())
+    wseq = Window.partitionBy("word").orderBy("batch")
+    batch_seq = env_words.withColumn("k", F.row_number().over(wseq))
+    wupd = Window.partitionBy("word").orderBy("n")
+    updates = final.withColumn("k", F.row_number().over(wupd))
+    return (updates.join(batch_seq, ["word", "k"])
+            .select("word", "batch", "n"))
 
 
 @register(

@@ -164,3 +164,37 @@ def test_chunk_documents_no_shuffle_beyond_repartition(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "RoundRobinPartitioning" in plan
     assert "hashpartitioning" not in plan
+
+
+def test_q2_dims_broadcast_window_min(spark, sf_dir):
+    """Q2's correlated min-per-group: every dimension side broadcasts
+    (part/supplier/nation/region), the pair aggregation is the only
+    lineitem shuffle, and the correlated subquery is planned as a MIN
+    window over the candidate set — no re-scan self-join, no SMJ."""
+    plan = _plan(spark, "q2_min_cost_supplier", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_q20_semi_joins_broadcast(spark, sf_dir):
+    """Q20's nested membership chain plans as broadcast semi-joins (the
+    part-name filter and the qualified-supplier set are both
+    dimension-sized); the two lineitem aggregations shuffle on the pair
+    key only."""
+    plan = _plan(spark, "q20_potential_promotion", sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_recall_reads_stored_index_no_lloyd(spark, sf_dir):
+    """The recall contract runs both IVF searches over the prebuilt
+    parquet index — the accuracy-monitoring query must not retrain
+    (no decimal-exact Lloyd sums in-plan), and the ground-truth
+    brute-force side bounds its sort with a window group-limit."""
+    plan = _plan(spark, "sim_ivf_recall", sf_dir)
+    assert "FileScan parquet" in plan
+    assert "decimal(27,8)" not in plan
+    assert "WindowGroupLimit" in plan
