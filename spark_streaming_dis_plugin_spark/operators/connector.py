@@ -873,6 +873,152 @@ def dis_multibatch_join_streamed(spark: SparkSession,
 
 
 @register(
+    "dis_chained_stateful_streamed",
+    oracle=f"""
+    WITH env AS ({_ENV}),
+    d AS (
+      SELECT DISTINCT "key", "value", date_trunc('hour', "timestamp") AS ws
+      FROM env
+    ),
+    fin AS (SELECT MAX("timestamp") - INTERVAL 2 HOUR AS fw FROM env)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n
+    FROM d, fin
+    WHERE ws + INTERVAL 1 HOUR <= fw
+    GROUP BY 1
+    """,
+    tags=("connector", "streaming", "chained-state", "e2e"))
+def dis_chained_stateful_streamed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS in one streaming query —
+    dropDuplicatesWithinWatermark feeding a tumbling-window aggregation
+    (multi-stateful-operator support, its own Structured Streaming
+    semantic since 3.4: one watermark node drives BOTH state stores,
+    append-mode emission composes through the chain). The dedup key
+    includes the event's hour so a duplicate group never straddles
+    windows — the survivor's window assignment is deterministic
+    regardless of which physical arrival wins the per-batch race — and
+    the windowed count becomes count-distinct-per-hour, which the
+    oracle computes directly. Emission: a window is released once the
+    watermark passes its end, so the trailing 2 hours stay withheld and
+    the oracle excludes them (same frontier arithmetic as the
+    late-drop and outer-join gates).
+
+    Needs the processing-time drain: availableNow terminates before the
+    no-data flush batch, leaving every append-mode window in state (an
+    empty result — observed, which is why this gate cannot use
+    _drain_to_memory's trigger)."""
+    import shutil
+    import uuid
+
+    from ..streaming.drain import drain_available
+
+    log = _materialized_log(spark, sf_dir)
+    name = f"chain_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir("chain_ckpt_")
+    try:
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .load())
+        chained = (
+            sdf.withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+            .withColumn("hour", F.date_trunc("hour", "timestamp"))
+            .withWatermark("timestamp", "2 hours")
+            .dropDuplicatesWithinWatermark(["key", "value", "hour"])
+            .groupBy(F.window("timestamp", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n"))
+        q = (chained.writeStream.format("memory")
+             .queryName(name).outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(processingTime="0 seconds").start())
+        drain_available(q, timeout_seconds=240)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.table(name)
+            .select(F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+                     .alias("window_start"), "n"))
+
+
+_DOCS_LOG_CACHE: dict[str, str] = {}
+
+
+def _materialized_docs_log(spark: SparkSession, sf_dir: str):
+    """An on-disk DisLog carrying the DOCUMENTS corpus (key = doc_id,
+    value = text, partition = doc_id % 4, synthetic deterministic event
+    time) — the substrate for running the LLM text pipeline ON the
+    streaming connector, which is exactly the 100 TB ingestion shape:
+    documents arrive on a partitioned log and quality/token analysis
+    runs as the stream is consumed, not as a later batch pass."""
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog
+    from ..tables import load
+
+    spark.dataSource.register(DisDataSource)
+    if sf_dir not in _DOCS_LOG_CACHE:
+        root = scratch_dir("dis_docslog_")
+        DisLog(root, "docs").create(DEFAULT_NUM_PARTITIONS)
+        docs = load(spark, sf_dir, "documents")
+        part = (F.col("doc_id") % DEFAULT_NUM_PARTITIONS).cast("int")
+        w = Window.partitionBy(part).orderBy("doc_id")
+        env = docs.select(
+            part.alias("partition"),
+            (F.row_number().over(w) - 1).cast("long").alias("offset"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("text").alias("value"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+             + F.make_interval(secs=F.col("doc_id").cast("double")))
+            .alias("timestamp"))
+        (env.repartition(DEFAULT_NUM_PARTITIONS, "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.format("dis")
+            .option("path", root).option("stream", "docs")
+            .option("segmentRows", "500")
+            .mode("append").save())
+        _DOCS_LOG_CACHE[sf_dir] = root
+    return DisLog(_DOCS_LOG_CACHE[sf_dir], "docs")
+
+
+@register(
+    "dis_docs_pipeline_streamed",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9_]+'), t -> t != '')) AS n_word_tokens,
+           length(text) AS n_chars,
+           (length(text) >= 200 AND len(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9_]+'), t -> t != '')) >= 30) AS keep
+    FROM documents
+    """,
+    tags=("connector", "streaming", "text", "pipeline", "e2e"))
+def dis_docs_pipeline_streamed(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The LLM TEXT PIPELINE RUNNING ON THE STREAM: the documents corpus
+    flows through the physical log (key = doc_id, value = text) and
+    token statistics + a keep/drop quality gate are computed as the
+    stream is consumed — stateless Column expressions per micro-batch,
+    so append mode emits every document exactly once and the result
+    must equal the batch pipeline over the documents table. This is the
+    composition the repo exists for: the connector's ingestion
+    lifecycle and the training-data operators in ONE oracle-gated plan
+    (at 100 TB this is quality filtering on ingest, which avoids ever
+    landing the rejected bytes)."""
+    from ..functions.portable import tokens
+
+    log = _materialized_docs_log(spark, sf_dir)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    toks = tokens("value")
+    stats = sdf.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.size(F.split("value", " ", -1)).alias("n_ws_tokens"),
+        F.size(toks).alias("n_word_tokens"),
+        F.length("value").alias("n_chars"),
+        ((F.length("value") >= 200) & (F.size(toks) >= 30)).alias("keep"))
+    return _drain_to_memory(spark, stats, "docstream",
+                            output_mode="append")
+
+
+@register(
     "dis_update_mode_streamed",
     oracle=f"""
     WITH env AS ({_ORDERED_ENV}),

@@ -124,7 +124,15 @@ def _read_segment(path: str):
         _SEGMENT_CACHE_STATS["hits"] += 1
     else:
         _SEGMENT_CACHE_STATS["misses"] += 1
-        table = pq.read_table(path)
+        # Transient-read retry: the local-parquet analogue of the
+        # reference's empty-poll backoff loop (DISDataConsumer.scala:
+        # 87-99 -> ExponentialBackOff.scala). On object storage a
+        # momentary 5xx/timeout surfaces as OSError; a missing file is
+        # NOT transient (FileNotFoundError propagates immediately so
+        # retention races still fail fast through check_data_loss).
+        from .backoff import with_backoff
+
+        table = with_backoff(lambda: pq.read_table(path))
     _SEGMENT_CACHE[path] = table          # re-insert = move to MRU end
     while len(_SEGMENT_CACHE) > 1 and (
             len(_SEGMENT_CACHE) > _SEGMENT_CACHE_CAP

@@ -151,3 +151,95 @@ def test_pid_recovers_when_backlog_clears():
     for i in range(4, 10):
         fast = pid.compute(i * 2000, 1000, 500, 0)
     assert fast is not None and fast > slow
+
+
+# ----------------------------------------------------------- backoff
+
+def test_backoff_interval_sequence_golden():
+    """The reference consumer's curve (100 ms -> x1.5 -> cap 5 s,
+    DISDataConsumer.scala:87-93): intervals follow trunc(prev * 1.5)
+    with long truncation, capped."""
+    from spark_streaming_dis_plugin_spark.sources.backoff import (
+        ExponentialBackOff,
+    )
+
+    ex = ExponentialBackOff(100, 1.5, 5_000).start()
+    seq = [ex.next_backoff() for _ in range(12)]
+    assert seq == [100, 150, 225, 337, 505, 757, 1135, 1702, 2553,
+                   3829, 5000, 5000]
+
+
+def test_backoff_initial_capped_and_elapsed_stop():
+    from spark_streaming_dis_plugin_spark.sources.backoff import (
+        STOP, ExponentialBackOff,
+    )
+
+    # initial above the cap is clamped (ExponentialBackOff.scala:120-127)
+    ex = ExponentialBackOff(10_000, 2.0, 3_000).start()
+    assert ex.next_backoff() == 3_000
+    # elapsed budget: planned sleep time accumulates BEFORE sleeping, so
+    # max_elapsed == initial yields exactly one interval then STOP
+    ex2 = ExponentialBackOff(100, 1.5, 5_000, max_elapsed_ms=100).start()
+    assert ex2.next_backoff() == 100
+    assert ex2.next_backoff() == STOP
+
+
+def test_backoff_multiplier_below_one_rejected():
+    import pytest
+
+    from spark_streaming_dis_plugin_spark.sources.backoff import (
+        ExponentialBackOff,
+    )
+
+    with pytest.raises(ValueError):
+        ExponentialBackOff(100, 0.5)
+
+
+def test_with_backoff_retries_transient_then_succeeds():
+    from spark_streaming_dis_plugin_spark.sources.backoff import (
+        ExponentialBackOff, with_backoff,
+    )
+
+    sleeps: list[float] = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    out = with_backoff(flaky, ExponentialBackOff(100, 1.5, 5_000),
+                       sleep=sleeps.append)
+    assert out == "ok" and calls["n"] == 3
+    assert sleeps == [0.1, 0.15]
+
+
+def test_with_backoff_missing_file_fails_fast_budget_exhausts():
+    import pytest
+
+    from spark_streaming_dis_plugin_spark.sources.backoff import (
+        ExponentialBackOff, with_backoff,
+    )
+
+    # FileNotFoundError (an OSError) must NOT be retried: a deleted
+    # segment is a retention race for failOnDataLoss, not a blip.
+    calls = {"n": 0}
+
+    def gone():
+        calls["n"] += 1
+        raise FileNotFoundError("seg deleted")
+
+    with pytest.raises(FileNotFoundError):
+        with_backoff(gone, sleep=lambda s: None)
+    assert calls["n"] == 1
+
+    # exhausted elapsed budget propagates the LAST transient error
+    def always():
+        raise OSError("still down")
+
+    with pytest.raises(OSError, match="still down"):
+        with_backoff(always,
+                     ExponentialBackOff(100, 1.5, 5_000,
+                                        max_elapsed_ms=250),
+                     sleep=lambda s: None)
