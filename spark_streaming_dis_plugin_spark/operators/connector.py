@@ -873,6 +873,73 @@ def dis_multibatch_join_streamed(spark: SparkSession,
 
 
 @register(
+    "dis_assign_streamed",
+    oracle=f"""
+    SELECT word, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex("value", '[^a-zA-Z0-9_]+')) AS word
+      FROM ({_ENV}) WHERE "partition" IN (0, 2)
+    )
+    WHERE word != ''
+    GROUP BY word
+    """,
+    tags=("connector", "streaming", "assign", "e2e"))
+def dis_assign_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConsumerStrategies.Assign AS A STREAM under the oracle gate: the
+    subscription pins partitions {{0, 2}} (the reference's explicit
+    TopicPartition set, ConsumerStrategy.scala:186-213) and the drained
+    word count must equal the batch SQL over exactly those partitions —
+    planning never touches the unpinned ones, and (matching Assign
+    semantics, unlike Subscribe) dynamic partition pickup is off: the
+    set is the contract."""
+    from ..streaming.queries import running_wordcount
+
+    log = _materialized_log(spark, sf_dir)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("assign", '{"events": [0, 2]}')
+           .load())
+    return _drain_to_memory(spark, running_wordcount(sdf), "assign_stream",
+                            output_mode="complete")
+
+
+@register(
+    "dis_timestamp_read",
+    oracle=f"""
+    WITH env AS ({_ENV}),
+    thr AS (
+      SELECT "partition", MIN("offset") AS start_off
+      FROM env
+      WHERE "timestamp" >= TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1
+    )
+    SELECT e.stream, e."partition", e."offset", e."key", e."value",
+           strftime(e."timestamp", '{TS_FMT_DUCK}') AS ts_utc
+    FROM env e JOIN thr t
+      ON e."partition" = t."partition" AND e."offset" >= t.start_off
+    """,
+    tags=("connector", "datasource", "timestamp-seek", "physical"))
+def dis_timestamp_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP-BASED SEEK under the oracle gate — the Kafka source's
+    startingOffsetsByTimestamp surface: ``startingTimestamp`` resolves,
+    per partition, to the earliest offset whose record time reaches the
+    target (offsetsForTimes), and the bounded read starts there. The
+    resolution is parquet-footer-stat pruned (one segment decoded per
+    partition, DisLog.offsets_for_time); the oracle recomputes the same
+    thresholds declaratively (MIN offset with ts >= T per partition) and
+    replays the scan from them. Partitions with no record at/after T
+    read empty — the Kafka no-match default."""
+    log = _materialized_log(spark, sf_dir)
+    df = (spark.read.format("dis")
+          .option("path", log.root).option("stream", log.stream)
+          .option("startingTimestamp", "2024-01-15 00:00:00")
+          .load())
+    return df.select(
+        "stream", "partition", "offset", "key", "value",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc"))
+
+
+@register(
     "dis_chained_stateful_streamed",
     oracle=f"""
     WITH env AS ({_ENV}),
@@ -1016,6 +1083,62 @@ def dis_docs_pipeline_streamed(spark: SparkSession,
         ((F.length("value") >= 200) & (F.size(toks) >= 30)).alias("keep"))
     return _drain_to_memory(spark, stats, "docstream",
                             output_mode="append")
+
+
+@register(
+    "dis_docs_curation_sink_streamed",
+    oracle=f"""
+    SELECT doc_id, length(text) AS n_chars
+    FROM documents
+    WHERE length(text) >= 200
+      AND len(list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9_]+'), t -> t != '')) >= 30
+    """,
+    tags=("connector", "streaming", "text", "sink", "pipeline", "e2e"))
+def dis_docs_curation_sink_streamed(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """CURATION ON INGEST, end to end: the documents stream is quality-
+    filtered IN FLIGHT and only the keepers are written through the
+    exactly-once dis sink; the destination log, read back, must contain
+    precisely the batch pipeline's kept set. This is the production
+    shape dis_docs_pipeline_streamed reports on — here the verdict is
+    enforced at the sink, so rejected bytes never land (the 100 TB win:
+    storage and every downstream pass shrink by the drop rate).
+
+    The oracle checks membership (doc_id + size), not destination
+    offsets: sink offsets depend on task arrival order within the batch,
+    which exactly-once guarantees make stable in COUNT but not in
+    assignment — asserting them would pin an implementation accident."""
+    import shutil
+
+    from ..functions.portable import tokens
+    from ..sources.dis_log import DisLog
+
+    log = _materialized_docs_log(spark, sf_dir)
+    dest_root = scratch_dir("dis_curated_")
+    DisLog(dest_root, "curated").create(DEFAULT_NUM_PARTITIONS)
+    ckpt = scratch_dir("dis_curated_ckpt_")
+    try:
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .load())
+        toks = tokens("value")
+        kept = (sdf.where((F.length("value") >= 200) & (F.size(toks) >= 30))
+                .select("partition", "key", "value", "timestamp"))
+        q = (kept.writeStream.format("dis")
+             .option("path", dest_root).option("stream", "curated")
+             .option("txnPrefix", "curate")
+             .option("segmentRows", "1000")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("curation sink drain did not terminate")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    dest = (spark.read.format("dis")
+            .option("path", dest_root).option("stream", "curated").load())
+    return dest.select(F.col("key").cast("bigint").alias("doc_id"),
+                       F.length("value").alias("n_chars"))
 
 
 @register(

@@ -186,6 +186,75 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_sampled")))
 
 
+TEMP_ALPHA_SQRT = True   # temperature tau=2 <=> p^(1/tau) = sqrt(p)
+TEMP_BUDGET_FRAC = 2     # kept budget = floor(total / this)
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang, COUNT(*) AS n_total, sqrt(COUNT(*)) AS srt
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(srt AS DECIMAL(27,12))) AS DOUBLE) AS s,
+             CAST(SUM(n_total) AS BIGINT) AS n
+      FROM stats
+    ),
+    targets AS (
+      SELECT lang, n_total,
+             CAST(FLOOR(LEAST(
+               1.0,
+               (CAST(n // {TEMP_BUDGET_FRAC} AS DOUBLE) * (srt / s))
+                 / n_total) * 1000000.0) AS BIGINT) AS thr
+      FROM stats CROSS JOIN tot
+    )
+    SELECT d.lang, t.n_total, t.thr, COUNT(*) AS n_sampled
+    FROM documents d JOIN targets t ON d.lang = t.lang
+    WHERE {portable_hash_sql("'temp:' || CAST(doc_id AS VARCHAR)")}
+          % 1000000 < t.thr
+    GROUP BY d.lang, t.n_total, t.thr
+    """,
+    tags=("pipeline", "sampling", "temperature", "deterministic"))
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-BASED language sampling (tau = 2): kept mass per
+    language proportional to sqrt(n_l) — the standard multilingual
+    rebalancing that upweights low-resource languages without flattening
+    the mix entirely (tau -> inf = uniform, tau = 1 = natural). A fixed
+    kept budget (half the corpus) is split by the tempered weights and
+    converted to per-language integer acceptance thresholds; membership
+    is then the usual salted row hash.
+
+    Determinism across engines: sqrt is IEEE-correctly-rounded in both;
+    the weight NORMALIZER (the only multi-language sum) goes through the
+    decimal-cast so summation order cannot flip a threshold; every
+    remaining step is a single mirrored double op. Scale shape is
+    sample_domain_mix's: tiny agg -> broadcast targets -> row-local
+    gate; the corpus never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    stats = (docs.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_total"))
+             .withColumn("srt", F.sqrt(F.col("n_total"))))
+    tot = stats.agg(
+        F.sum(F.col("srt").cast("decimal(27,12)")).cast("double").alias("s"),
+        F.sum("n_total").cast("bigint").alias("n"))
+    budget = (F.col("n") / TEMP_BUDGET_FRAC).cast("bigint").cast("double")
+    rate = F.least(F.lit(1.0),
+                   (budget * (F.col("srt") / F.col("s"))) / F.col("n_total"))
+    targets = (stats.crossJoin(F.broadcast(tot))
+               .withColumn("thr",
+                           F.floor(rate * 1000000.0).cast("bigint"))
+               .select("lang", "n_total", "thr"))
+    gate = portable_hash(F.concat(F.lit("temp:"),
+                                  F.col("doc_id").cast("string"))) \
+        % 1000000 < F.col("thr")
+    return (docs.join(F.broadcast(targets), "lang")
+            .where(gate)
+            .groupBy("lang", "n_total", "thr")
+            .agg(F.count(F.lit(1)).alias("n_sampled")))
+
+
 TOKEN_BUDGET = 512   # context-window size in (whitespace) tokens
 
 

@@ -234,6 +234,17 @@ class DisBatchReader(DataSourceReader):
 
         if "offsetRanges" in options:
             ranges = offset_ranges_from_json(stream, options["offsetRanges"])
+        elif "startingTimestamp" in options:
+            # Kafka-parity offsetsForTimes (startingOffsetsByTimestamp
+            # family): per-partition start = earliest offset with record
+            # time >= the timestamp, resolved by parquet-footer pruning
+            # (DisLog.offsets_for_time); a no-match partition reads empty.
+            starts = log.offsets_for_time(options["startingTimestamp"])
+            end = _parse_boundary(options.get("endingOffsets", "latest"),
+                                  stream, earliest.keys(), LATEST)
+            ranges = [OffsetRange(stream, p, starts.get(p, EARLIEST),
+                                  end.get(p, LATEST))
+                      for p in sorted(earliest)]
         else:
             start = _parse_boundary(options.get("startingOffsets", "earliest"),
                                     stream, earliest.keys(), EARLIEST)
@@ -314,6 +325,20 @@ class DisStreamReader(DataSourceStreamReader):
             options.get("maxrateperpartition", 0) or 0)
         self.batch_seconds = float(options.get("batchseconds", 1.0))
         self.starting = options.get("startingoffsets", "earliest")
+        self.starting_ts = options.get("startingtimestamp")
+        # ConsumerStrategies.Assign for streams (ConsumerStrategy.scala:
+        # 186-213): pin an explicit partition set. Planning never sees
+        # unassigned partitions, and — deliberately, matching the
+        # reference's Assign semantics — dynamic partition ADD does not
+        # apply: the subscription is the fixed set, not the log listing.
+        raw_assign = options.get("assign")
+        self.assigned: set[int] | None = None
+        if raw_assign:
+            from .offsets import partitions_from_json
+
+            by_stream = partitions_from_json(raw_assign)
+            self.assigned = {p for s, ps in by_stream.items()
+                             if s == log.stream for p in ps}
         self.allow_gaps = str(options.get("allownonconsecutiveoffsets",
                                           "false")).lower() == "true"
         self.fail_on_data_loss = str(options.get("failondataloss",
@@ -358,8 +383,12 @@ class DisStreamReader(DataSourceStreamReader):
     # -- planning (driver side) --
 
     def initialOffset(self) -> dict:
-        """≅ ConsumerStrategy.onStart seek (ConsumerStrategy.scala:82-115)."""
-        if self.starting == "latest":
+        """≅ ConsumerStrategy.onStart seek (ConsumerStrategy.scala:82-115);
+        startingTimestamp = the Kafka source's timestamp seek
+        (offsetsForTimes via DisLog.offsets_for_time)."""
+        if self.starting_ts is not None:
+            out = self.log.offsets_for_time(self.starting_ts)
+        elif self.starting == "latest":
             out = self.log.latest_offsets()
         elif self.starting == "earliest":
             out = self.log.earliest_offsets()
@@ -372,6 +401,8 @@ class DisStreamReader(DataSourceStreamReader):
                 o = offs.get((self.log.stream, p), EARLIEST)
                 out[p] = (latest[p] if o == LATEST
                           else earliest[p] if o == EARLIEST else o)
+        if self.assigned is not None:
+            out = {p: o for p, o in out.items() if p in self.assigned}
         self._sync(out)
         self._trace(f"initialOffset -> {out}")
         return {str(p): o for p, o in out.items()}
@@ -409,6 +440,8 @@ class DisStreamReader(DataSourceStreamReader):
         for p, o in self._floor.items():
             current[p] = max(current.get(p, 0), o)
         latest = self.log.latest_offsets()
+        if self.assigned is not None:
+            latest = {p: o for p, o in latest.items() if p in self.assigned}
         allowed = None
         if self.max_per_trigger or self.max_rate_per_partition or self._pid:
             lags = {p: max(latest[p] - current.get(p, 0), 0) for p in latest}

@@ -223,6 +223,60 @@ class DisLog:
         return [path for f, u, path in self._segments(partition)
                 if f < until_offset and u > from_offset]
 
+    def offsets_for_time(self, ts) -> dict[int, int]:
+        """Per-partition earliest offset whose record timestamp >= ``ts``
+        — the Kafka ``offsetsForTimes`` contract backing the
+        ``startingTimestamp`` option (the Kafka source's
+        startingOffsetsByTimestamp family). A partition with no record at
+        or after ``ts`` resolves to its latest offset (empty read), the
+        Kafka source's default no-match strategy.
+
+        Planning cost, not scan cost: candidate segments are selected by
+        PARQUET FOOTER statistics (row-group max(timestamp) — a few-KB
+        metadata read per segment, no data pages), and because offsets
+        increase across segments, the answer lies in the FIRST segment
+        whose max timestamp reaches ``ts`` — exactly one segment's
+        (offset, timestamp) columns are decoded per partition, even on
+        logs whose event time is not monotone in offset. At object-store
+        scale this is the same footer-stat pruning the parquet scan
+        itself uses."""
+        import datetime
+
+        import pyarrow.parquet as pq
+
+        if isinstance(ts, str):
+            ts = datetime.datetime.fromisoformat(ts)
+        out: dict[int, int] = {}
+        latest = self.latest_offsets()
+        for p in self.partitions():
+            resolved = None
+            for f, u, path in self._segments(p):
+                md = pq.ParquetFile(path).metadata
+                seg_max = None
+                for rg in range(md.num_row_groups):
+                    group = md.row_group(rg)
+                    stats = next(
+                        (group.column(i).statistics
+                         for i in range(group.num_columns)
+                         if group.column(i).path_in_schema == "timestamp"),
+                        None)
+                    if stats is None or not stats.has_min_max:
+                        seg_max = None   # no stats -> must decode
+                        break
+                    m = stats.max
+                    seg_max = m if seg_max is None or m > seg_max else seg_max
+                if seg_max is not None and seg_max < ts:
+                    continue             # wholly before ts — skip by footer
+                tbl = pq.read_table(path, columns=["offset", "timestamp"])
+                offs = tbl.column("offset").to_pylist()
+                times = tbl.column("timestamp").to_pylist()
+                cand = [o for o, t in zip(offs, times) if t >= ts]
+                if cand:
+                    resolved = min(cand)
+                    break
+            out[p] = resolved if resolved is not None else latest.get(p, 0)
+        return out
+
     # ------------------------------------------- producer txn ledger (sink)
 
     @property

@@ -957,3 +957,67 @@ def test_writer_explicit_offset_validation_property(tmp_path_factory, spans):
         # segments make the log gappy
         internal_gap = any(g > 0 for g, _ in spans[1:])
         assert log.has_gaps() == internal_gap
+
+
+def test_offsets_for_time_matches_bruteforce(spark, sf_dir, log):
+    """offsets_for_times parity: per partition, the earliest offset with
+    ts >= T — verified against a brute-force scan; a T beyond the log
+    resolves every partition to latest (empty read, the Kafka no-match
+    default); T at/below the first record resolves to earliest."""
+    import datetime
+
+    full = _dis(spark, log).load().select(
+        "partition", "offset", "timestamp").collect()
+    t = datetime.datetime(2024, 1, 20, 12, 0, 0)
+    expect = {}
+    for r in full:
+        if r["timestamp"] >= t:
+            p = r["partition"]
+            expect[p] = min(expect.get(p, r["offset"]), r["offset"])
+    got = log.offsets_for_time(t)
+    latest = log.latest_offsets()
+    for p in latest:
+        assert got[p] == expect.get(p, latest[p]), p
+
+    beyond = log.offsets_for_time(datetime.datetime(2030, 1, 1))
+    assert beyond == latest
+    early = log.offsets_for_time(datetime.datetime(2020, 1, 1))
+    assert early == log.earliest_offsets()
+
+
+def test_offsets_for_time_non_monotone_log(spark, sf_dir):
+    """The scrambled-arrival log's event time is NOT monotone in offset;
+    the footer-pruned resolution must still return the global minimum
+    offset with ts >= T (the first qualifying segment bounds it because
+    offsets only grow across segments)."""
+    import datetime
+
+    from spark_streaming_dis_plugin_spark.operators.connector import (
+        _materialized_scrambled_log,
+    )
+
+    slog = _materialized_scrambled_log(spark, sf_dir)
+    t = datetime.datetime(2024, 1, 25, 0, 0, 0)
+    rows = (spark.read.format("dis")
+            .option("path", slog.root).option("stream", slog.stream).load()
+            .select("offset", "timestamp").collect())
+    expect = min(r["offset"] for r in rows if r["timestamp"] >= t)
+    log_res = slog.offsets_for_time(t)
+    assert log_res[0] == expect
+
+
+def test_batch_starting_timestamp_scan(spark, sf_dir, log):
+    """startingTimestamp end-to-end: the bounded read equals the
+    offset-threshold read computed from the resolved starts."""
+    starts = log.offsets_for_time("2024-01-20 12:00:00")
+    via_ts = (_dis(spark, log)
+              .option("startingTimestamp", "2024-01-20 12:00:00")
+              .load())
+    import json
+
+    ranges = {str(p): [o, -1] for p, o in starts.items()}
+    via_off = (_dis(spark, log)
+               .option("offsetRanges", json.dumps(ranges)).load())
+    assert sorted(map(tuple, via_ts.collect())) == \
+        sorted(map(tuple, via_off.collect()))
+    assert via_ts.count() > 0
