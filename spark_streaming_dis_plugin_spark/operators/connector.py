@@ -2220,6 +2220,106 @@ def dis_restart_recovery_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("partition", "offset", "key"))
 
 
+CORR_DAYS = 30   # the fixture spans Jan 1-30
+
+
+@register(
+    "events_user_correlation_topk",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM daily GROUP BY 1
+    ),
+    ok AS (
+      SELECT * FROM stats WHERE {CORR_DAYS} * s2 - s1 * s1 > 0
+    ),
+    sxy AS (
+      SELECT a.user_id AS u, b.user_id AS v,
+             CAST(SUM(a.x * b.x) AS BIGINT) AS sxy
+      FROM daily a JOIN daily b ON a.d = b.d AND a.user_id != b.user_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT s.u AS user_id, s.v AS partner_id,
+             round(
+               ({CORR_DAYS}.0 * s.sxy - su.s1 * sv.s1)
+               / sqrt(CAST(({CORR_DAYS} * su.s2 - su.s1 * su.s1)
+                           * ({CORR_DAYS} * sv.s2 - sv.s1 * sv.s1)
+                           AS DOUBLE)), 6) + 0.0 AS r
+      FROM sxy s
+        JOIN ok su ON su.user_id = s.u
+        JOIN ok sv ON sv.user_id = s.v
+    )
+    SELECT user_id, partner_id, r, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY r DESC, partner_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("connector", "timeseries", "correlation", "analytics"))
+def events_user_correlation_topk(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TIME-SERIES SIMILARITY SEARCH over user activity (the EDBT'19
+    streaming-similarity family, batch form): each user's 30-day daily
+    event-count vector, top-3 most Pearson-correlated partners per user.
+    Every sufficient statistic (sum, sum-of-squares, cross products) is
+    an INTEGER — missing days contribute 0 to all of them, so no
+    zero-filling is needed and the correlation is a pure function of
+    exact bigints; only the final ratio is floating point (rounded 6 to
+    absorb the one double-op chain). Constant users (zero variance) are
+    excluded from both sides.
+
+    Scale shape: per-user stats are one hash agg; cross products come
+    from the day-equi-join of ACTIVE days only. At 100 TB the day key
+    is hot (every user shares it) — the production variant blocks the
+    pair space (cohort/region keys) or salts the day join; here the
+    shape is the point: no dense vector materialization, no cartesian —
+    only co-active pairs ever meet."""
+    events = load(spark, sf_dir, "events")
+    daily = (events.groupBy("user_id",
+                            F.date_trunc("day", "ts").alias("d"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("x")))
+    stats = (daily.groupBy("user_id")
+             .agg(F.sum("x").cast("bigint").alias("s1"),
+                  F.sum(F.col("x") * F.col("x")).cast("bigint")
+                   .alias("s2")))
+    ok = stats.where(CORR_DAYS * F.col("s2")
+                     - F.col("s1") * F.col("s1") > 0)
+    a = daily.select(F.col("user_id").alias("u"), "d",
+                     F.col("x").alias("xa"))
+    b = daily.select(F.col("user_id").alias("v"), "d",
+                     F.col("x").alias("xb"))
+    sxy = (a.join(b, "d").where(F.col("u") != F.col("v"))
+           .groupBy("u", "v")
+           .agg(F.sum(F.col("xa") * F.col("xb")).cast("bigint")
+                 .alias("sxy")))
+    su = ok.select(F.col("user_id").alias("u"),
+                   F.col("s1").alias("s1u"), F.col("s2").alias("s2u"))
+    sv = ok.select(F.col("user_id").alias("v"),
+                   F.col("s1").alias("s1v"), F.col("s2").alias("s2v"))
+    num = (F.lit(float(CORR_DAYS)) * F.col("sxy")
+           - F.col("s1u") * F.col("s1v"))
+    den = F.sqrt(((CORR_DAYS * F.col("s2u")
+                   - F.col("s1u") * F.col("s1u"))
+                  * (CORR_DAYS * F.col("s2v")
+                     - F.col("s1v") * F.col("s1v"))).cast("double"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("r"), "partner_id")
+    return (sxy.join(F.broadcast(su), "u").join(F.broadcast(sv), "v")
+            .select(F.col("u").alias("user_id"),
+                    F.col("v").alias("partner_id"),
+                    (F.round(num / den, 6) + 0.0).alias("r"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("user_id", "partner_id", "r", "rnk"))
+
+
 @register(
     "funnel_conversion",
     oracle="""

@@ -529,7 +529,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(SUM(bytes_saved), 0) AS BIGINT)
     FROM groups
     """,
-    tags=("dedup", "pipeline", "graph", "e2e"))
+    tags=("dedup", "pipeline", "graph", "e2e"), bench=True)
 def dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE production dedup job as one composed oracle query:
     MinHash+LSH candidate pairs -> connected components (transitive

@@ -499,6 +499,188 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("k")))
 
 
+PQ_M = 4                    # subspaces
+PQ_SUB = DIM // PQ_M        # dims per subspace (16)
+PQ_K = 4                    # codes per subspace (2-bit codes here)
+
+
+def _pq_sub_d2_sql(m: int) -> str:
+    """Subspace-m squared L2 between corpus row v and codebook row c —
+    sequential fold over the subspace's dims, mirroring the Spark
+    zip_with fold order exactly (bit-identical doubles)."""
+    lo, hi = PQ_SUB * m + 1, PQ_SUB * (m + 1)
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range({lo}, {hi} + 1), "
+            f"i -> (CAST(v.embedding[i] AS DOUBLE) "
+            f"- CAST(c.embedding[i] AS DOUBLE)) "
+            f"* (CAST(v.embedding[i] AS DOUBLE) "
+            f"- CAST(c.embedding[i] AS DOUBLE)))), "
+            f"(acc, x) -> acc + x)")
+
+
+def _pq_oracle() -> str:
+    subs = []
+    for m in range(PQ_M):
+        subs.append(f"""
+    code{m} AS (
+      SELECT vec_id, code AS c{m} FROM (
+        SELECT v.vec_id, c.vec_id AS code,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_pq_sub_d2_sql(m)}, c.vec_id)
+                 AS rnk
+        FROM embeddings v CROSS JOIN cb c
+      ) WHERE rnk = 1
+    )""")
+    joins = " ".join(f"JOIN code{m} USING (vec_id)" for m in range(1, PQ_M))
+    cols = ", ".join(f"c{m}" for m in range(PQ_M))
+    return f"""
+    WITH cb AS (SELECT * FROM embeddings WHERE vec_id < {PQ_K}),
+    {", ".join(s.strip() for s in subs)}
+    SELECT vec_id, {cols}
+    FROM code0 {joins}
+    """
+
+
+@register(
+    "sim_pq_encode",
+    oracle=_pq_oracle(),
+    tags=("similarity", "ann", "pq", "compression"))
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION encode — the memory lever of vector search
+    at scale: each {DIM}-dim vector becomes {PQ_M} small codes (argmin
+    codebook entry per {PQ_SUB}-dim subspace), shrinking 64 floats to 4
+    code bytes; search then scores candidates against per-subspace
+    lookup tables instead of raw vectors. Codebooks here are the
+    deterministic seed rows (vec_id < {PQ_K}) — codebook TRAINING is the
+    same Lloyd machinery sim_ivf_build/sim_kmeans_lloyd already pin, so
+    this operator's contract is the ENCODE kernel: per-subspace argmin
+    with a deterministic tie-break, every distance a bit-identical
+    sequential fold in both engines.
+
+    Scale shape: the codebook is K x M x sub-dim tiny and broadcast;
+    encoding is one linear pass over the corpus (cross join with K=4
+    broadcast rows + row-local folds), no shuffle of the embedding
+    column anywhere — at 100 TB the PQ-coded corpus is what fits in
+    memory for the IVF-PQ search tier."""
+    emb = load(spark, sf_dir, "embeddings")
+    cb = (emb.where(F.col("vec_id") < PQ_K)
+          .select(F.col("vec_id").alias("code"),
+                  F.col("embedding").alias("ce")))
+    paired = emb.crossJoin(F.broadcast(cb))
+    out = paired.select("vec_id", "code", *[
+        F.aggregate(
+            F.zip_with(F.slice("embedding", PQ_SUB * m + 1, PQ_SUB),
+                       F.slice("ce", PQ_SUB * m + 1, PQ_SUB),
+                       lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x).alias(f"d{m}")
+        for m in range(PQ_M)])
+    # All M argmins fold in ONE hash aggregation (single vec_id shuffle):
+    # min_by with a (distance, code) struct makes each tie-break
+    # deterministic — the M-windows-plus-joins alternative costs M
+    # shuffles for the same answer.
+    return out.groupBy("vec_id").agg(*[
+        F.min_by("code", F.struct(F.col(f"d{m}"), F.col("code")))
+         .alias(f"c{m}")
+        for m in range(PQ_M)])
+
+
+def _pq_adc_oracle() -> str:
+    luts = []
+    for m in range(PQ_M):
+        luts.append(f"""
+    lut{m} AS (
+      SELECT v.vec_id AS query_id, c.vec_id AS code,
+             {_pq_sub_d2_sql(m)} AS d
+      FROM embeddings v CROSS JOIN cb c
+      WHERE v.vec_id < {N_QUERIES}
+    )""")
+    d_sum = " + ".join(f"l{m}.d" for m in range(PQ_M))
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.query_id = q.query_id "
+        f"AND l{m}.code = pc.c{m}"
+        for m in range(PQ_M))
+    return f"""
+    WITH cb AS (SELECT * FROM embeddings WHERE vec_id < {PQ_K}),
+    {", ".join(s.strip() for s in luts)},
+    codes AS ({_pq_oracle()}),
+    q AS (SELECT DISTINCT query_id FROM lut0),
+    scored AS (
+      SELECT q.query_id, pc.vec_id AS neighbor_id,
+             round({d_sum}, 6) + 0.0 AS adc_d2
+      FROM q JOIN codes pc ON pc.vec_id != q.query_id
+      {lut_joins}
+    )
+    SELECT query_id, neighbor_id, adc_d2, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """
+
+
+@register(
+    "sim_pq_adc_topk",
+    oracle=_pq_adc_oracle(),
+    tags=("similarity", "ann", "pq", "adc"))
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC DISTANCE COMPUTATION over PQ codes — the search half
+    of IVF-PQ (the FAISS-standard ANN tier): each query precomputes an
+    M x K lookup table of subspace distances to the codebook, and a
+    candidate's approximate distance is just M table lookups summed —
+    no raw-vector math against the corpus at query time. Top-3 by ADC
+    distance per query, deterministic tie-break.
+
+    Scale shape: the LUT relation is |queries| x M x K (tiny,
+    broadcast); the corpus side is the 4-byte PQ codes, not the
+    64-float vectors — the join-probe-sum plan touches, per candidate,
+    four broadcast-hash lookups and one add chain. At 100 TB this is
+    the layout where the whole corpus's search structure fits in
+    executor memory. ADC distances are rounded(6) in both engines: the
+    M-way sum is written as one left-to-right add chain, but the ulp
+    margin on near-tied candidates is what the rounding absorbs."""
+    emb = load(spark, sf_dir, "embeddings")
+    cb = (emb.where(F.col("vec_id") < PQ_K)
+          .select(F.col("vec_id").alias("code"),
+                  F.col("embedding").alias("ce")))
+    queries = (emb.where(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qe")))
+    luts = []
+    for m in range(PQ_M):
+        d = F.aggregate(
+            F.zip_with(F.slice("qe", PQ_SUB * m + 1, PQ_SUB),
+                       F.slice("ce", PQ_SUB * m + 1, PQ_SUB),
+                       lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x)
+        luts.append(queries.crossJoin(F.broadcast(cb))
+                    .select(F.col("query_id").alias(f"q{m}"),
+                            F.col("code").alias(f"k{m}"),
+                            d.alias(f"d{m}")))
+    codes = sim_pq_encode(spark, sf_dir)
+    scored = (codes.crossJoin(F.broadcast(
+                queries.select("query_id")))
+              .where(F.col("vec_id") != F.col("query_id")))
+    for m in range(PQ_M):
+        scored = (scored.join(
+            F.broadcast(luts[m]),
+            (F.col("query_id") == F.col(f"q{m}"))
+            & (F.col(f"c{m}") == F.col(f"k{m}")))
+            .drop(f"q{m}", f"k{m}"))
+    adc = reduce_add = None
+    for m in range(PQ_M):
+        reduce_add = (F.col(f"d{m}") if reduce_add is None
+                      else reduce_add + F.col(f"d{m}"))
+    adc = (F.round(reduce_add, 6) + 0.0).alias("adc_d2")
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (scored.select("query_id",
+                          F.col("vec_id").alias("neighbor_id"), adc)
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("query_id", "neighbor_id", "adc_d2", "rnk"))
+
+
 def _kmeans_oracle() -> str:
     dims = ", ".join(f"{_dim_avg_sql(i + 1)} AS d{i}" for i in range(DIM))
     cent_array = "[" + ", ".join(f"d{i}" for i in range(DIM)) + "]"

@@ -198,3 +198,14 @@ def test_ivf_recall_reads_stored_index_no_lloyd(spark, sf_dir):
     assert "FileScan parquet" in plan
     assert "decimal(27,8)" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_pq_encode_single_shuffle(spark, sf_dir):
+    """PQ encode: the codebook cross-join is a broadcast (K=4 rows), all
+    M per-subspace argmins fold in ONE hash aggregation — exactly one
+    vec_id shuffle, no window, no self-join."""
+    plan = _plan(spark, "sim_pq_encode", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("hashpartitioning(vec_id") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
