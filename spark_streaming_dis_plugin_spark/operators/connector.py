@@ -1377,6 +1377,70 @@ def dis_stream_static_join_streamed(spark: SparkSession,
 
 
 @register(
+    "dis_multibatch_session_streamed",
+    oracle=f"""
+    WITH env AS ({_ORDERED_ENV}),
+    gaps AS (
+      SELECT "key", "timestamp", "offset",
+             CASE WHEN "timestamp" - LAG("timestamp") OVER (
+                    PARTITION BY "key"
+                    ORDER BY "timestamp", "offset")
+                  >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+      FROM env
+    ),
+    sess AS (
+      SELECT "key", "timestamp",
+             SUM(ns) OVER (PARTITION BY "key"
+                           ORDER BY "timestamp", "offset"
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ),
+    agg AS (
+      SELECT "key", sid,
+             MIN("timestamp") AS session_start,
+             MAX("timestamp") AS last_t,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY 1, 2
+    ),
+    fin AS (SELECT MAX("timestamp") - INTERVAL 2 HOUR AS fw FROM env)
+    SELECT "key",
+           strftime(session_start, '%Y-%m-%d %H:%M:%S.%f')
+             AS session_start,
+           n_events
+    FROM agg, fin
+    WHERE last_t + INTERVAL 30 MINUTE <= fw
+    """,
+    tags=("connector", "streaming", "session", "multibatch", "e2e"))
+def dis_multibatch_session_streamed(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """SESSION WINDOWS in APPEND mode across >= 3 rate-limited batches —
+    merging-window state under real watermark emission (the r3 session
+    gate used complete mode, which never evicts). Over the time-ordered
+    log, session COMPOSITION is batching-independent (merging is
+    associative and nothing is ever late), so only the emission
+    frontier needs modeling: a session is released once the watermark
+    passes its window end (last event + gap); the trailing sessions
+    stay in state and the oracle excludes them with the same predicate.
+    Boundary semantics as documented on dis_session_streamed: Spark
+    merges strictly-within-gap, so the oracle's new-session rule is
+    `>= gap`."""
+    from ..streaming.queries import session_counts
+
+    log = _materialized_ordered_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("maxOffsetsPerTrigger", str(per))
+           .load())
+    final = _drain_multibatch(spark, session_counts(sdf), "mbsess")
+    return final.select(
+        "key",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.col("n_events"))
+
+
+@register(
     "dis_multibatch_dedup_streamed",
     oracle=f"""
     WITH RECURSIVE env AS ({_ORDERED_ENV}),
