@@ -2436,3 +2436,195 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
             .crossJoin(p.agg(F.count(F.lit(1))
                              .alias("n_view_click_purchase"))))
+
+
+@register(
+    "dis_semi_join_streamed",
+    oracle=f"""
+    WITH env AS ({_ENV}),
+    p AS (
+      SELECT "key" AS p_key, "timestamp" AS p_ts,
+             "partition" AS p_partition, "offset" AS p_offset
+      FROM env WHERE "offset" % 3 = 0
+    ),
+    c AS (
+      SELECT "key" AS c_key, "timestamp" AS c_ts FROM env
+      WHERE "offset" % 3 = 1
+    )
+    SELECT p_key, p_partition, p_offset
+    FROM p
+    WHERE EXISTS (
+      SELECT 1 FROM c
+      WHERE c_key = p_key AND c_ts <= p_ts
+        AND c_ts >= p_ts - INTERVAL 1 HOUR)
+    """,
+    tags=("connector", "streaming", "join", "semi", "e2e"))
+def dis_semi_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT SEMI JOIN under the oracle gate: emit each
+    purchase exactly once iff the same user clicked within the preceding
+    hour — the streaming existence test (fraud gates, attribution
+    filters) where the inner join's fan-out duplication is wrong. Same
+    watermark/time-bound state machinery as the inner join
+    (dis_stream_stream_join_streamed), different emission contract: the
+    left row, once, no right columns. An availableNow drain with no rate
+    cap runs as one micro-batch, so no match can be evicted mid-drain
+    (deterministic output); the batch EXISTS formulation is the oracle.
+
+    At scale the semi join carries STRICTLY LESS state pressure than the
+    inner join it gates: a left row retires at first match instead of
+    waiting out the full time bound for more matches."""
+    from ..streaming.queries import purchase_click_join
+
+    log = _materialized_log(spark, sf_dir)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream).load())
+    p = sdf.where(F.col("offset") % 3 == 0)
+    c = sdf.where(F.col("offset") % 3 == 1)
+    final = _drain_to_memory(spark, purchase_click_join(p, c, how="left_semi"),
+                             "semij_stream", output_mode="append")
+    return final.select("p_key", "p_partition", "p_offset")
+
+
+@register(
+    "dis_state_timeout_streamed",
+    oracle=f"""
+    WITH env AS ({_ORDERED_ENV}),
+    gaps AS (
+      SELECT "key", "timestamp", "offset",
+             CASE WHEN "timestamp" - LAG("timestamp") OVER (
+                    PARTITION BY "key" ORDER BY "timestamp", "offset")
+                  > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM env
+    ),
+    sess AS (
+      SELECT "key", "timestamp",
+             SUM(new_session) OVER (
+               PARTITION BY "key" ORDER BY "timestamp", "offset"
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    ),
+    agg AS (
+      SELECT "key", sid,
+             MIN("timestamp") AS start_ts, MAX("timestamp") AS last_ts,
+             COUNT(*) AS n_events,
+             sid = MAX(sid) OVER (PARTITION BY "key") AS is_trailing
+      FROM sess GROUP BY "key", sid
+    ),
+    frontier AS (
+      SELECT MAX("timestamp") - INTERVAL 2 HOUR AS wm FROM env
+    )
+    SELECT "key",
+           strftime(start_ts, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S.%f') AS session_last,
+           n_events
+    FROM agg, frontier
+    WHERE NOT is_trailing OR last_ts + INTERVAL 30 MINUTE < wm
+    """,
+    tags=("connector", "streaming", "stateful", "timeout", "multibatch",
+          "e2e"))
+def dis_state_timeout_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME TIMEOUT under the oracle gate — the one arbitrary-state
+    feature no other gate exercises: per-key inactivity sessions
+    (streaming/stateful.py::_sessionize) that emit EITHER when a later
+    event closes them (data path) or when the WATERMARK passes last+gap
+    with the key quiet (GroupStateTimeout.EventTimeTimeout firing on a
+    no-data invocation — built-in session_window cannot do this). Run
+    rate-limited over the time-ordered log so state and timeouts carry
+    across >= 3 real batches.
+
+    Determinism: over the ordered log both close paths produce the same
+    session tuple (see _sessionize), so the emitted set is
+    batching-independent EXCEPT each key's trailing session, which emits
+    iff its timeout fired — i.e. iff last + gap < the final watermark
+    (global max event time - 2h delay; Spark's timeout predicate is
+    strictly timeoutTimestamp < watermark, mirrored by the oracle's
+    strict <). The final no-data micro-batch
+    (spark.sql.streaming.noDataMicroBatches, on by default) is what
+    delivers the last watermark advance that fires trailing timeouts."""
+    from ..streaming.stateful import sessions_with_timeout
+
+    log = _materialized_ordered_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("maxOffsetsPerTrigger", str(per))
+           .load())
+    final = _drain_multibatch(spark, sessions_with_timeout(sdf),
+                              "sesstimeout", output_mode="append")
+    return final.select("key", "session_start", "session_last", "n_events")
+
+
+@register(
+    "dis_fanout_sink_roundtrip",
+    oracle=f"""
+    WITH env AS ({_ENV})
+    SELECT CASE WHEN {portable_hash_sql('"key"')} % 2 = 0
+                THEN 'hot' ELSE 'cold' END AS sink,
+           "partition", "key", "value",
+           strftime("timestamp", '{TS_FMT_DUCK}') AS ts_utc
+    FROM env
+    """,
+    tags=("connector", "streaming", "sink", "fanout", "exactly-once",
+          "e2e"))
+def dis_fanout_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SINK FANOUT under the oracle gate: one rate-limited stream,
+    ``foreachBatch`` routing every record by a content predicate
+    (portable key-hash parity, standing in for hot/cold tiering) into
+    TWO destination dis logs, each batch-write committed under its own
+    per-(sink, batch) transaction ``fan_<sink>_b<batchId>``. Reading
+    BOTH destinations back, tagged by sink, must reproduce the source
+    exactly once with the routing the oracle recomputes — a replayed
+    foreachBatch (Spark's contract is at-least-once delivery of the
+    batch function) must be absorbed by the ledger on both sinks, and a
+    record landing in the wrong tier or both tiers breaks the hash.
+
+    This is the reference's broadcast-sink pattern (DISSink.scala:23-55,
+    one lazy producer reused by every task, demo routes by partition)
+    recast as the idiomatic Structured Streaming fanout: foreachBatch is
+    the one place a single stream may feed several sinks, and per-sink
+    txn idempotence is what upgrades its at-least-once to exactly-once."""
+    import uuid
+
+    from ..sources.dis_log import DisLog
+    from ..streaming.drain import drain_available
+    from ..functions.portable import portable_hash as phash
+
+    log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    roots = {}
+    for sink in ("hot", "cold"):
+        root = scratch_dir(f"dis_fan_{sink}_")
+        DisLog(root, sink).create(DEFAULT_NUM_PARTITIONS)
+        roots[sink] = root
+    ckpt = scratch_dir("dis_fan_ckpt_")
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("maxOffsetsPerTrigger", str(max(total // 4, 1)))
+           .load())
+
+    def fan_out(bdf, batch_id):
+        routed = bdf.select("partition", "key", "value", "timestamp",
+                            (phash(F.col("key")) % 2 == 0).alias("is_hot"))
+        for sink in ("hot", "cold"):
+            side = routed.where(F.col("is_hot") == (sink == "hot"))
+            (side.drop("is_hot")
+                 .write.format("dis")
+                 .option("path", roots[sink]).option("stream", sink)
+                 .option("txn", f"fan_{sink}_b{batch_id}")
+                 .option("segmentRows", "2000")
+                 .mode("append").save())
+
+    q = (sdf.writeStream.foreachBatch(fan_out)
+         .option("checkpointLocation", ckpt)
+         .queryName(f"fanout_{uuid.uuid4().hex[:8]}")
+         .trigger(processingTime="0 seconds").start())
+    drain_available(q, timeout_seconds=180)
+    parts = []
+    for sink in ("hot", "cold"):
+        df = (spark.read.format("dis")
+              .option("path", roots[sink]).option("stream", sink).load())
+        parts.append(df.select(
+            F.lit(sink).alias("sink"), "partition", "key", "value",
+            F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc")))
+    return parts[0].unionAll(parts[1])

@@ -965,3 +965,193 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("vec_a") < F.col("vec_b")))
             .where(cos >= 0.4)
             .select("vec_a", "vec_b", F.round(cos, 4).alias("cos")))
+
+
+# ------------------------------------------------------- bloom filter
+
+BLOOM_M = 8192      # bits in the filter (fixture-sized; 2^33+ in production)
+BLOOM_K = 3         # hash functions
+
+
+def _bloom_pos_sql(text_expr: str, seed_expr: str) -> str:
+    h = portable_hash_sql(f"{text_expr} || '#' || CAST({seed_expr} AS VARCHAR)")
+    return f"(({h}) % {BLOOM_M})"
+
+
+@register(
+    "dedup_bloom_incremental",
+    oracle=f"""
+    WITH a AS (SELECT * FROM documents WHERE doc_id % 4 != 0),
+    b AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+    seeds AS (SELECT unnest([0, 1, 2]) AS seed),
+    bits AS (
+      SELECT DISTINCT {_bloom_pos_sql('a.text', 'seed')} AS pos
+      FROM a, seeds
+    ),
+    probe AS (
+      SELECT b.doc_id, b.text, seed,
+             {_bloom_pos_sql('b.text', 'seed')} AS pos
+      FROM b, seeds
+    ),
+    hits AS (
+      SELECT probe.doc_id, probe.text, COUNT(bits.pos) AS n_hits
+      FROM probe LEFT JOIN bits USING (pos)
+      GROUP BY 1, 2
+    )
+    SELECT h.doc_id, h.n_hits, h.n_hits = {BLOOM_K} AS maybe_dup,
+           at.kh IS NOT NULL AS is_true_dup
+    FROM hits h
+    LEFT JOIN (SELECT DISTINCT {portable_hash_sql('text')} AS kh FROM a) at
+      ON {portable_hash_sql('h.text')} = at.kh
+    """,
+    tags=("dedup", "bloom", "incremental"), bench=True)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership dedup for INCREMENTAL ingest: an existing
+    corpus (doc_id % 4 != 0) is folded into a Bloom filter (m=8192 bits,
+    k=3 md5-seeded hash functions); an incoming batch (doc_id % 4 == 0)
+    is probed against it. ``maybe_dup`` = all k bits set (Bloom "probably
+    present" — no false negatives, bounded false positives);
+    ``is_true_dup`` = ground-truth exact membership, so the row set
+    documents the filter's false-positive behavior deterministically.
+
+    This is the dedup shape the pairwise kernels can't give you: testing
+    a NEW batch against an already-ingested 100 TB corpus without
+    re-shuffling the corpus. The filter is built once (distinct bit
+    positions — at most m rows regardless of corpus size) and BROADCAST
+    to the probe side: the incoming batch never shuffles at all. In
+    production the bit set persists as a tiny artifact (m = 2^33 bits
+    = 1 GiB covers ~10^9 docs at k=3 with ~2% FP) and is unioned
+    monotonically across ingests; the md5 portable hash keeps the
+    positions oracle-reproducible (xxhash64 in production, same
+    topology).
+
+    No reference counterpart (connector delegates processing,
+    SURVEY.md §2c); the incremental shape mirrors its consumer position:
+    "what is new since the last committed offset".
+    """
+    docs = load(spark, sf_dir, "documents")
+    seeds = F.array(*[F.lit(i) for i in range(BLOOM_K)])
+
+    def positions(df: DataFrame) -> DataFrame:
+        return (df.select("doc_id", "text",
+                          F.explode(seeds).alias("seed"))
+                .withColumn(
+                    "pos",
+                    portable_hash(F.concat_ws("#", F.col("text"),
+                                              F.col("seed").cast("string")))
+                    % BLOOM_M))
+
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    bits = positions(corpus).select("pos").distinct()
+    probe = positions(batch)
+    hits = (probe.join(F.broadcast(bits.withColumnRenamed("pos", "bit")),
+                       F.col("pos") == F.col("bit"), "left")
+            .groupBy("doc_id")
+            .agg(F.count("bit").alias("n_hits")))
+    # Ground truth resolved by portable CONTENT HASH, not raw text: the
+    # corpus-side distinct and the broadcast membership join carry 8-byte
+    # hashes, so document text never enters an exchange anywhere in the
+    # plan (pinned by plan test) — the same discipline dedup_exact_by_hash
+    # applies, and the md5 hash keeps the oracle bit-identical.
+    known = corpus.select(portable_hash(F.col("text")).alias("kh")).distinct()
+    truth = (batch.withColumn("bh", portable_hash(F.col("text")))
+             .join(F.broadcast(known), F.col("bh") == F.col("kh"), "left")
+             .select("doc_id",
+                     F.col("kh").isNotNull().alias("is_true_dup")))
+    return (hits.join(truth, "doc_id")
+            .select("doc_id", "n_hits",
+                    (F.col("n_hits") == BLOOM_K).alias("maybe_dup"),
+                    "is_true_dup"))
+
+
+# ------------------------------------------------------ semantic dedup
+
+SEMDEDUP_COS = 0.35     # within-cluster near-duplicate threshold
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid, d2 FROM (
+        SELECT v.vec_id, v.embedding, c.cid,
+               list_sum(list_transform(range(1, len(v.embedding)+1),
+                 i -> (v.embedding[i]-c.ce[i])*(v.embedding[i]-c.ce[i])))
+                 AS d2,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_sum(list_transform(
+                                    range(1, len(v.embedding)+1),
+                                    i -> (v.embedding[i]-c.ce[i])
+                                         *(v.embedding[i]-c.ce[i]))), c.cid)
+                 AS rnk
+        FROM embeddings v CROSS JOIN cent c)
+      WHERE rnk = 1
+    ),
+    removed_ids AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign u
+        ON u.cid = a.cid AND u.vec_id != a.vec_id
+      WHERE {cosine_sql('u.embedding', 'a.embedding')} >= {SEMDEDUP_COS}
+        AND (u.d2 < a.d2 OR (u.d2 = a.d2 AND u.vec_id < a.vec_id))
+    )
+    SELECT a.vec_id, a.cid AS centroid_id,
+           r.vec_id IS NOT NULL AS removed
+    FROM assign a LEFT JOIN removed_ids r ON a.vec_id = r.vec_id
+    """,
+    tags=("dedup", "semantic", "embedding", "clustered"), bench=True)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication: cluster the
+    embedding space (nearest-centroid assignment, same deterministic
+    seed centroids as sim_ivf_assign), compute pairwise cosine ONLY
+    within each cluster, and remove every vector that has a
+    sufficiently-similar cluster-mate closer to the centroid (keep-the-
+    most-central policy; ties broken by vec_id). Near-duplicate
+    *meanings* — paraphrases, re-crawls, template rewrites — fall in the
+    same cluster and die; exact-text dedup can't see them.
+
+    Scale shape: this is precisely the trick that makes semantic dedup
+    feasible at 100 TB — the O(n^2) cosine matrix becomes a self-join
+    keyed on cluster id (corpus/C rows per key, (corpus/C)^2 work per
+    cluster instead of corpus^2), centroids broadcast in the assignment
+    pass, and the removal predicate is row-deterministic (no iterative
+    graph pass needed, unlike connected-components survivor selection).
+    In production the centroids come from the trained IVF index
+    (sim_ivf_build) and hot clusters are capped/salted the same way the
+    df-capped Jaccard bounds shingle fan-out.
+    """
+    from .similarity import N_CENTROIDS, _l2sq
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (emb.where(F.col("vec_id") < N_CENTROIDS)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("ce")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (emb.crossJoin(F.broadcast(cent))
+              .select("vec_id", "embedding", "cid",
+                      _l2sq(F.col("embedding"), F.col("ce")).alias("d2"))
+              .withColumn("rnk", F.row_number().over(w))
+              .where(F.col("rnk") == 1)
+              .drop("rnk"))
+    a = assign.select(F.col("vec_id").alias("va"),
+                      F.col("embedding").alias("ea"),
+                      F.col("cid").alias("ca"), F.col("d2").alias("da"))
+    u = assign.select(F.col("vec_id").alias("vu"),
+                      F.col("embedding").alias("eu"),
+                      F.col("cid").alias("cu"), F.col("d2").alias("du"))
+    dominated = (a.join(u, (F.col("ca") == F.col("cu"))
+                        & (F.col("va") != F.col("vu"))
+                        & (cosine(F.col("eu"), F.col("ea")) >= SEMDEDUP_COS)
+                        & ((F.col("du") < F.col("da"))
+                           | ((F.col("du") == F.col("da"))
+                              & (F.col("vu") < F.col("va")))),
+                        "left_semi")
+                 .select(F.col("va").alias("rm_id")))
+    return (assign.join(dominated, F.col("vec_id") == F.col("rm_id"), "left")
+            .select("vec_id", F.col("cid").alias("centroid_id"),
+                    F.col("rm_id").isNotNull().alias("removed")))

@@ -2479,3 +2479,101 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"),
                   "left_semi")
             .select("s_name", "s_acctbal"))
+
+
+@register(
+    "lateral_join_topn",
+    oracle="""
+    SELECT n_name, top.c_name, top.c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top
+    """,
+    tags=("relational", "lateral", "subquery", "topn"))
+def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table): for
+    each nation, the top-2 customers by account balance. The reference
+    delegates all relational processing to Spark (SURVEY.md §2b); this
+    covers the lateral-join surface Spark added for correlated
+    per-row subqueries.
+
+    Scale: Spark decorrelates the LATERAL LIMIT into a
+    partition-by-nation window rank over the joined relation — one
+    shuffle of customer keyed by nationkey, with WindowGroupLimit
+    pushing the top-2 cut before the final sort; no per-outer-row
+    re-execution (which is what makes LATERAL safe at 10^9 outer rows).
+    Tie-break on c_custkey makes the cut deterministic cross-engine."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        SELECT n_name, top.c_name, top.c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top
+    """)
+
+
+@register(
+    "recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE spine(month_start) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine
+      WHERE month_start < DATE '1997-12-01'
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+               AS month_revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    )
+    SELECT s.month_start,
+           COALESCE(m.n_orders, 0) AS n_orders,
+           COALESCE(m.month_revenue, 0.0) AS month_revenue
+    FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+    """,
+    tags=("relational", "recursive-cte", "gap-fill"))
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill via WITH RECURSIVE (Spark 4's recursive CTE):
+    generate a 36-month spine 1995-01..1997-12, left-join monthly order
+    counts/revenue, zero-fill missing months. Gap-filled time series are
+    the standard reporting shape a plain GROUP BY can't produce (absent
+    months simply vanish); the recursion exercises Spark's
+    UnionLoop execution.
+
+    Scale: the recursive spine is 36 rows built driver-side-cheap (depth
+    36 < the default 100-level recursion limit); the fact scan
+    aggregates ONCE into a months-sized relation before the join, so the
+    spine join is trivially broadcastable. Revenue uses the repo's
+    decimal-exact sum convention (order-independent cross-engine)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        WITH RECURSIVE spine(month_start) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine
+          WHERE month_start < DATE '1997-12-01'
+        ),
+        monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                   AS month_start,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+                   AS month_revenue
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1
+        )
+        SELECT s.month_start,
+               COALESCE(m.n_orders, 0L) AS n_orders,
+               COALESCE(m.month_revenue, 0.0D) AS month_revenue
+        FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
+    """)

@@ -834,3 +834,154 @@ def embedding_lang_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= OUTLIER_BOTTOM_K)
             .select("doc_id", "lang", "cos", "rnk"))
+
+
+# ----------------------------------------------------------- IVF-PQ
+
+IVFPQ_N_PROBE = 2
+
+
+def _ivfpq_oracle() -> str:
+    """IVF cell restriction (seed coarse quantizer) x PQ-ADC scoring."""
+    luts = []
+    for m in range(PQ_M):
+        luts.append(f"""
+    lut{m} AS (
+      SELECT v.vec_id AS query_id, c.vec_id AS code,
+             {_pq_sub_d2_sql(m)} AS d
+      FROM embeddings v CROSS JOIN cb c
+      WHERE v.vec_id < {N_QUERIES}
+    )""")
+    d_sum = " + ".join(f"l{m}.d" for m in range(PQ_M))
+    lut_joins = " ".join(
+        f"JOIN lut{m} l{m} ON l{m}.query_id = p.query_id "
+        f"AND l{m}.code = pc.c{m}"
+        for m in range(PQ_M))
+    return f"""
+    WITH cb AS (SELECT * FROM embeddings WHERE vec_id < {PQ_K}),
+    {", ".join(s.strip() for s in luts)},
+    codes AS ({_pq_oracle()}),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS ce
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_l2sq_sql('v.embedding', 'c.ce')}, c.cid) AS rnk
+        FROM embeddings v CROSS JOIN cent c
+      ) WHERE rnk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS probe FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_l2sq_sql('v.embedding', 'c.ce')}, c.cid) AS rnk
+        FROM embeddings v CROSS JOIN cent c
+        WHERE v.vec_id < {N_QUERIES}
+      ) WHERE rnk <= {IVFPQ_N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, pc.vec_id AS neighbor_id,
+             round({d_sum}, 6) + 0.0 AS adc_d2
+      FROM probes p
+        JOIN assign a ON a.cluster = p.probe
+        JOIN codes pc ON pc.vec_id = a.vec_id
+                     AND pc.vec_id != p.query_id
+      {lut_joins}
+    )
+    SELECT query_id, neighbor_id, adc_d2, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    tags=("similarity", "ann", "ivf", "pq"), bench=True)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS-standard composed ANN tier: the IVF coarse
+    quantizer restricts each query to its n_probe=2 nearest cells'
+    members, and candidates are scored by PQ ASYMMETRIC DISTANCE
+    (M table lookups + adds against the query's LUT), never touching a
+    raw corpus vector at query time. Composition contract: cell
+    restriction == sim_ivf_assign geometry, ADC scoring ==
+    sim_pq_adc_topk kernel, PQ on raw vectors (non-residual IVFPQ —
+    residual encoding changes the codebook training, which is pinned
+    separately by sim_ivf_build/sim_kmeans_lloyd). Coarse centroids are
+    the deterministic seed rows; the trained-centroid variant swaps in
+    the materialized index exactly as sim_ivf_topk does.
+
+    Scale shape: per query, candidates ~ corpus * n_probe / C (IVF cut)
+    and each candidate costs M=4 broadcast-hash lookups over 4-byte
+    codes (PQ cut) — memory-resident search structure ~ corpus * M
+    bytes, the only layout that holds 10^11 vectors. Probes and LUTs
+    are query-sized broadcasts; the corpus-side join key is the cell
+    id, so AQE handles hot cells; nothing shuffles the raw embedding
+    column at query time."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = (emb.where(F.col("vec_id") < N_CENTROIDS)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("ce")))
+    # corpus -> cell assignment (seed coarse quantizer)
+    wv = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (emb.crossJoin(F.broadcast(cent))
+              .select("vec_id",
+                      _l2sq(F.col("embedding"), F.col("ce")).alias("d2"),
+                      "cid")
+              .withColumn("rnk", F.row_number().over(wv))
+              .where(F.col("rnk") == 1)
+              .select("vec_id", F.col("cid").alias("cluster")))
+    # query -> n_probe cells
+    queries = (emb.where(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qe")))
+    probes = (queries.crossJoin(F.broadcast(cent))
+              .select("query_id", "qe",
+                      _l2sq(F.col("qe"), F.col("ce")).alias("d2"), "cid")
+              .withColumn("rnk", F.row_number().over(
+                  Window.partitionBy("query_id").orderBy("d2", "cid")))
+              .where(F.col("rnk") <= IVFPQ_N_PROBE)
+              .select("query_id", "qe", F.col("cid").alias("probe")))
+    # query LUTs: subspace distance to each codebook entry
+    cb = (emb.where(F.col("vec_id") < PQ_K)
+          .select(F.col("vec_id").alias("code"),
+                  F.col("embedding").alias("cbe")))
+    luts = []
+    for m in range(PQ_M):
+        d = F.aggregate(
+            F.zip_with(F.slice("qe", PQ_SUB * m + 1, PQ_SUB),
+                       F.slice("cbe", PQ_SUB * m + 1, PQ_SUB),
+                       lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0), lambda acc, x: acc + x)
+        luts.append(queries.crossJoin(F.broadcast(cb))
+                    .select(F.col("query_id").alias(f"q{m}"),
+                            F.col("code").alias(f"k{m}"),
+                            d.alias(f"d{m}")))
+    codes = sim_pq_encode(spark, sf_dir)
+    scored = (codes.join(assign, "vec_id")
+              .join(F.broadcast(probes.select("query_id", "probe")),
+                    (F.col("cluster") == F.col("probe"))
+                    & (F.col("vec_id") != F.col("query_id"))))
+    for m in range(PQ_M):
+        scored = (scored.join(
+            F.broadcast(luts[m]),
+            (F.col("query_id") == F.col(f"q{m}"))
+            & (F.col(f"c{m}") == F.col(f"k{m}")))
+            .drop(f"q{m}", f"k{m}"))
+    adc_sum = None
+    for m in range(PQ_M):
+        adc_sum = (F.col(f"d{m}") if adc_sum is None
+                   else adc_sum + F.col(f"d{m}"))
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (scored.select("query_id",
+                          F.col("vec_id").alias("neighbor_id"),
+                          (F.round(adc_sum, 6) + 0.0).alias("adc_d2"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("query_id", "neighbor_id", "adc_d2", "rnk"))

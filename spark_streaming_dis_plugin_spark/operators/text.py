@@ -503,3 +503,110 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(novel).cast("bigint").alias("n_novel"),
                  (F.sum(novel).cast("double") / F.count(F.lit(1)))
                  .alias("novelty")))
+
+
+# ----------------------------------------------- boilerplate removal
+
+BP_SEG_WORDS = 8    # "line" = 8-word segment (fixture text is single-line)
+BP_DF_MIN = 3       # segment is boilerplate when present in >= 3 docs
+
+
+@register(
+    "text_boilerplate_strip",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS tk FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(
+               tk[(i*{BP_SEG_WORDS}+1):(i*{BP_SEG_WORDS}+{BP_SEG_WORDS})],
+               ' ') AS seg
+      FROM toks, LATERAL (
+        SELECT unnest(range(CAST(ceil(len(tk)/{BP_SEG_WORDS}.0) AS BIGINT)))
+          AS i)
+    ),
+    bp AS (
+      SELECT seg FROM segs
+      GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= {BP_DF_MIN}
+    ),
+    flagged AS (
+      SELECT s.doc_id, s.seg_idx, s.seg, bp.seg IS NOT NULL AS is_bp
+      FROM segs s LEFT JOIN bp ON s.seg = bp.seg
+    ),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_segments,
+             CAST(COUNT(*) FILTER (WHERE is_bp) AS BIGINT) AS n_removed,
+             CAST(COALESCE(SUM(length(seg)) FILTER (WHERE is_bp), 0)
+                  AS BIGINT) AS chars_removed,
+             COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE NOT is_bp), '') AS text_clean
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_segments, 0) AS n_segments,
+           COALESCE(a.n_removed, 0) AS n_removed,
+           COALESCE(a.chars_removed, 0) AS chars_removed,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("text", "dedup", "boilerplate"), bench=True)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal: segment every document into
+    consecutive 8-word "lines" (the fixture corpus is
+    single-line, so fixed word windows stand in for newline splits —
+    documented adaptation), count each distinct segment's document
+    frequency across the corpus, strip segments appearing in >=
+    3 documents from EVERY document, and reassemble the
+    cleaned text in order with removal accounting (navbars, cookie
+    banners, and license footers are exactly such corpus-frequent lines).
+
+    Scale shape: segmentation is row-local (one transform over a
+    sequence; cost is bounded by words-per-doc x segments-per-doc and at
+    production scale moves into the same mapInPandas pass as decoding);
+    the df count shuffles (segment, doc-distinct) pairs with map-side
+    partial aggregation — linear in corpus segments, the same CCNet
+    line-hash shuffle every production line-dedup runs; the boilerplate
+    drop-set is by construction tiny (high-df segments only) and joins
+    back BROADCAST, so the reassembly groupBy(doc_id) is the only
+    corpus-sized shuffle carrying text. Docs whose every segment is
+    boilerplate (or that have no tokens) stay in the output with
+    text_clean='' via the final left join from documents.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n_seg = F.ceil(F.size("tk") / BP_SEG_WORDS).cast("int")
+    seg_of = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("tk"), i * BP_SEG_WORDS + 1, BP_SEG_WORDS), " ")
+    segs = (docs.select("doc_id", tk.alias("tk"))
+            .withColumn(
+                "segs",
+                F.when(F.size("tk") > 0,
+                       F.transform(F.sequence(F.lit(0), n_seg - 1), seg_of))
+                .otherwise(F.array().cast("array<string>")))
+            .select("doc_id", F.posexplode("segs").alias("seg_idx", "seg")))
+    bp = (segs.groupBy("seg")
+          .agg(F.countDistinct("doc_id").alias("df"))
+          .where(F.col("df") >= BP_DF_MIN)
+          .select(F.col("seg").alias("bp_seg")))
+    flagged = (segs.join(F.broadcast(bp), F.col("seg") == F.col("bp_seg"),
+                         "left")
+               .withColumn("is_bp", F.col("bp_seg").isNotNull()))
+    kept_struct = F.when(~F.col("is_bp"), F.struct("seg_idx", "seg"))
+    agg = (flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count(F.when(F.col("is_bp"), 1)).alias("n_removed"),
+        F.coalesce(F.sum(F.when(F.col("is_bp"), F.length("seg"))),
+                   F.lit(0)).cast("bigint").alias("chars_removed"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s.seg), " ").alias("text_clean")))
+    return (docs.select("doc_id")
+            .join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+                    F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+                    F.coalesce("chars_removed", F.lit(0))
+                    .alias("chars_removed"),
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean")))

@@ -120,3 +120,89 @@ def running_totals_transform_with_state(env: DataFrame) -> DataFrame:
                 outputStructType=OUTPUT_SCHEMA,
                 outputMode="Update",
                 timeMode="None"))
+
+
+# --------------------- event-time-timeout sessionization
+
+SESSION_GAP_MS = 30 * 60 * 1000          # 30-minute inactivity gap
+SESSION_OUT_SCHEMA = ("key string, session_start string, "
+                      "session_last string, n_events bigint")
+SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+_TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _us_to_str(us: int) -> str:
+    return pd.Timestamp(us * 1000).strftime(_TS_FMT)
+
+
+def _make_sessionize(session_tz: str):
+    """Build the per-key sessionizer with EVENT-TIME TIMEOUT: a session
+    closes either when a later event of the same key arrives more than
+    the gap after it (data close), or when the watermark passes
+    last + gap with the key quiet (timeout close — the reason this needs
+    arbitrary state; built-in session_window cannot emit mid-stream).
+    Over a time-ordered log both close paths yield the IDENTICAL session
+    tuple (a post-timeout event is provably beyond the gap: it arrives
+    after watermark + delay > last + gap), so the emitted set is
+    batching-independent — the property the oracle relies on.
+
+    Timezone contract: watermarks require TIMESTAMP (LTZ), whose pandas
+    conversion yields SESSION-tz wall clocks, while
+    setTimeoutTimestamp compares against the watermark's TRUE epoch —
+    so the registered timeout must re-localize the wall clock through
+    the session timezone (captured driver-side at query build). All
+    gap/output arithmetic stays on the wall clock, matching the NTZ
+    batch oracle; wall-vs-epoch comparisons agree whenever the data
+    span doesn't cross a DST jump of the session zone (the fixture is
+    single-offset; a production deployment pins the session tz to UTC,
+    making the distinction vacuous)."""
+
+    def _sessionize(key, pdfs, state: GroupState):
+        closed = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            closed.append((key[0], _us_to_str(start_us),
+                           _us_to_str(last_us), n))
+            state.remove()
+        else:
+            st = list(state.get) if state.exists else None
+            rows = pd.concat(list(pdfs))
+            for ts in sorted(rows["timestamp"]):
+                us = pd.Timestamp(ts).value // 1000
+                if st is None:
+                    st = [us, us, 1]
+                elif us - st[1] > SESSION_GAP_MS * 1000:
+                    closed.append((key[0], _us_to_str(st[0]),
+                                   _us_to_str(st[1]), st[2]))
+                    st = [us, us, 1]
+                else:
+                    st[1] = us
+                    st[2] += 1
+            state.update(tuple(st))
+            last_epoch_ms = (pd.Timestamp(st[1] * 1000)
+                             .tz_localize(session_tz).value // 1_000_000)
+            state.setTimeoutTimestamp(int(last_epoch_ms) + SESSION_GAP_MS)
+        yield pd.DataFrame(closed, columns=["key", "session_start",
+                                            "session_last", "n_events"])
+
+    return _sessionize
+
+
+def sessions_with_timeout(env: DataFrame,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Envelope stream -> closed per-key sessions, emitted as they close
+    (data-gap or event-time timeout). See _make_sessionize for the
+    close-path and timezone contracts."""
+    from pyspark.sql import functions as F
+
+    tz = env.sparkSession.conf.get("spark.sql.session.timeZone")
+    return (env
+            .withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+            .withWatermark("timestamp", watermark)
+            .groupBy("key")
+            .applyInPandasWithState(
+                _make_sessionize(tz),
+                outputStructType=SESSION_OUT_SCHEMA,
+                stateStructType=SESSION_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

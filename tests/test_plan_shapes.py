@@ -209,3 +209,49 @@ def test_pq_encode_single_shuffle(spark, sf_dir):
     assert plan.count("hashpartitioning(vec_id") <= 1
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_bloom_bits_broadcast_probe_never_shuffles_text(spark, sf_dir):
+    """The Bloom probe side must receive the bit set via broadcast; the
+    incoming batch's text may not be hash-shuffled (the whole point of
+    filter-based membership dedup at scale)."""
+    plan = _plan(spark, "dedup_bloom_incremental", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    for ex in plan.split("Exchange hashpartitioning")[1:]:
+        keys = ex.split(")")[0]
+        assert "text" not in keys, f"text in shuffle keys: {keys}"
+
+
+def test_semantic_dedup_joins_on_cluster_id(spark, sf_dir):
+    """SemDeDup's pairwise pass must be keyed on the cluster id (the
+    corpus/C blocking), not a cartesian over the corpus."""
+    plan = _plan(spark, "dedup_semantic", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the broadcast centroid rank
+    assert "cid" in plan
+
+
+def test_ivfpq_no_raw_vectors_after_encode(spark, sf_dir):
+    """IVF-PQ search: LUTs and probes broadcast; the candidate relation
+    carries PQ codes (c0..c3), never a raw embedding shuffle."""
+    plan = _plan(spark, "sim_ivfpq_topk", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 5  # cent + probes + 4 LUTs
+    for ex in plan.split("Exchange hashpartitioning")[1:]:
+        keys = ex.split(")")[0]
+        assert "embedding" not in keys, f"embedding shuffled: {keys}"
+
+
+def test_boilerplate_dropset_broadcast(spark, sf_dir):
+    """The boilerplate drop-set (high-df segments) joins back broadcast;
+    the df count is the only segment-keyed shuffle."""
+    plan = _plan(spark, "text_boilerplate_strip", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recursive_spine_join_is_broadcastable(spark, sf_dir):
+    """The 36-row recursive spine must not force the monthly aggregate
+    through a sort-merge join."""
+    plan = _plan(spark, "recursive_month_spine", sf_dir)
+    assert "SortMergeJoin" not in plan
