@@ -1124,6 +1124,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sim_ivf_build) and hot clusters are capped/salted the same way the
     df-capped Jaccard bounds shingle fan-out.
     """
+    from ..functions.portable import dot, norm
     from .similarity import N_CENTROIDS, _l2sq
 
     emb = load(spark, sf_dir, "embeddings")
@@ -1132,26 +1133,37 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("embedding").alias("ce")))
     from pyspark.sql import Window
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    # Norms precomputed once per vector (not per pair): cosine on a pair
+    # is then a single fold + one divide, and the cos expression keeps
+    # the dot/(sqrt*sqrt) tree of cosine_sql (bit-identical doubles).
     assign = (emb.crossJoin(F.broadcast(cent))
               .select("vec_id", "embedding", "cid",
                       _l2sq(F.col("embedding"), F.col("ce")).alias("d2"))
               .withColumn("rnk", F.row_number().over(w))
               .where(F.col("rnk") == 1)
+              .withColumn("nrm", norm(F.col("embedding")))
               .drop("rnk"))
     a = assign.select(F.col("vec_id").alias("va"),
                       F.col("embedding").alias("ea"),
-                      F.col("cid").alias("ca"), F.col("d2").alias("da"))
+                      F.col("cid").alias("ca"), F.col("d2").alias("da"),
+                      F.col("nrm").alias("na"))
     u = assign.select(F.col("vec_id").alias("vu"),
                       F.col("embedding").alias("eu"),
-                      F.col("cid").alias("cu"), F.col("d2").alias("du"))
+                      F.col("cid").alias("cu"), F.col("d2").alias("du"),
+                      F.col("nrm").alias("nu"))
+    # Each UNDIRECTED pair is scored once (va < vu halves the join), and
+    # exactly one side loses: the farther-from-centroid vector (tie:
+    # larger vec_id) — the union of losers equals the EXISTS semantics.
+    cos = dot(F.col("ea"), F.col("eu")) / (F.col("na") * F.col("nu"))
+    loser = F.when((F.col("da") < F.col("du"))
+                   | ((F.col("da") == F.col("du"))
+                      & (F.col("va") < F.col("vu"))),
+                   F.col("vu")).otherwise(F.col("va"))
     dominated = (a.join(u, (F.col("ca") == F.col("cu"))
-                        & (F.col("va") != F.col("vu"))
-                        & (cosine(F.col("eu"), F.col("ea")) >= SEMDEDUP_COS)
-                        & ((F.col("du") < F.col("da"))
-                           | ((F.col("du") == F.col("da"))
-                              & (F.col("vu") < F.col("va")))),
-                        "left_semi")
-                 .select(F.col("va").alias("rm_id")))
+                        & (F.col("va") < F.col("vu")))
+                 .where(cos >= SEMDEDUP_COS)
+                 .select(loser.alias("rm_id"))
+                 .distinct())
     return (assign.join(dominated, F.col("vec_id") == F.col("rm_id"), "left")
             .select("vec_id", F.col("cid").alias("centroid_id"),
                     F.col("rm_id").isNotNull().alias("removed")))

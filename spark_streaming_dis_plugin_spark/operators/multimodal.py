@@ -216,3 +216,86 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "media_type", "byte_len", "checksum",
         "fake_width", "fake_height")
+
+
+# ------------------------------------------------ raw-PCM audio energy
+
+PCM_FRAME = 256          # samples per analysis frame
+
+PCM_SCHEMA = ("doc_id bigint, n_samples bigint, n_frames bigint, "
+              "total_energy bigint, max_frame_energy bigint")
+
+
+def pcm_energy_kernel(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+    """REAL DSP kernel (no codec needed — raw PCM is codec-free):
+    interpret each payload as little-endian signed 16-bit PCM, square
+    into int64, and reduce per 256-sample frame with numpy over the
+    Arrow batch. This is the production shape for audio feature
+    extraction at scale: vectorized numpy on binary columns, one pass,
+    flat per-artifact outputs."""
+    import numpy as np
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            buf = buf[: len(buf) // 2 * 2]
+            s = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+            sq = s * s
+            n = len(s)
+            n_frames = -(-n // PCM_FRAME) if n else 0
+            frame_sums = [int(sq[i * PCM_FRAME:(i + 1) * PCM_FRAME].sum())
+                          for i in range(n_frames)]
+            rows.append((int(doc_id), n, n_frames, int(sq.sum()),
+                         max(frame_sums) if frame_sums else 0))
+        yield pd.DataFrame(rows, columns=["doc_id", "n_samples", "n_frames",
+                                          "total_energy",
+                                          "max_frame_energy"])
+
+
+@register(
+    "multimodal_pcm_energy",
+    oracle=f"""
+    WITH samp AS (
+      SELECT doc_id, i,
+             CAST((i - 1) // {PCM_FRAME} AS BIGINT) AS frame,
+             (ascii(substr(text, 2*i - 1, 1))
+              + 256 * ascii(substr(text, 2*i, 1))) AS s
+      FROM documents, LATERAL (
+        SELECT unnest(range(1, length(text) // 2 + 1)) AS i)
+    ),
+    frames AS (
+      SELECT doc_id, frame, CAST(SUM(s * s) AS BIGINT) AS fe
+      FROM samp GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(COUNT(DISTINCT frame) AS BIGINT) AS n_frames,
+           CAST(SUM(s * s) AS BIGINT) AS total_energy,
+           (SELECT MAX(fe) FROM frames f WHERE f.doc_id = samp.doc_id)
+             AS max_frame_energy
+    FROM samp GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "pcm", "pandas-kernel"))
+def multimodal_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION on raw bytes — unlike the decode stub,
+    this kernel is fully REAL: raw PCM16 needs no codec, so the numpy
+    frame-energy reduction (square -> 256-sample frame sums -> total and
+    peak energy) is the actual production computation, exercised
+    end-to-end over Arrow-batched binary columns via mapInPandas.
+
+    The oracle re-derives the same int16 samples arithmetically from the
+    payload's source bytes (the artifact table builds payloads from
+    ASCII text, so byte pairs are exactly reconstructible in SQL) — all
+    outputs are exact int64 sums, no float anywhere.
+
+    Scale shape: map-only (zero shuffles), one numpy pass per Arrow
+    batch, output rows are 5 scalars per artifact regardless of payload
+    size — the binary column never leaves the scan+map stage."""
+    art = artifacts(spark, sf_dir).select("doc_id", "payload")
+    para = spark.sparkContext.defaultParallelism
+    return art.repartition(para).mapInPandas(pcm_energy_kernel,
+                                             schema=PCM_SCHEMA)

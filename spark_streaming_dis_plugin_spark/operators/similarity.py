@@ -985,3 +985,63 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= 3)
             .select("query_id", "neighbor_id", "adc_d2", "rnk"))
+
+
+# ------------------------------------------- JL random projection
+
+RP_OUT_DIM = 8
+
+
+def _rp_signs() -> list[list[int]]:
+    """Deterministic +-1 projection matrix (Achlioptas-style sign
+    entries), derived from the portable md5 hash so both engines inline
+    the SAME literal constants — no RNG state anywhere."""
+    from ..functions.portable import portable_hash_py
+
+    return [[1 if portable_hash_py(f"rp:{j}:{i}") % 2 == 0 else -1
+             for i in range(DIM)]
+            for j in range(RP_OUT_DIM)]
+
+
+def _rp_oracle() -> str:
+    cols = []
+    for j, signs in enumerate(_rp_signs()):
+        arr = "[" + ", ".join(str(s) for s in signs) + "]"
+        cols.append(
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {DIM} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), "
+            f"(acc, x) -> acc + x) AS p{j}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_rp_oracle(),
+    tags=("similarity", "embedding", "projection", "compression"))
+def embedding_random_projection(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss RANDOM PROJECTION: every 64-dim embedding
+    mapped to 8 dims through a fixed +-1 sign matrix (Achlioptas 2003 —
+    database-friendly projections: sign entries, no Gaussian sampling),
+    the standard cheap dimensionality reduction before LSH bucketing or
+    coarse clustering. The sign matrix is derived from the portable md5
+    hash at build time and inlined as literals, so the operator is fully
+    deterministic with no RNG state and the oracle folds the identical
+    constants in the identical sequential order (bit-identical doubles,
+    no epsilon).
+
+    Scale shape: perfectly row-local — one projection per row, zero
+    shuffles, no UDF (the fold is a JVM-codegen zip_with/aggregate
+    chain); the 64x8 matrix lives in the plan itself. At 100 TB this is
+    a map-only pass whose output is 8x smaller; distance distortion is
+    the JL bound (eps ~ sqrt(ln n / d'))."""
+    emb = load(spark, sf_dir, "embeddings")
+    cols = []
+    for j, signs in enumerate(_rp_signs()):
+        arr = F.array(*[F.lit(s) for s in signs])
+        cols.append(F.aggregate(
+            F.zip_with(F.col("embedding"), arr,
+                       lambda x, s: x.cast("double") * s),
+            F.lit(0.0), lambda acc, x: acc + x).alias(f"p{j}"))
+    return emb.select("vec_id", *cols)

@@ -30,6 +30,10 @@ Options:
   offsetRanges         {"0":[from,until]} JSON (batch only; sentinels ok)
   maxOffsetsPerTrigger total records per micro-batch, split across
                        partitions proportionally to lag (rate.py)
+  minOffsetsPerTrigger hold a trigger until this many records are
+                       available (Kafka option parity)...
+  maxTriggerDelay      ...unless this much time passed since the last
+                       fired batch ('500ms'/'30s'/'15m', default 15m)
   maxRatePerPartition  records/sec/partition cap (0 = unlimited)
   backpressureEnabled  PID processing-rate estimator feeds the split
                        (≅ spark.streaming.backpressure.enabled)
@@ -267,6 +271,17 @@ class DisBatchReader(DataSourceReader):
         yield from _read_range_batches(partition)
 
 
+def _parse_duration_s(raw) -> float:
+    """Kafka-style duration option: '500ms' / '30s' / '15m' / '2h', or a
+    bare number of seconds."""
+    s = str(raw).strip().lower()
+    for suffix, mult in (("ms", 0.001), ("s", 1.0), ("m", 60.0),
+                         ("h", 3600.0)):
+        if s.endswith(suffix):
+            return float(s[:-len(suffix)]) * mult
+    return float(s)
+
+
 def _parse_boundary(raw: str, stream: str, parts, sentinel: int) -> dict[int, int]:
     if raw == "earliest":
         return {p: EARLIEST for p in parts}
@@ -321,6 +336,18 @@ class DisStreamReader(DataSourceStreamReader):
     def __init__(self, log: DisLog, options):
         self.log = log
         self.max_per_trigger = int(options.get("maxoffsetspertrigger", 0) or 0)
+        # Kafka-source option parity: hold a trigger back until at least
+        # minOffsetsPerTrigger records are available, unless
+        # maxTriggerDelay (default 15m, Kafka's default) has elapsed since
+        # the last fired batch — the small-batch suppressor for
+        # high-frequency triggers over trickling sources. Ignored by
+        # availableNow drains (which capture one target plan), same as
+        # Kafka.
+        self.min_per_trigger = int(options.get("minoffsetspertrigger", 0)
+                                   or 0)
+        self.max_trigger_delay_s = _parse_duration_s(
+            options.get("maxtriggerdelay", "15m"))
+        self._last_fire: float | None = None
         self.max_rate_per_partition = float(
             options.get("maxrateperpartition", 0) or 0)
         self.batch_seconds = float(options.get("batchseconds", 1.0))
@@ -442,6 +469,20 @@ class DisStreamReader(DataSourceStreamReader):
         latest = self.log.latest_offsets()
         if self.assigned is not None:
             latest = {p: o for p, o in latest.items() if p in self.assigned}
+        if self.min_per_trigger:
+            avail = sum(max(latest[p] - current.get(p, 0), 0)
+                        for p in latest)
+            now = time.monotonic()
+            if self._last_fire is None:
+                self._last_fire = now
+            if (avail < self.min_per_trigger
+                    and now - self._last_fire < self.max_trigger_delay_s):
+                # Not enough backlog and the delay budget hasn't expired:
+                # decline the trigger (no offset advance -> no batch).
+                self._sync(current)
+                self._trace(f"latestOffset (held: avail={avail} "
+                            f"< min={self.min_per_trigger}) -> {current}")
+                return {str(p): o for p, o in current.items()}
         allowed = None
         if self.max_per_trigger or self.max_rate_per_partition or self._pid:
             lags = {p: max(latest[p] - current.get(p, 0), 0) for p in latest}
@@ -456,6 +497,8 @@ class DisStreamReader(DataSourceStreamReader):
             allowed = max_messages_per_partition(
                 lags, rate, self.batch_seconds, self.max_rate_per_partition)
         ends = clamp(current, latest, allowed)
+        if any(ends.get(p, 0) > current.get(p, 0) for p in ends):
+            self._last_fire = time.monotonic()
         if self._pid is not None:
             planned = sum(max(ends[p] - current.get(p, 0), 0) for p in ends)
             # Only batches that advance offsets run (and therefore commit);

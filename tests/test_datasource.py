@@ -1021,3 +1021,55 @@ def test_batch_starting_timestamp_scan(spark, sf_dir, log):
     assert sorted(map(tuple, via_ts.collect())) == \
         sorted(map(tuple, via_off.collect()))
     assert via_ts.count() > 0
+
+
+def test_min_offsets_per_trigger_holds_small_batches(log):
+    """Kafka option parity: with minOffsetsPerTrigger above the backlog,
+    latestOffset declines the trigger (no offset advance) until
+    maxTriggerDelay expires — then fires with whatever is available."""
+    from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+        DisStreamReader,
+    )
+
+    total = sum(log.latest_offsets().values())
+    reader = DisStreamReader(DisLog(log.root, log.stream), {
+        "minoffsetspertrigger": str(total + 1),   # never enough backlog
+        "maxtriggerdelay": "30s",
+    })
+    start = reader.initialOffset()
+    held = reader.latestOffset()
+    assert held == start                          # trigger declined
+    assert reader.latestOffset() == start         # still declined
+    reader._last_fire -= 31                       # age past the delay
+    fired = reader.latestOffset()
+    assert sum(int(v) for v in fired.values()) == total  # forced fire
+
+
+def test_min_offsets_per_trigger_fires_on_enough_backlog(log):
+    """Backlog >= minOffsetsPerTrigger fires immediately, and the rate
+    clamp still applies on top of the min gate."""
+    from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+        DisStreamReader,
+    )
+
+    reader = DisStreamReader(DisLog(log.root, log.stream), {
+        "minoffsetspertrigger": "10",
+        "maxoffsetspertrigger": "40",
+        "maxtriggerdelay": "15m",
+    })
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    planned = sum(int(end[p]) - int(start.get(p, 0)) for p in end)
+    assert 0 < planned <= 40 + len(end)   # clamp (+1 floor per partition)
+
+
+def test_parse_duration_s():
+    from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+        _parse_duration_s,
+    )
+
+    assert _parse_duration_s("500ms") == 0.5
+    assert _parse_duration_s("30s") == 30.0
+    assert _parse_duration_s("15m") == 900.0
+    assert _parse_duration_s("2h") == 7200.0
+    assert _parse_duration_s(45) == 45.0
