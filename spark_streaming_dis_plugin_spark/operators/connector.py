@@ -2628,3 +2628,48 @@ def dis_fanout_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(sink).alias("sink"), "partition", "key", "value",
             F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc")))
     return parts[0].unionAll(parts[1])
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT)
+             AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM active a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("connector", "analytics", "retention", "cohort"))
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION COHORT analysis — the standard product-analytics shape
+    every event pipeline must answer: bucket users by first-active day
+    (their cohort), then count how many of each cohort are active again
+    N days later. The (cohort_day, day_offset) matrix is the retention
+    curve; a missing cell is zero retention for that offset.
+
+    Scale shape: the (user, day) activity relation collapses the raw
+    event stream FIRST (distinct, one shuffle on user+day, cardinality
+    |users| x |days| regardless of event volume); cohorts are a
+    user-keyed min over that relation; the final count-distinct shuffles
+    the tiny (cohort, offset, user) triple. No window functions, no
+    event-grain shuffle — at 100 TB of events the distinct is the only
+    pass that sees raw volume, and it's map-side combinable."""
+    events = load(spark, sf_dir, "events")
+    active = (events.select("user_id",
+                            F.date_trunc("day", F.col("ts")).cast("date")
+                            .alias("day"))
+              .distinct())
+    cohorts = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (active.join(cohorts, "user_id")
+            .groupBy("cohort_day",
+                     F.datediff(F.col("day"), F.col("cohort_day"))
+                     .cast("bigint").alias("day_offset"))
+            .agg(F.countDistinct("user_id").alias("n_active")))

@@ -97,3 +97,84 @@ def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT o_orderkey, price_bucket(o_totalprice) AS bucket "
         "FROM orders_v")
+
+
+@register(
+    "sql_udtf_chunks",
+    oracle="""
+    SELECT d.doc_id, c.chunk_idx, c.n_words, c.chunk_text
+    FROM documents d, LATERAL (
+      SELECT i AS chunk_idx,
+             len(tk[(i*16+1):(i*16+16)]) AS n_words,
+             array_to_string(tk[(i*16+1):(i*16+16)], ' ') AS chunk_text
+      FROM (SELECT list_filter(string_split_regex(lower(d.text),
+                     '[^a-zA-Z0-9_]+'), t -> t != '') AS tk),
+           LATERAL (SELECT unnest(range(CAST(ceil(len(tk)/16.0) AS BIGINT)))
+                    AS i)
+    ) c
+    """,
+    tags=("udf", "udtf", "sql", "lateral"))
+def sql_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python USER-DEFINED TABLE FUNCTION (Spark 3.5+ udtf API) — the
+    one-row-to-many-rows escape hatch, registered into SQL and invoked
+    with LATERAL so each document expands into its 16-word chunks. The
+    tier above scalar UDFs for structured generation (chunkers,
+    parsers, samplers); like sql_registered_udf the math is deliberately
+    simple so the MECHANISM (class-based UDTF, yield-per-row, SQL
+    lateral correlation, schema declaration) is what's verified.
+
+    Scale note: a UDTF runs row-at-a-time in Python — this registration
+    is the coverage row for the API surface; the engine's production
+    chunker is the pure-Column chunk_documents/text_boilerplate_strip
+    segmentation (JVM codegen). Spark plans the LATERAL as a
+    Generate-style expansion, partition-parallel, no shuffle."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, n_words bigint, chunk_text string")
+    class ChunkWords:
+        def eval(self, text: str):
+            toks = [t for t in re.split(r"[^a-zA-Z0-9_]+", text.lower())
+                    if t]
+            for i in range(-(-len(toks) // 16) if toks else 0):
+                chunk = toks[i * 16:(i + 1) * 16]
+                yield i, len(chunk), " ".join(chunk)
+
+    spark.udtf.register("chunk_words", ChunkWords)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.n_words, c.chunk_text
+        FROM documents_v d, LATERAL chunk_words(d.text) c
+    """)
+
+
+@register(
+    "sql_variant_payload",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+             AS k_bucket
+    FROM events
+    """,
+    tags=("udf", "variant", "json", "spark4"))
+def sql_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through the VARIANT type (Spark 4):
+    parse_json into an open-schema variant column, then typed extraction
+    with variant_get — the modern replacement for get_json_object string
+    plucking (variant keeps a parsed binary form, so repeated extraction
+    doesn't re-parse, and type casts are part of the path expression).
+    The oracle computes the same values via DuckDB's JSON functions —
+    VARIANT is an encoding choice, not a semantics change, which is
+    exactly what the cross-engine equality pins.
+
+    Scale: parse once per row, extract many times — at 100 TB the win
+    over get_json_object grows with the number of extracted fields;
+    fully row-local, pushdown-friendly."""
+    events = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return events.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        (F.variant_get(v, "$.k", "bigint") % 10).alias("k_bucket"))
