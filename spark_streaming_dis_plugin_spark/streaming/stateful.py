@@ -128,6 +128,8 @@ SESSION_GAP_MS = 30 * 60 * 1000          # 30-minute inactivity gap
 SESSION_OUT_SCHEMA = ("key string, session_start string, "
                       "session_last string, n_events bigint")
 SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+TWS_SESSION_STATE_SCHEMA = ("start_us bigint, last_us bigint, n bigint, "
+                            "reg_ms bigint")
 _TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
 
 
@@ -181,7 +183,14 @@ def _make_sessionize(session_tz: str):
             state.update(tuple(st))
             last_epoch_ms = (pd.Timestamp(st[1] * 1000)
                              .tz_localize(session_tz).value // 1_000_000)
-            state.setTimeoutTimestamp(int(last_epoch_ms) + SESSION_GAP_MS)
+            # Over an unordered log a batch can deliver rows already far
+            # behind the watermark; a timeout in the past is invalid, so
+            # clamp to wm+1 — "fire at the next opportunity", which is
+            # exactly what an expired session should do. On the ordered
+            # log the clamp never engages (last+gap > wm provably).
+            expiry = int(last_epoch_ms) + SESSION_GAP_MS
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(expiry, wm + 1))
         yield pd.DataFrame(closed, columns=["key", "session_start",
                                             "session_last", "n_events"])
 
@@ -206,3 +215,92 @@ def sessions_with_timeout(env: DataFrame,
                 stateStructType=SESSION_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def sessions_with_timers_tws(env: DataFrame,
+                             watermark: str = "2 hours") -> DataFrame:
+    """transformWithStateInPandas twin of :func:`sessions_with_timeout`
+    on the MODERN arbitrary-state API: explicit EVENT-TIME TIMERS
+    (handle.registerTimer / handleExpiredTimer) instead of the single
+    implicit GroupStateTimeout slot — the API's headline addition, since
+    a processor may keep MANY timers per key. Semantics are identical by
+    construction: data-gap closes in handleInputRows, the trailing
+    session closes when its timer (last + gap, re-localized through the
+    session tz exactly like _make_sessionize) fires behind the
+    watermark. A stale timer (the key got more events after
+    registration) is detected by comparing the expiry against the
+    current state and deleted rather than emitted. Requires the RocksDB
+    state store provider and the vendored protobuf runtime
+    (pbvendor.py); parity with the oracle-anchored
+    applyInPandasWithState gate is pinned by
+    tests/test_datasource.py::test_tws_timer_sessions_match_timeout_gate.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    tz = env.sparkSession.conf.get("spark.sql.session.timeZone")
+
+    def _expiry_ms(last_us: int) -> int:
+        return (int(pd.Timestamp(last_us * 1000).tz_localize(tz).value
+                    // 1_000_000) + SESSION_GAP_MS)
+
+    class _SessionTimerProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState(
+                "sess", TWS_SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            closed = []
+            st = (list(self._state.get())
+                  if self._state.exists() else None)
+            if st is not None:
+                self._handle.deleteTimer(st[3])
+            for pdf in rows:
+                for ts in sorted(pdf["timestamp"]):
+                    us = pd.Timestamp(ts).value // 1000
+                    if st is None:
+                        st = [us, us, 1, 0]
+                    elif us - st[1] > SESSION_GAP_MS * 1000:
+                        closed.append((key[0], _us_to_str(st[0]),
+                                       _us_to_str(st[1]), st[2]))
+                        st = [us, us, 1, 0]
+                    else:
+                        st[1] = us
+                        st[2] += 1
+            # Same past-timeout clamp as _make_sessionize; the registered
+            # expiry is carried in state so staleness checks and deletes
+            # see the clamped value, not a recomputation.
+            st[3] = max(_expiry_ms(st[1]),
+                        timerValues.getCurrentWatermarkInMs() + 1)
+            self._state.update(tuple(st))
+            self._handle.registerTimer(st[3])
+            yield pd.DataFrame(closed,
+                               columns=["key", "session_start",
+                                        "session_last", "n_events"])
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._state.exists():
+                return iter(())
+            start_us, last_us, n, reg_ms = self._state.get()
+            if reg_ms != expiredTimerInfo.getExpiryTimeInMs():
+                # Stale timer from a superseded registration — drop it.
+                return iter(())
+            self._state.clear()
+            yield pd.DataFrame(
+                [(key[0], _us_to_str(start_us), _us_to_str(last_us), n)],
+                columns=["key", "session_start", "session_last",
+                         "n_events"])
+
+        def close(self) -> None:
+            pass
+
+    return (env
+            .withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+            .withWatermark("timestamp", watermark)
+            .groupBy("key")
+            .transformWithStateInPandas(
+                statefulProcessor=_SessionTimerProcessor(),
+                outputStructType=SESSION_OUT_SCHEMA,
+                outputMode="Append",
+                timeMode="EventTime"))

@@ -1073,3 +1073,50 @@ def test_parse_duration_s():
     assert _parse_duration_s("15m") == 900.0
     assert _parse_duration_s("2h") == 7200.0
     assert _parse_duration_s(45) == 45.0
+
+
+def test_tws_timer_sessions_match_timeout_gate(spark, log, tmp_path):
+    """Event-time TIMERS on transformWithStateInPandas (registerTimer /
+    handleExpiredTimer / stale-timer deletion) must reproduce the
+    applyInPandasWithState GroupStateTimeout gate row-for-row over the
+    same rate-limited multi-batch drain — the equality chain extends to
+    the DuckDB oracle through dis_state_timeout_streamed."""
+    from spark_streaming_dis_plugin_spark.streaming.pbvendor import (
+        tws_runtime_ready,
+    )
+
+    if not tws_runtime_ready(spark):
+        pytest.skip("protobuf runtime not visible to Spark workers")
+
+    from spark_streaming_dis_plugin_spark.streaming.drain import (
+        drain_available,
+    )
+    from spark_streaming_dis_plugin_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER, sessions_with_timeout, sessions_with_timers_tws,
+    )
+
+    total = sum(log.latest_offsets().values())
+    per = str(max(total // 4, 1))
+
+    def run(build, name, extra_conf=False):
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        if extra_conf:
+            spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+        try:
+            sdf = (spark.readStream.format("dis")
+                   .option("path", log.root).option("stream", log.stream)
+                   .option("maxOffsetsPerTrigger", per).load())
+            q = (build(sdf).writeStream.format("memory").queryName(name)
+                 .outputMode("append")
+                 .option("checkpointLocation", str(tmp_path / name))
+                 .trigger(processingTime="0 seconds").start())
+            drain_available(q, timeout_seconds=180)
+        finally:
+            if extra_conf:
+                spark.conf.unset(conf_key)
+        return sorted(tuple(r) for r in spark.table(name).collect())
+
+    tws = run(sessions_with_timers_tws, "tws_sess", extra_conf=True)
+    aip = run(sessions_with_timeout, "aip_sess")
+    assert len(tws) > 0
+    assert tws == aip
