@@ -1,11 +1,12 @@
-"""Bucketed tables: the co-located join strategy for repeated fact-fact
-joins at scale (SURVEY.md §4 'Optimizer & physical execution' posture).
+"""Bucketed co-located joins — the pre-shuffle lever for repeated joins.
 
-Writing both sides bucketed by the join key into the same number of
-buckets lets Catalyst plan a SortMergeJoin with NO Exchange on either
-side — at 100 TB this converts every recurring orders-lineitem join from
-a full shuffle of both tables into a local per-bucket merge. This test
-pins that plan shape (absence of shuffle), not just the row counts.
+At 100 TB the dominant cost of a fact-fact join is the key shuffle. When
+the same join runs repeatedly (orders x lineitem on orderkey in half the
+TPC-H suite), writing both sides BUCKETED on the join key pays one
+organizing shuffle at write time and then every subsequent join reads
+co-located buckets with NO Exchange on either side — Spark's sort-merge
+join consumes the bucket layout directly. These tests pin that contract:
+same results, shuffle-free plan.
 """
 
 from __future__ import annotations
@@ -14,60 +15,69 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from spark_streaming_dis_plugin_spark.tables import load
+
+N_BUCKETS = 8
+
 
 @pytest.fixture(scope="module")
-def warehouse(spark, sf_dir, tmp_path_factory):
-    from spark_streaming_dis_plugin_spark.tables import load
-
-    # warehouse.dir is a static conf on the shared session; the tables'
-    # data goes to explicit tmp paths, only the catalog entry uses the
-    # default warehouse (dropped in teardown).
-    wh = str(tmp_path_factory.mktemp("warehouse"))
-    spark.sql("CREATE DATABASE IF NOT EXISTS bucketed")
-    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        (load(spark, sf_dir, name).write
-         .bucketBy(8, key).sortBy(key)
-         .mode("overwrite")
-         .option("path", f"{wh}/bucketed_{name}")
-         .saveAsTable(f"bucketed.{name}"))
-    yield "bucketed"
-    spark.sql("DROP DATABASE IF EXISTS bucketed CASCADE")
+def bucketed_db(spark, sf_dir, tmp_path_factory):
+    """orders + lineitem written bucketed by orderkey into a throwaway
+    database (explicit LOCATION keeps the warehouse out of the repo)."""
+    loc = tmp_path_factory.mktemp("bucket_wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucket_db LOCATION '{loc}'")
+    (load(spark, sf_dir, "orders")
+     .write.bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("bucket_db.orders_b"))
+    (load(spark, sf_dir, "lineitem")
+     .write.bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("bucket_db.lineitem_b"))
+    yield "bucket_db"
+    spark.sql("DROP DATABASE IF EXISTS bucket_db CASCADE")
 
 
-def test_bucketed_join_has_no_exchange(spark, warehouse):
-    """Both sides bucketed by the join key -> SortMergeJoin with zero
-    Exchange operators (the 100 TB win: no shuffle of either fact)."""
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+def _join(spark, left, right):
+    return (left.join(right,
+                      F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+                 .cast("double").alias("qty")))
+
+
+def test_bucketed_join_plans_no_exchange(spark, bucketed_db):
+    """Both sides bucketed on the join key at matching bucket counts:
+    the sort-merge join must consume the bucket layout directly — zero
+    Exchange operators anywhere in the join's plan."""
+    for k, v in (("spark.sql.autoBroadcastJoinThreshold", "-1"),
+                 ("spark.sql.adaptive.enabled", "false")):
+        spark.conf.set(k, v)
     try:
-        o = spark.table("bucketed.orders")
-        li = spark.table("bucketed.lineitem")
-        joined = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-                  .groupBy("o_orderpriority")
-                  .agg(F.count(F.lit(1)).alias("n")))
-        plan = joined._jdf.queryExecution().executedPlan().toString()
+        df = _join(spark,
+                   spark.table("bucket_db.orders_b"),
+                   spark.table("bucket_db.lineitem_b")
+                   .select("l_orderkey", "l_quantity"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("HashAggregate")[-1]
         assert "SortMergeJoin" in plan
-        assert "Exchange hashpartitioning(l_orderkey" not in plan
-        assert "Exchange hashpartitioning(o_orderkey" not in plan
-        # correctness: same result as the unbucketed join
-        from spark_streaming_dis_plugin_spark.tables import load
+        assert "Exchange hashpartitioning" not in join_part, join_part
+        # the only exchange allowed is the final tiny aggregation's
+        assert plan.count("Exchange hashpartitioning") <= 1
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
-def test_bucketed_join_matches_unbucketed(spark, sf_dir, warehouse):
-    from spark_streaming_dis_plugin_spark.tables import load
-
-    o = spark.table("bucketed.orders")
-    li = spark.table("bucketed.lineitem")
-    bucketed = {r["o_orderpriority"]: r["n"] for r in
-                (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-                 .groupBy("o_orderpriority")
-                 .agg(F.count(F.lit(1)).alias("n"))).collect()}
-    plain_o = load(spark, sf_dir, "orders")
-    plain_li = load(spark, sf_dir, "lineitem")
-    plain = {r["o_orderpriority"]: r["n"] for r in
-             (plain_li.join(plain_o,
-                            F.col("l_orderkey") == F.col("o_orderkey"))
-              .groupBy("o_orderpriority")
-              .agg(F.count(F.lit(1)).alias("n"))).collect()}
-    assert bucketed == plain
+def test_bucketed_join_matches_unbucketed_results(spark, sf_dir,
+                                                  bucketed_db):
+    """Layout is an optimization, not a semantics change: the bucketed
+    join's aggregate must equal the plain parquet join's."""
+    bucketed = _join(spark,
+                     spark.table("bucket_db.orders_b"),
+                     spark.table("bucket_db.lineitem_b")
+                     .select("l_orderkey", "l_quantity")).collect()
+    plain = _join(spark,
+                  load(spark, sf_dir, "orders"),
+                  load(spark, sf_dir, "lineitem")
+                  .select("l_orderkey", "l_quantity")).collect()
+    assert sorted(map(tuple, bucketed)) == sorted(map(tuple, plain))
