@@ -2577,3 +2577,61 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                COALESCE(m.month_revenue, 0.0D) AS month_revenue
         FROM spine s LEFT JOIN monthly m ON s.month_start = m.month_start
     """)
+
+
+_BUCKETED_DB_CACHE: dict[str, str] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """orders + lineitem written BUCKETED by orderkey (8 buckets, sorted)
+    into a scratch-located database, once per (process, sf_dir) — the
+    one-time organizing shuffle a production deployment pays at ingest so
+    every subsequent orderkey join is exchange-free."""
+    from ..scratch import scratch_dir
+
+    if sf_dir not in _BUCKETED_DB_CACHE:
+        db = f"bdb_{abs(hash(sf_dir)) % 10**8}"
+        loc = scratch_dir("bucket_wh_")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+        (load(spark, sf_dir, "orders")
+         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable(f"{db}.orders_b"))
+        (load(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_quantity", "l_extendedprice")
+         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable(f"{db}.lineitem_b"))
+        _BUCKETED_DB_CACHE[sf_dir] = db
+    db = _BUCKETED_DB_CACHE[sf_dir]
+    return f"{db}.orders_b", f"{db}.lineitem_b"
+
+
+@register(
+    "bucketed_join_agg",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           {dsum_sql('l_quantity', 2)} AS qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("relational", "bucketing", "layout", "join"))
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED BUCKETED JOIN — the physical-layout lever for repeated
+    fact-fact joins: both sides pre-bucketed on the join key (one
+    organizing shuffle at write time), after which the sort-merge join
+    consumes the bucket layout with NO Exchange on either side
+    (tests/test_bucketing.py pins the shuffle-free plan; this row pins
+    that the layout is semantics-neutral — same aggregate as the plain
+    parquet join the oracle computes).
+
+    At 100 TB: orderkey joins dominate half the TPC-H suite; bucketing
+    amortizes their shuffle across every query that reuses the layout,
+    and the bucket count is the knob that sizes per-task work. The
+    bucketed tables are materialized once per process into a scratch
+    database (never the repo's warehouse dir)."""
+    ot, lt = _bucketed_tables(spark, sf_dir)
+    return (spark.table(ot).join(
+                spark.table(lt),
+                F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum(F.col("l_quantity"), 2).alias("qty")))

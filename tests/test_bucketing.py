@@ -81,3 +81,24 @@ def test_bucketed_join_matches_unbucketed_results(spark, sf_dir,
                   load(spark, sf_dir, "lineitem")
                   .select("l_orderkey", "l_quantity")).collect()
     assert sorted(map(tuple, bucketed)) == sorted(map(tuple, plain))
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy layout + partition pruning: a lang='en'
+    filter must become a PartitionFilter (pruned at planning from the
+    directory structure), not a data Filter over all files — the other
+    half of the layout story (bucketing organizes join keys; partitioning
+    organizes filter keys)."""
+    out = str(tmp_path / "docs_by_lang")
+    (load(spark, sf_dir, "documents")
+     .write.partitionBy("lang").mode("overwrite").parquet(out))
+    df = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the lang predicate must appear among the partition filters,
+    # not as a post-scan data filter
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "lang" in pf, plan
+    expected = (load(spark, sf_dir, "documents")
+                .where(F.col("lang") == "en").count())
+    assert df.count() == expected
