@@ -2673,3 +2673,150 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.datediff(F.col("day"), F.col("cohort_day"))
                      .cast("bigint").alias("day_offset"))
             .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+@register(
+    "dis_state_restart_streamed",
+    oracle=f"""
+    WITH env AS ({_ORDERED_ENV}),
+    gaps AS (
+      SELECT "key", "timestamp", "offset",
+             CASE WHEN "timestamp" - LAG("timestamp") OVER (
+                    PARTITION BY "key" ORDER BY "timestamp", "offset")
+                  > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM env
+    ),
+    sess AS (
+      SELECT "key", "timestamp",
+             SUM(new_session) OVER (
+               PARTITION BY "key" ORDER BY "timestamp", "offset"
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM gaps
+    ),
+    agg AS (
+      SELECT "key", sid,
+             MIN("timestamp") AS start_ts, MAX("timestamp") AS last_ts,
+             COUNT(*) AS n_events,
+             sid = MAX(sid) OVER (PARTITION BY "key") AS is_trailing
+      FROM sess GROUP BY "key", sid
+    ),
+    frontier AS (
+      SELECT MAX("timestamp") - INTERVAL 2 HOUR AS wm FROM env
+    )
+    SELECT "key",
+           strftime(start_ts, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(last_ts, '%Y-%m-%d %H:%M:%S.%f') AS session_last,
+           n_events
+    FROM agg, frontier
+    WHERE NOT is_trailing OR last_ts + INTERVAL 30 MINUTE < wm
+    """,
+    tags=("connector", "streaming", "restart", "stateful", "timeout",
+          "e2e"))
+def dis_state_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM-STATE CHECKPOINT RESTART — the recovery class the other
+    restart gates don't cover: applyInPandasWithState per-key state
+    (open sessions) AND registered event-time timeouts must survive a
+    kill/resume, and the append-mode emission stream must stay
+    exactly-once across the replayed batch. Three runs over one
+    checkpoint + one PARQUET sink (memory sinks cannot recover; the file
+    sink's _spark_metadata log is what dedupes a replayed batch's
+    output, and the final read is metadata-aware so an orphaned file
+    from a killed batch is invisible):
+
+    1. rate-limited availableNow — terminates after one clamped batch,
+       checkpoint parked mid-backlog with OPEN sessions in the store;
+    2. rate-limited processing-time run killed after >= 1 data batch
+       commits — state + timeout re-registration recovered on resume;
+    3. unthrottled drain to idle — trailing timeouts fire on the final
+       no-data batch.
+
+    The final emitted session set must equal dis_state_timeout_streamed's
+    oracle exactly: a lost open session, a re-emitted closed one, or a
+    timeout that failed to re-arm after restart each breaks the hash."""
+    import shutil
+    import time as _time
+    import uuid
+
+    from ..streaming.drain import drain_available
+    from ..streaming.stateful import sessions_with_timeout
+
+    log = _materialized_ordered_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per_trigger = max(total // 6, 1)
+    out = scratch_dir("staterestart_out_")
+    ckpt = scratch_dir("staterestart_ckpt_")
+    name = f"staterestart_{uuid.uuid4().hex[:8]}"
+
+    def start(trigger: dict, rate_limited: bool):
+        r = (spark.readStream.format("dis")
+             .option("path", log.root).option("stream", log.stream))
+        if rate_limited:
+            r = r.option("maxOffsetsPerTrigger", str(per_trigger))
+        return (sessions_with_timeout(r.load())
+                .writeStream.format("parquet")
+                .option("path", out)
+                .queryName(name).outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger).start())
+
+    q = start({"availableNow": True}, rate_limited=True)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("state-restart phase 1 did not terminate")
+    q = start({"processingTime": "0 seconds"}, rate_limited=True)
+    deadline = _time.monotonic() + 120
+    try:
+        while _time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                break
+            _time.sleep(0.05)
+        else:
+            raise TimeoutError("state-restart phase 2 made no progress")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    q = start({"processingTime": "0 seconds"}, rate_limited=False)
+    drain_available(q, timeout_seconds=180)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.read.parquet(out)
+            .select("key", "session_start", "session_last", "n_events"))
+
+
+@register(
+    "dis_union_streamed",
+    oracle=f"""
+    WITH multi AS (
+      SELECT * FROM ({_split_envelope_sql(*MULTI_STREAM_SPLIT[0])})
+      UNION ALL
+      SELECT * FROM ({_split_envelope_sql(*MULTI_STREAM_SPLIT[1])})
+    )
+    SELECT stream, "key", COUNT(*) AS n
+    FROM multi GROUP BY stream, "key"
+    """,
+    tags=("connector", "streaming", "multi-stream", "union", "e2e"))
+def dis_union_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO STREAMING SOURCES in ONE query via union — the multi-topic
+    consumption pattern (a Kafka consumer subscribing to several topics
+    and folding them into one pipeline): each physical stream gets its
+    own readStream scan with its own offset tracking (one checkpoint
+    tracks BOTH sources' frontiers independently), the union feeds a
+    single stateful aggregation, and the final per-(stream, key) counts
+    must hash-match the batch union. Complements
+    dis_subscribe_pattern_multi (one pattern SCAN over two streams):
+    here the streams are separate SOURCES with separate rate/offset
+    planning, which is what you need when per-topic options differ."""
+    root = _materialized_multi_log(spark, sf_dir)
+
+    def src(stream: str):
+        return (spark.readStream.format("dis")
+                .option("path", root).option("stream", stream).load())
+
+    a, b = (src(s) for s, _ in MULTI_STREAM_SPLIT)
+    counts = (a.unionByName(b)
+              .groupBy("stream", "key")
+              .agg(F.count(F.lit(1)).alias("n")))
+    final = _drain_to_memory(spark, counts, "union_stream",
+                             output_mode="complete")
+    return final.select("stream", "key", "n")

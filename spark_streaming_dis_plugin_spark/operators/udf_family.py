@@ -178,3 +178,42 @@ def sql_variant_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.variant_get(v, "$.k", "bigint").alias("k"),
         (F.variant_get(v, "$.k", "bigint") % 10).alias("k_bucket"))
+
+
+@register(
+    "json_corrupt_handling",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k,
+           event_id % 7 = 0 AS is_corrupt
+    FROM events
+    """,
+    tags=("udf", "json", "error-handling", "permissive"))
+def json_corrupt_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MALFORMED-PAYLOAD semantics — what a real ingest pipeline meets
+    hourly: a deterministic slice of payloads is corrupted (prefix
+    garbage, so neither engine can partially parse it) and parsed with
+    from_json in PERMISSIVE mode + columnNameOfCorruptRecord: bad rows
+    survive with NULL fields and the raw payload captured in the corrupt
+    column (the quarantine-for-replay pattern) instead of failing the
+    job, and the corrupt flag must line up exactly with the corruption
+    rule. FAILFAST/DROPMALFORMED are the same option surface; PERMISSIVE
+    is the only one whose output is a total function of the input, hence
+    the declared row.
+
+    Scale: row-local parse, no shuffle; the corrupt column keeps
+    quarantined payloads in-band so the replay join needs no side
+    channel."""
+    events = load(spark, sf_dir, "events")
+    corrupted = F.when(F.col("event_id") % 7 == 0,
+                       F.concat(F.lit("!"), F.col("props"))) \
+        .otherwise(F.col("props"))
+    parsed = F.from_json(corrupted, "k BIGINT, _corrupt STRING",
+                         {"mode": "PERMISSIVE",
+                          "columnNameOfCorruptRecord": "_corrupt"})
+    return events.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed["_corrupt"].isNotNull().alias("is_corrupt"))
