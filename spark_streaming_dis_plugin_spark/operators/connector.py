@@ -2820,3 +2820,177 @@ def dis_union_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = _drain_to_memory(spark, counts, "union_stream",
                              output_mode="complete")
     return final.select("stream", "key", "n")
+
+
+PAGERANK_D = 0.85
+
+
+def _pagerank_fold_sql(contrib: str) -> str:
+    return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list({contrib} ORDER BY src)), (acc, x) -> acc + x)")
+
+
+@register(
+    "graph_pagerank_copurchase",
+    oracle=f"""
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey
+    ),
+    outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM outdeg),
+    pr1 AS (
+      SELECT dst AS node,
+             0.15 / nn.n + {PAGERANK_D}
+               * {_pagerank_fold_sql('(1.0 / nn.n) / deg')} AS pr
+      FROM edges JOIN outdeg ON outdeg.node = edges.src, nn
+      GROUP BY dst, nn.n
+    ),
+    pr2 AS (
+      SELECT dst AS node,
+             0.15 / nn.n + {PAGERANK_D}
+               * {_pagerank_fold_sql('p.pr / deg')} AS pr
+      FROM edges
+        JOIN outdeg ON outdeg.node = edges.src
+        JOIN pr1 p ON p.node = edges.src, nn
+      GROUP BY dst, nn.n
+    )
+    SELECT node AS part_id, pr FROM pr2
+    """,
+    tags=("connector", "graph", "pagerank", "iterative"))
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK over the part CO-PURCHASE graph (parts are linked when
+    they appear in the same order — the recommendation-graph construction
+    every commerce pipeline builds), two damped power-iteration steps
+    from the uniform vector. Extends the engine's iterative-graph story
+    past connected components: components need only monotone min-folds;
+    PageRank is a genuine floating-point fixpoint.
+
+    Cross-engine exactness WITHOUT epsilon: each node's incoming
+    contributions are folded in a FIXED order (sorted by source id, the
+    events_ewma discipline) with identical IEEE operations, so pr2 is
+    bit-identical in both engines — no decimal rounding, no round()
+    absorber.
+
+    Scale shape: edges shuffle once on orderkey to materialize (the
+    construction join is per-order-local, bounded by max items/order
+    squared), then each iteration is one join keyed on src + one
+    aggregation keyed on dst — the standard Pregel-as-joins layout where
+    per-iteration cost is linear in edges; the symmetric construction
+    guarantees no dangling mass. At 10^9 nodes you'd persist the edge
+    relation and checkpoint the rank vector each iteration (as
+    dedup_connected_components does); 2 unrolled iterations keep the
+    declared plan bounded."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    a = pairs.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("src"))
+    b = pairs.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("dst"))
+    edges = (a.join(b, "ok").where(F.col("src") != F.col("dst"))
+             .select("src", "dst").distinct())
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nn = outdeg.select(F.count(F.lit(1)).alias("n"))
+
+    def damped_step():
+        """One damped aggregation step over a relation that carries a
+        per-edge `contrib` column: ordered fold + teleport term."""
+        folded = F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("src", "contrib"))),
+                lambda s: s["contrib"]),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return (F.lit(0.15) / F.col("n") + F.lit(PAGERANK_D) * folded) \
+            .alias("pr")
+
+    base = edges.join(outdeg, "src").crossJoin(F.broadcast(nn))
+    pr1 = (base.withColumn("contrib",
+                           (F.lit(1.0) / F.col("n")) / F.col("deg"))
+           .groupBy(F.col("dst").alias("node"), "n")
+           .agg(damped_step())
+           .select("node", "pr"))
+    base2 = (base.join(pr1.select(F.col("node").alias("src"),
+                                  F.col("pr").alias("src_pr")), "src"))
+    pr2 = (base2.withColumn("contrib", F.col("src_pr") / F.col("deg"))
+           .groupBy(F.col("dst").alias("node"), "n")
+           .agg(damped_step())
+           .select(F.col("node").alias("part_id"), "pr"))
+    return pr2
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, "value" AS median_v FROM (
+        SELECT event_type, "value",
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY "value", event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+      ) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    ),
+    devs AS (
+      SELECT e.event_type, e.event_id, m.median_v,
+             abs(e."value" - m.median_v) AS dev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, dev AS mad_v FROM (
+        SELECT event_type, dev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY dev, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM devs
+      ) WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+    )
+    SELECT d.event_type, d.median_v AS median_value, a.mad_v AS mad,
+           CAST(COUNT(*) FILTER (WHERE d.dev > 3 * a.mad_v) AS BIGINT)
+             AS n_outliers,
+           COUNT(*) AS n
+    FROM devs d JOIN mad a USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    tags=("connector", "analytics", "robust-stats", "anomaly"))
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST anomaly baseline per event type: median + MAD (median
+    absolute deviation) with a 3-MAD outlier count — the monitoring
+    statistic that, unlike mean/stddev, a burst of anomalies cannot
+    drag toward itself. Both medians are DISCRETE and explicitly
+    tie-broken (the mode_percentile_disc discipline: ceil(n/2)-th value
+    in (value, event_id) order), so every output is an exact data value
+    or an exact count — no interpolation, no epsilon; |v - median| and
+    the 3x threshold are the same IEEE ops in both engines.
+
+    Scale shape: two window passes sharing the event_type partitioning
+    (|event_type| groups — reuse one Exchange), then a broadcast-sized
+    (type, median, mad) relation joins back for the outlier scan. At
+    100 TB the exact median needs the per-group sort; swap in the
+    approx-quantile sketch (approx_aggregates) when rank error is
+    acceptable."""
+    events = load(spark, sf_dir, "events")
+
+    def disc_median(df, val_col, out_name):
+        w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+        wn = Window.partitionBy("event_type")
+        return (df.withColumn("rn", F.row_number().over(w))
+                .withColumn("n", F.count(F.lit(1)).over(wn))
+                .where(F.col("rn") == F.ceil(F.col("n") / 2.0)
+                       .cast("bigint"))
+                .select("event_type", F.col(val_col).alias(out_name)))
+
+    med = disc_median(events, "value", "median_v")
+    devs = (events.join(F.broadcast(med), "event_type")
+            .select("event_type", "event_id", "median_v",
+                    F.abs(F.col("value") - F.col("median_v"))
+                    .alias("dev")))
+    mad = disc_median(devs, "dev", "mad_v")
+    return (devs.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type",
+                     F.col("median_v").alias("median_value"),
+                     F.col("mad_v").alias("mad"))
+            .agg(F.count(F.when(F.col("dev") > 3 * F.col("mad_v"), 1))
+                 .alias("n_outliers"),
+                 F.count(F.lit(1)).alias("n")))
