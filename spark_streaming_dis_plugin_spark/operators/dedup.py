@@ -1167,3 +1167,51 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (assign.join(dominated, F.col("vec_id") == F.col("rm_id"), "left")
             .select("vec_id", F.col("cid").alias("centroid_id"),
                     F.col("rm_id").isNotNull().alias("removed")))
+
+
+# --------------------------------------------------- fuzzy entity match
+
+FUZZY_LEV_MAX = 2
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle=f"""
+    WITH s AS (SELECT s_suppkey, s_name, s_nationkey FROM supplier)
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS INT) AS lev
+    FROM s a JOIN s b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= {FUZZY_LEV_MAX}
+    """,
+    tags=("dedup", "fuzzy", "entity-matching", "levenshtein"))
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY ENTITY MATCHING — the record-linkage shape (same vendor
+    spelled two ways, near-identical author names): a BLOCKED self-join
+    (same nation = the blocking key) with an edit-distance threshold.
+    Levenshtein is built-in JVM-side in Spark and native in DuckDB, so
+    the distances are exact integers — the one string-similarity
+    function the two engines share bit-for-bit.
+
+    Scale shape: the blocking key is the entire story at 100 TB —
+    candidate pairs are (block size)^2, so the block must be chosen to
+    bound it (nation here; sorted-neighborhood keys or phonetic codes in
+    production), exactly the role the LSH band plays for MinHash and the
+    cluster id for SemDeDup. Edit distance itself is O(len^2) per pair
+    and runs inside codegen; Spark's bounded form
+    levenshtein(a, b, threshold) caps that cost when only the
+    within-threshold pairs matter (kept unbounded here because the
+    projected distance is part of the contract)."""
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    a = supp.select(F.col("s_suppkey").alias("supp_a"),
+                    F.col("s_name").alias("name_a"),
+                    F.col("s_nationkey").alias("nk_a"))
+    b = supp.select(F.col("s_suppkey").alias("supp_b"),
+                    F.col("s_name").alias("name_b"),
+                    F.col("s_nationkey").alias("nk_b"))
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (a.join(b, (F.col("nk_a") == F.col("nk_b"))
+                   & (F.col("supp_a") < F.col("supp_b")))
+            .where(lev <= FUZZY_LEV_MAX)
+            .select("supp_a", "supp_b", lev.cast("int").alias("lev")))

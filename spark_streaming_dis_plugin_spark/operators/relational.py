@@ -2635,3 +2635,36 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
                  dsum(F.col("l_quantity"), 2).alias("qty")))
+
+
+@register(
+    "window_count_distinct_via_set",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           COUNT(DISTINCT o_orderpriority) OVER (
+             PARTITION BY o_custkey) AS n_priorities
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+    tags=("relational", "window", "distinct", "portability"))
+def window_count_distinct_via_set(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) OVER a window — a SQL surface Spark does NOT
+    support natively (DISTINCT is disallowed in window aggregates);
+    the idiomatic rewrite is size(collect_set(...)) over the same
+    window, verified here against DuckDB's native windowed distinct
+    count. This is the portability row for a real engine gap: a user
+    migrating COUNT(DISTINCT) OVER from another engine needs exactly
+    this rewrite.
+
+    Scale: collect_set materializes the distinct set per partition row —
+    fine when group cardinality is bounded (priorities: 5); for
+    unbounded cardinality rewrite as a two-level aggregate (distinct
+    pairs, then a count join-back), which dedup_exact_by_hash's
+    discipline already demonstrates."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (orders.where(F.col("o_custkey") < 200)
+            .select("o_custkey", "o_orderkey",
+                    F.size(F.collect_set("o_orderpriority").over(w))
+                    .cast("bigint").alias("n_priorities")))
