@@ -754,3 +754,98 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_kept"),
                  F.sum("doc_id").cast("bigint").alias("member_sum"),
                  F.sum("n_tokens").cast("bigint").alias("kept_tokens")))
+
+
+def _bp_strip_ctes() -> str:
+    """CTE chain reproducing text_boilerplate_strip's cleaned text —
+    shared by the composed curation oracle."""
+    from .text import BP_DF_MIN, BP_SEG_WORDS
+
+    return f"""toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS tk FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(
+               tk[(i*{BP_SEG_WORDS}+1):(i*{BP_SEG_WORDS}+{BP_SEG_WORDS})],
+               ' ') AS seg
+      FROM toks, LATERAL (
+        SELECT unnest(range(CAST(ceil(len(tk)/{BP_SEG_WORDS}.0) AS BIGINT)))
+          AS i)
+    ),
+    bp AS (
+      SELECT seg FROM segs
+      GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= {BP_DF_MIN}
+    ),
+    cleaned AS (
+      SELECT s.doc_id,
+             CAST(COUNT(*) FILTER (WHERE bp.seg IS NOT NULL) AS BIGINT)
+               AS n_removed,
+             COALESCE(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+                      FILTER (WHERE bp.seg IS NULL), '') AS text_clean
+      FROM segs s LEFT JOIN bp ON s.seg = bp.seg
+      GROUP BY s.doc_id
+    )"""
+
+
+CURATION_MIN_WORDS = 20
+
+
+@register(
+    "pipeline_llm_curation",
+    oracle=f"""
+    WITH {_bp_strip_ctes()},
+    quality AS (
+      SELECT doc_id, n_removed, text_clean,
+             len({tokens_sql('text_clean')}) AS n_words_clean
+      FROM cleaned
+      WHERE len({tokens_sql('text_clean')}) >= {CURATION_MIN_WORDS}
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id,
+             {portable_hash_sql('lower(text_clean)')} AS chash
+      FROM quality GROUP BY 2
+    )
+    SELECT q.doc_id,
+           CASE WHEN {portable_hash_sql(
+               chr(39) + 'split:' + chr(39)
+               + " || CAST(q.doc_id AS VARCHAR)")} % 100 < 90
+                THEN 'train' ELSE 'val' END AS split,
+           q.n_words_clean, q.n_removed
+    FROM quality q JOIN deduped d ON q.doc_id = d.doc_id
+    """,
+    tags=("pipeline", "composed", "curation", "e2e"))
+def pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation job over the round's new operators —
+    boilerplate strip -> quality gate on the CLEANED text -> exact
+    content dedup of the cleaned text -> train/val split — as ONE
+    declarative plan (the pipeline_end_to_end discipline: integration
+    evidence that the stages compose without materialization barriers,
+    and the realistic ordering where dedup runs on post-cleaning
+    content, since boilerplate differences are exactly what makes raw
+    near-dups miss exact dedup).
+
+    Stage reuse is literal: the Spark side calls the registered
+    text_boilerplate_strip plan as a subquery, so a semantics change
+    there fails THIS row too. Scale: adds only row-local stages and one
+    16-byte-hash shuffle on top of the strip's own shuffles; Catalyst
+    pipelines the whole thing into one job."""
+    from .text import text_boilerplate_strip
+
+    cleaned = text_boilerplate_strip(spark, sf_dir)
+    n_words = F.size(tokens(F.col("text_clean")))
+    quality = (cleaned.where(n_words >= CURATION_MIN_WORDS)
+               .select("doc_id", "n_removed", "text_clean",
+                       n_words.cast("bigint").alias("n_words_clean")))
+    deduped = (quality
+               .groupBy(portable_hash(F.lower(F.col("text_clean")))
+                        .alias("chash"))
+               .agg(F.min("doc_id").alias("keep_id")))
+    split = F.when(
+        portable_hash(F.concat(F.lit("split:"),
+                               F.col("doc_id").cast("string"))) % 100 < 90,
+        "train").otherwise("val")
+    return (quality.join(deduped,
+                         F.col("doc_id") == F.col("keep_id"), "left_semi")
+            .select("doc_id", split.alias("split"),
+                    "n_words_clean", "n_removed"))
