@@ -2994,3 +2994,86 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.when(F.col("dev") > 3 * F.col("mad_v"), 1))
                  .alias("n_outliers"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "dis_tail_subscribe_streamed",
+    oracle=f"""
+    SELECT CAST({portable_hash_sql('CAST(user_id AS VARCHAR)')}
+                % {DEFAULT_NUM_PARTITIONS} AS INT) AS "partition",
+           CAST(user_id AS VARCHAR) AS "key",
+           props AS "value",
+           strftime(CAST(ts AS TIMESTAMP), '{TS_FMT_DUCK}') AS ts_utc
+    FROM events WHERE event_id % 5 = 0
+    """,
+    tags=("connector", "streaming", "tail", "latest", "e2e"))
+def dis_tail_subscribe_streamed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """``startingOffsets='latest'`` ON A LIVE STREAM — the tail-subscribe
+    semantics every monitoring consumer relies on (ConsumerStrategy's -1
+    sentinel seek, ConsumerStrategy.scala:82-115): records written
+    BEFORE the subscription must be invisible, records written AFTER
+    must all arrive. Deterministic two-phase protocol: phase-1 records
+    (event_id % 5 != 0) are in the log when the query starts; the query
+    is held until its FIRST (empty) progress event proves the tail
+    position was captured; only then is phase 2 (event_id % 5 == 0)
+    appended through the producer-mode dis writer and the stream
+    drained. The result must be exactly the phase-2 slice with its
+    key-hash-routed partitions — one phase-1 record leaking in, or one
+    phase-2 record missed, breaks the hash. Producer-mode offsets are
+    commit-order-dependent and deliberately not projected
+    (dis_producer_roundtrip's contract)."""
+    import time as _time
+    import uuid
+
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog
+    from ..tables import load_events
+
+    spark.dataSource.register(DisDataSource)
+    root = scratch_dir("dis_taillog_")
+    DisLog(root, "tail").create(DEFAULT_NUM_PARTITIONS)
+    events = load_events(spark, sf_dir)
+    phase1 = events.where(F.col("event_id") % 5 != 0)
+    phase2 = events.where(F.col("event_id") % 5 == 0)
+
+    def produce(df):
+        (df.select(F.col("user_id").cast("string").alias("key"),
+                   F.col("props").alias("value"),
+                   F.col("ts").alias("timestamp"))
+         .write.format("dis")
+         .option("path", root).option("stream", "tail")
+         .option("segmentRows", "2000")
+         .mode("append").save())
+
+    produce(phase1)
+    name = f"tail_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir("tail_ckpt_")
+    sdf = (spark.readStream.format("dis")
+           .option("path", root).option("stream", "tail")
+           .option("startingOffsets", "latest").load())
+    q = (sdf.select("partition", "key", "value", "timestamp")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="0 seconds").start())
+    try:
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if q.recentProgress:
+                break              # tail position captured
+            _time.sleep(0.05)
+        else:
+            raise TimeoutError("tail subscribe never captured a position")
+        produce(phase2)
+        from ..streaming.drain import drain_available
+        drain_available(q, timeout_seconds=120)
+    finally:
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.table(name)
+            .select("partition", "key", "value",
+                    F.date_format("timestamp", TS_FMT_SPARK)
+                    .alias("ts_utc")))

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.portable import tokens_sql
 from ..plans.registry import register
 from ..tables import load
 
@@ -217,3 +218,88 @@ def json_corrupt_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         parsed["k"].alias("k"),
         parsed["_corrupt"].isNotNull().alias("is_corrupt"))
+
+
+ARROW_STATS_SCHEMA = ("doc_id bigint, n_bytes bigint, n_tokens bigint, "
+                      "mean_token_len double")
+
+
+def _arrow_token_stats(batches):
+    """pyarrow.compute kernel: per-doc byte length, token count, and mean
+    token length — entirely columnar, no pandas materialization."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        toks = pc.split_pattern_regex(batch.column("text"), "[^a-zA-Z0-9_]+")
+        flat_filtered = pc.list_flatten(
+            toks)  # per-list aggregation below uses offsets
+        # tokens include empties from leading/trailing separators; count
+        # and length-sum must ignore them, exactly like tokens_sql.
+        nonempty = pc.not_equal(flat_filtered, "")
+        lens = pc.binary_length(flat_filtered)
+        # re-aggregate flat arrays back per row via list parent indices
+        idx = pc.list_parent_indices(toks)
+        tbl = pa.table({
+            "i": idx,
+            "keep": nonempty,
+            "len": lens,
+        })
+        grouped = tbl.group_by("i").aggregate([
+            ("keep", "sum"), ("len", "sum"),
+        ])
+        import numpy as np
+        n = len(batch)
+        n_tok = np.zeros(n, dtype="int64")
+        len_sum = np.zeros(n, dtype="int64")
+        gi = grouped.column("i").to_numpy()
+        n_tok[gi] = grouped.column("keep_sum").to_numpy()
+        # len_sum counts empty tokens too, but empties add 0 bytes
+        len_sum[gi] = grouped.column("len_sum").to_numpy()
+        out = pa.record_batch({
+            "doc_id": batch.column("doc_id"),
+            "n_bytes": pc.binary_length(batch.column("text"))
+                         .cast(pa.int64()),
+            "n_tokens": pa.array(n_tok),
+            "mean_token_len": pa.array(
+                np.where(n_tok > 0, len_sum / np.maximum(n_tok, 1),
+                         0.0)),
+        })
+        yield out
+
+
+@register(
+    "arrow_map_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens,
+           CASE WHEN len({tokens_sql('text')}) > 0
+                THEN CAST(list_sum(list_transform({tokens_sql('text')},
+                                                  t -> length(t)))
+                          AS DOUBLE)
+                     / len({tokens_sql('text')})
+                ELSE 0.0 END AS mean_token_len
+    FROM documents
+    """,
+    tags=("udf", "arrow", "mapInArrow", "columnar"))
+def arrow_map_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARROW-NATIVE map tier (mapInArrow): the kernel receives raw
+    pyarrow RecordBatches and answers with pyarrow.compute kernels —
+    no pandas materialization anywhere, the zero-copy tier below
+    mapInPandas for columnar-friendly logic (tokenize via
+    split_pattern_regex, list_parent_indices re-aggregation, vectorized
+    length math). The oracle recomputes the same stats with the shared
+    tokenizer definition; mean_token_len is one IEEE division of two
+    exact ints, identical cross-engine.
+
+    Scale: map-only, zero shuffles; Arrow stays the wire AND compute
+    format end-to-end, so per-batch overhead is the lowest of any
+    Python tier — the right home for byte-level feature extraction when
+    a built-in Column expression genuinely cannot express it (here it
+    could — text_token_stats is the JVM twin — which is exactly why
+    this row exists: to pin that the tiers agree)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    para = spark.sparkContext.defaultParallelism
+    return docs.repartition(para).mapInArrow(_arrow_token_stats,
+                                             schema=ARROW_STATS_SCHEMA)
