@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import (
     cosine, cosine_sql, portable_hash, portable_hash_sql, tokens,
-    word_shingles, word_shingles_sql,
+    tokens_sql, word_shingles, word_shingles_sql,
 )
 from ..plans.registry import register
 from ..tables import load
@@ -1215,3 +1215,71 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("supp_a") < F.col("supp_b")))
             .where(lev <= FUZZY_LEV_MAX)
             .select("supp_a", "supp_b", lev.cast("int").alias("lev")))
+
+
+# -------------------------------------- prefix-filtered similarity join
+
+PREFIX_JACCARD_T = 0.8
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+    WITH {_jaccard_pairs_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+    tags=("dedup", "jaccard", "prefix-filter", "ppjoin"))
+def dedup_jaccard_prefix_filter(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """PREFIX-FILTERED set-similarity join (the AllPairs/PPJoin family,
+    Bayardo et al. WWW'07) — the third candidate-generation strategy
+    alongside the full inverted index (dedup_ngram_jaccard) and MinHash
+    banding (dedup_minhash_lsh), and unlike LSH it is EXACT: with every
+    document's token set sorted by one global (df, token) order, two
+    sets with Jaccard >= t must collide on the first
+    n - ceil(t*n) + 1 tokens of each, so only PREFIX tokens enter the
+    posting self-join. Rare-token prefixes make the candidate count a
+    small fraction of the full index's sum(df^2).
+
+    The ORACLE is the unfiltered all-pairs join — so the driver's hash
+    equality IS the losslessness proof on this corpus, not just a
+    determinism check.
+
+    Scale shape: the global order needs no global rank — (df, token)
+    tuples ARE the order, so the df relation (vocab-sized) joins onto
+    postings by token and each doc sorts its own tokens row-locally;
+    the only quadratic work is the prefix-posting join, whose per-token
+    fan-out is bounded by the df of RARE tokens by construction (the
+    exact opposite of the full index's skew profile)."""
+    docs = load(spark, sf_dir, "documents")
+    sets = _shingle_sets(docs).withColumnRenamed("sh", "tk")
+    posting = sets.select("doc_id", F.explode("tk").alias("s"))
+    df_rel = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # (df, token)-sorted tokens per doc, prefix sliced row-locally
+    with_df = (posting.join(df_rel, "s")
+               .groupBy("doc_id")
+               .agg(F.array_sort(
+                    F.collect_list(F.struct("df", "s"))).alias("ordered")))
+    n = F.size("ordered")
+    prefix_len = (n - F.floor((n * 4 + 4) / 5).cast("int") + 1)
+    prefixes = (with_df
+                .select("doc_id",
+                        F.transform(F.slice("ordered", 1, prefix_len),
+                                    lambda x: x["s"]).alias("prefix")))
+    pp = prefixes.select("doc_id", F.explode("prefix").alias("s"))
+    cand = (pp.alias("a").join(
+                pp.alias("b"),
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("tk").alias("tka"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("tk").alias("tkb"))
+    i = F.size(F.array_intersect("tka", "tkb"))
+    jac = i.cast("double") / (F.size("tka") + F.size("tkb") - i)
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= PREFIX_JACCARD_T))
