@@ -140,3 +140,50 @@ def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
                   .cast("double").alias("total_price")))
+
+
+@register(
+    "asof_join_forward",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+      SELECT user_id, ts, event_id,
+             MIN(click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_click_ts
+      FROM tagged
+    )
+    SELECT c.event_id AS purchase_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           COALESCE(strftime(c.next_click_ts, '%Y-%m-%d %H:%M:%S.%f'),
+                    'never') AS next_click_ts
+    FROM carried c JOIN events e ON c.event_id = e.event_id
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("asof", "join", "window", "forward"))
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pd.merge_asof direction='forward'): each
+    purchase matched to the user's EARLIEST click at-or-after it — the
+    "time to next action" shape (conversion latency, next-error-after-
+    deploy). Same single-shuffle union+window design as
+    asof_join_window with the frame reversed: MIN over CURRENT ROW TO
+    UNBOUNDED FOLLOWING carries the next click backward. A purchase at
+    the same instant as a click matches it (at-or-after), mirroring the
+    backward twin's at-or-before; 'never' marks purchases with no later
+    click — rows the left-join formulation would silently null."""
+    events = load(spark, sf_dir, "events")
+    both = events.where(F.col("event_type").isin("click", "purchase"))
+    tagged = both.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(0, Window.unboundedFollowing))
+    carried = tagged.withColumn("next_click_ts", F.min("click_ts").over(w))
+    return (carried.where(F.col("event_type") == "purchase")
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.date_format("ts", TS_FMT).alias("purchase_ts"),
+                    F.coalesce(F.date_format("next_click_ts", TS_FMT),
+                               F.lit("never")).alias("next_click_ts")))
