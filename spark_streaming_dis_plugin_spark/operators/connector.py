@@ -3077,3 +3077,46 @@ def dis_tail_subscribe_streamed(spark: SparkSession,
             .select("partition", "key", "value",
                     F.date_format("timestamp", TS_FMT_SPARK)
                     .alias("ts_utc")))
+
+
+@register(
+    "events_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           event_type AS attr_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           COALESCE(strftime(LEAD(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                             '%Y-%m-%d %H:%M:%S.%f'),
+                    '9999-12-31 00:00:00.000000') AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM events
+    WHERE event_id % 50 = 0
+    """,
+    tags=("connector", "warehouse", "scd2", "temporal"))
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOWLY-CHANGING-DIMENSION TYPE 2 snapshot build — the warehouse
+    shape every CDC/attribute-history pipeline materializes: a sparse
+    change stream (every 50th event stands in for attribute updates)
+    becomes per-user validity intervals [valid_from, valid_to) via
+    lead(), the open interval marked current with a 9999 sentinel. An
+    as-of probe against these intervals is then a range join
+    (range_join_banded's shape); this row pins the interval
+    CONSTRUCTION.
+
+    Scale: one shuffle on the dimension's natural key; per-key history
+    sorts independently — the standard SCD2 rebuild is embarrassingly
+    key-parallel, and incremental maintenance appends only the changed
+    keys' tails."""
+    events = load(spark, sf_dir, "events")
+    changes = events.where(F.col("event_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.date_format("ts", TS_FMT_SPARK).alias("valid_from"),
+        F.coalesce(F.date_format(nxt, TS_FMT_SPARK),
+                   F.lit("9999-12-31 00:00:00.000000")).alias("valid_to"),
+        nxt.isNull().alias("is_current"))

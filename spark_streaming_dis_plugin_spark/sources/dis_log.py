@@ -491,3 +491,65 @@ def _write_segment(table, path: str) -> None:
               if pa.types.is_timestamp(f.type) else f
               for f in table.schema]
     pq.write_table(table.cast(pa.schema(fields)), path)
+
+
+def merge_small_segments(log: DisLog, target_rows: int) -> dict[int, int]:
+    """Maintenance: coalesce runs of ADJACENT committed segments into
+    ~``target_rows`` files — the small-file compaction every log store
+    runs (Kafka log-segment rolling in reverse): a high-frequency
+    producer leaves thousands of tiny parquet files per partition, and
+    scan parallelism degrades into per-file overhead. Offsets are
+    untouched; only the file layout changes.
+
+    Safety rules:
+    - only segments whose txn is absent or COMMITTED are eligible — a
+      crashed producer's uncommitted tail must stay byte-identical so
+      ``rollback_txn`` can still remove it;
+    - only offset-CONTIGUOUS runs merge (``prev.until == next.from``),
+      so a retention gap is never papered over; sparse (compacted)
+      segments merge fine — row counts stay in the filename, density is
+      derived, and readers already handle rows < span;
+    - one run is materialized at a time (memory bounded by target_rows).
+
+    Returns segments ELIMINATED per partition (files_before - files_after).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    committed = log.committed_txns()
+    eliminated: dict[int, int] = {}
+
+    for p in log.partitions():
+        part_dir = log._part_dir(p)
+        removed_here = 0
+
+        def flush(run: list[SegmentInfo]) -> int:
+            if len(run) < 2:
+                return 0
+            table = pa.concat_tables(pq.read_table(s.path) for s in run)
+            new_path = os.path.join(part_dir, segment_name(
+                run[0].from_offset, run[-1].until_offset, table.num_rows))
+            _write_segment(table, new_path)
+            for s in run:
+                os.remove(s.path)
+            return len(run) - 1
+
+        run: list[SegmentInfo] = []
+        run_rows = 0
+        for seg in log.segment_infos(p):
+            eligible = seg.txn is None or seg.txn in committed
+            contiguous = (bool(run)
+                          and run[-1].until_offset == seg.from_offset)
+            if run and (not eligible or not contiguous):
+                removed_here += flush(run)
+                run, run_rows = [], 0
+            if not eligible:
+                continue
+            run.append(seg)
+            run_rows += seg.rows
+            if run_rows >= target_rows:
+                removed_here += flush(run)
+                run, run_rows = [], 0
+        removed_here += flush(run)
+        eliminated[p] = removed_here
+    return eliminated

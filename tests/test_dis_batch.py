@@ -381,3 +381,71 @@ def test_sanitize_txn_distinct_tags_never_alias():
     assert sanitize_txn("job.1") != a                   # distinct dirty tags
     for tag in (a, sanitize_txn("job.1"), sanitize_txn("a b/c")):
         assert re.fullmatch(r"[A-Za-z0-9_]+", tag)      # filename-safe
+
+
+def test_merge_small_segments_preserves_content(spark, tmp_path):
+    """Small-file maintenance: merging adjacent committed segments must
+    change ONLY the file layout — identical rows+offsets on read-back,
+    count pushdown still metadata-exact, uncommitted txn tails untouched."""
+    from spark_streaming_dis_plugin_spark.sources.dis_log import (
+        create_log_from_events, merge_small_segments,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = str(tmp_path / "mergelog")
+    log = create_log_from_events(spark, f"{sf_dir}/events.parquet", root,
+                                 segment_rows=50)   # lots of small files
+    before = {p: len(log.segment_infos(p)) for p in log.partitions()}
+    rows_before = sorted(
+        tuple(r) for r in spark.read.format("dis")
+        .option("path", root).option("stream", log.stream).load()
+        .select("partition", "offset", "key", "value").collect())
+    latest_before = log.latest_offsets()
+
+    eliminated = merge_small_segments(log, target_rows=500)
+    after = {p: len(log.segment_infos(p)) for p in log.partitions()}
+
+    assert sum(eliminated.values()) > 0
+    for p in log.partitions():
+        assert after[p] == before[p] - eliminated[p]
+        assert after[p] < before[p]
+    assert log.latest_offsets() == latest_before
+    rows_after = sorted(
+        tuple(r) for r in spark.read.format("dis")
+        .option("path", root).option("stream", log.stream).load()
+        .select("partition", "offset", "key", "value").collect())
+    assert rows_after == rows_before
+
+
+def test_merge_small_segments_skips_uncommitted_txn(spark, tmp_path):
+    """A crashed producer's uncommitted tail segments must survive the
+    merge byte-identically so rollback_txn can still remove them."""
+    import os
+
+    from spark_streaming_dis_plugin_spark.sources.dis_log import (
+        create_log_from_events, merge_small_segments,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = str(tmp_path / "mergelog2")
+    log = create_log_from_events(spark, f"{sf_dir}/events.parquet", root,
+                                 segment_rows=50)
+    # simulate a crashed (uncommitted) producer txn at one partition tail
+    p = log.partitions()[0]
+    tail = log.segment_infos(p)[-1]
+    # append a fake uncommitted segment continuing the offsets
+    import pyarrow.parquet as pq
+
+    from spark_streaming_dis_plugin_spark.sources.dis_log import (
+        _write_segment, segment_name,
+    )
+    t = pq.read_table(tail.path)
+    fake = os.path.join(os.path.dirname(tail.path), segment_name(
+        tail.until_offset, tail.until_offset + t.num_rows, t.num_rows,
+        "crashed_job"))
+    _write_segment(t, fake)
+
+    merge_small_segments(log, target_rows=500)
+    survivors = [s for s in log.segment_infos(p) if s.txn]
+    assert len(survivors) == 1 and survivors[0].path == fake
+    assert log.rollback_txn("crashed_job") == 1
