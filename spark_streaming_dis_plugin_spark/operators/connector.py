@@ -3120,3 +3120,75 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.date_format(nxt, TS_FMT_SPARK),
                    F.lit("9999-12-31 00:00:00.000000")).alias("valid_to"),
         nxt.isNull().alias("is_current"))
+
+
+@register(
+    "dis_maintenance_streamed",
+    oracle=f"""
+    SELECT word, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex("value", '[^a-zA-Z0-9_]+')) AS word
+      FROM ({_ENV})
+    )
+    WHERE word != ''
+    GROUP BY word
+    """,
+    tags=("connector", "streaming", "maintenance", "e2e"))
+def dis_maintenance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE LOG MAINTENANCE under the oracle gate: segment-merge
+    compaction (merge_small_segments) runs BETWEEN a paused stream's
+    batches — file paths the unread backlog lives in are replaced
+    wholesale — and the resumed drain must still produce the exact batch
+    answer. Pins the reader properties maintenance relies on: planning
+    re-lists segments every trigger (no stale file manifest), offsets
+    are the only addressing (layout is free to change), and the
+    executor segment cache keys by immutable path (a merged file is a
+    NEW path, so no stale cache hit).
+
+    Protocol: a rate-limited availableNow run drains ~1/4 of a
+    small-segment log and parks the checkpoint; merge_small_segments
+    rewrites the layout under it; the resumed unthrottled drain
+    finishes. Any lost/doubled record across the layout change breaks
+    the word-count hash."""
+    import shutil
+    import uuid
+
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import create_log_from_events, \
+        merge_small_segments
+    from ..streaming.drain import drain_available
+    from ..streaming.queries import running_wordcount
+
+    spark.dataSource.register(DisDataSource)
+    root = scratch_dir("dis_maintlog_")
+    log = create_log_from_events(
+        spark, f"{sf_dir}/events.parquet", root, stream="maint",
+        segment_rows=100)                      # deliberately tiny files
+    total = sum(log.latest_offsets().values())
+    name = f"maint_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir("maint_ckpt_")
+
+    def start(rate_limited: bool, trigger: dict):
+        r = (spark.readStream.format("dis")
+             .option("path", root).option("stream", "maint"))
+        if rate_limited:
+            r = r.option("maxOffsetsPerTrigger", str(max(total // 4, 1)))
+        return (running_wordcount(r.load())
+                .writeStream.format("memory").queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger).start())
+
+    try:
+        q = start(True, {"availableNow": True})
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("maintenance phase 1 did not terminate")
+        eliminated = merge_small_segments(log, target_rows=2000)
+        assert sum(eliminated.values()) > 0, \
+            "maintenance merged nothing — gate is vacuous"
+        q = start(False, {"processingTime": "0 seconds"})
+        drain_available(q, timeout_seconds=180)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
