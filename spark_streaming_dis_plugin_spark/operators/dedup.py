@@ -1283,3 +1283,67 @@ def dedup_jaccard_prefix_filter(spark: SparkSession,
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= PREFIX_JACCARD_T))
+
+
+# ----------------------------------------------- containment near-dup
+
+CONTAINMENT_T = 0.9
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH sets AS ({_shingle_sets_sql()}),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sets),
+    posting AS (SELECT doc_id, unnest(sh) AS s FROM sets),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both_n
+      FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(both_n AS DOUBLE) / LEAST(sa.n, sb.n) AS containment,
+           CAST(both_n AS DOUBLE) / (sa.n + sb.n - both_n) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(both_n AS DOUBLE) / LEAST(sa.n, sb.n) >= {CONTAINMENT_T}
+    """,
+    tags=("dedup", "containment", "subset"))
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHINGLE CONTAINMENT near-dup — |A∩B| / min(|A|,|B|) >= 0.9: the
+    asymmetric duplicate class Jaccard structurally MISSES (a document
+    embedded verbatim in a much longer one has containment 1.0 but
+    Jaccard ~ |A|/|B| -> 0; quote-heavy pages, article+comments
+    re-crawls, chunk-of-document leaks). Projects Jaccard alongside so
+    the divergence is visible row-by-row. Document-level complement of
+    chunk_dedup_containment (which scores chunk overlap WITHIN a doc
+    pair's chunks).
+
+    Scale shape: identical topology to dedup_ngram_jaccard (posting
+    self-join -> size join-back); at 100 TB it runs per-LSH-bucket like
+    the other verification kernels, and the df-cap lever applies
+    unchanged. The MIN-side denominator needs no extra pass — both
+    sizes are already in the join."""
+    docs = load(spark, sf_dir, "documents")
+    sets = _shingle_sets(docs)
+    sizes = sets.select("doc_id", F.size("sh").alias("n"))
+    posting = sets.select("doc_id", F.explode("sh").alias("s"))
+    pa_, pb_ = posting.alias("a"), posting.alias("b")
+    inter = (pa_.join(pb_, (F.col("a.s") == F.col("b.s"))
+                      & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("both_n")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("nb"))
+    cont = (F.col("both_n").cast("double")
+            / F.least(F.col("na"), F.col("nb")))
+    jac = (F.col("both_n").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("both_n")))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", cont.alias("containment"),
+                    jac.alias("jaccard"))
+            .where(F.col("containment") >= CONTAINMENT_T))
