@@ -1228,7 +1228,7 @@ PREFIX_JACCARD_T = 0.8
     WITH {_jaccard_pairs_ctes()}
     SELECT doc_a, doc_b, jaccard FROM pairs
     """,
-    tags=("dedup", "jaccard", "prefix-filter", "ppjoin"))
+    tags=("dedup", "jaccard", "prefix-filter", "ppjoin"), bench=True)
 def dedup_jaccard_prefix_filter(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """PREFIX-FILTERED set-similarity join (the AllPairs/PPJoin family,
