@@ -3192,3 +3192,71 @@ def dis_maintenance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+@register(
+    "window_forward_fill",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 50
+    ),
+    spine AS (
+      SELECT user_id, CAST(d AS DATE) AS day
+      FROM users, generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                  INTERVAL 1 DAY) AS t(d)
+    ),
+    daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST("value" AS DECIMAL(27,6))) AS DOUBLE)
+               AS day_total
+      FROM events WHERE user_id < 50
+      GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.day,
+           COALESCE(LAST_VALUE(d.day_total IGNORE NULLS) OVER (
+                      PARTITION BY s.user_id ORDER BY s.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0.0) AS filled_total,
+           d.day_total IS NULL AS was_gap
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    tags=("connector", "timeseries", "gap-fill", "locf"))
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD FILL (LOCF) over a per-user calendar spine — the
+    time-series completion step reporting and feature pipelines need: a
+    user's missing days carry the last observed daily total forward
+    (last_value with IGNORE NULLS — the window surface no other
+    declared query exercises), leading gaps fill with 0. Daily totals
+    use the decimal-exact sum convention, so the carried values are
+    bit-identical cross-engine; `was_gap` pins exactly which cells were
+    synthesized.
+
+    Scale shape: the spine is |users| x |days| — built row-locally by
+    exploding a sequence per user, no recursion needed; the fill is one
+    window over the user partition (same shuffle as the daily
+    aggregation, reused). At 10^9 users the spine is generated, not
+    stored, and the window is key-parallel."""
+    events = load(spark, sf_dir, "events")
+    from ..functions.portable import dsum
+
+    users = (events.where(F.col("user_id") < 50)
+             .select("user_id").distinct())
+    spine = users.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.lit("2024-01-01").cast("date"),
+            F.lit("2024-01-30").cast("date"))).alias("day"))
+    daily = (events.where(F.col("user_id") < 50)
+             .groupBy("user_id",
+                      F.date_trunc("day", F.col("ts")).cast("date")
+                      .alias("day"))
+             .agg(dsum(F.col("value"), 6).alias("day_total")))
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    return joined.select(
+        "user_id", "day",
+        F.coalesce(F.last("day_total", ignorenulls=True).over(w),
+                   F.lit(0.0)).alias("filled_total"),
+        F.col("day_total").isNull().alias("was_gap"))
