@@ -1045,3 +1045,86 @@ def embedding_random_projection(spark: SparkSession,
                        lambda x, s: x.cast("double") * s),
             F.lit(0.0), lambda acc, x: acc + x).alias(f"p{j}"))
     return emb.select("vec_id", *cols)
+
+
+# -------------------------------------------- Matryoshka prefix recall
+
+MRL_PREFIX_DIM = 16
+
+
+def _mrl_rank_sql(vec_expr_a: str, vec_expr_b: str, dims: int) -> str:
+    """Top-3 by cosine over the first `dims` dims (sequential fold)."""
+    a = f"{vec_expr_a}[1:{dims}]"
+    b = f"{vec_expr_b}[1:{dims}]"
+    return f"""
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cosine_sql(a, b)} DESC, c.vec_id) AS rnk
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+      ) WHERE rnk <= 3
+    """
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH full3 AS ({_mrl_rank_sql('q.embedding', 'c.embedding', DIM)}),
+    pre3 AS ({_mrl_rank_sql('q.embedding', 'c.embedding',
+                            MRL_PREFIX_DIM)})
+    SELECT f.query_id,
+           CAST(COUNT(*) FILTER (WHERE p.neighbor_id IS NOT NULL)
+                AS BIGINT) AS hits_prefix,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM full3 f
+      LEFT JOIN pre3 p ON f.query_id = p.query_id
+                      AND f.neighbor_id = p.neighbor_id
+    GROUP BY 1
+    """,
+    tags=("similarity", "ann", "matryoshka", "recall"))
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA-style truncated search accuracy contract: top-3 by
+    cosine over only the FIRST 16 of 64 dims, scored as recall@3
+    against the full-dimension top-3 (exact integers per query — the
+    sim_ivf_recall discipline). Prefix truncation is the modern
+    coarse-search tier for MRL-trained embeddings (score on a prefix,
+    rescore survivors on full vectors): 4x less memory bandwidth per
+    candidate, and this row documents exactly what that buys/costs on
+    this corpus. (The fixture's embeddings are not MRL-trained, so the
+    measured recall is the pessimistic bound — the operator contract is
+    the measurement machinery.)
+
+    Scale shape: both ranks are broadcast-query brute force with window
+    group-limits (the sim_bruteforce_topk plan); the prefix slice
+    happens before the fold, so the 100 TB win — a corpus scan touching
+    1/4 of each vector's bytes — is structural, not simulated."""
+    emb = load(spark, sf_dir, "embeddings")
+
+    def top3(dims: int):
+        q = (emb.where(F.col("vec_id") < N_QUERIES)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.slice("embedding", 1, dims).alias("qe")))
+        c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.slice("embedding", 1, dims).alias("ce"))
+        cos = cosine(F.col("qe"), F.col("ce"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                                   "neighbor_id")
+        return (c.join(F.broadcast(q),
+                       F.col("neighbor_id") != F.col("query_id"))
+                .select("query_id", "neighbor_id", cos.alias("cos"))
+                .withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= 3)
+                .select("query_id", "neighbor_id"))
+
+    full3 = top3(DIM)
+    pre3 = (top3(MRL_PREFIX_DIM)
+            .withColumnRenamed("neighbor_id", "p_neighbor")
+            .withColumnRenamed("query_id", "p_query"))
+    return (full3.join(pre3,
+                       (F.col("query_id") == F.col("p_query"))
+                       & (F.col("neighbor_id") == F.col("p_neighbor")),
+                       "left")
+            .groupBy("query_id")
+            .agg(F.count("p_neighbor").alias("hits_prefix"),
+                 F.count(F.lit(1)).alias("k")))
