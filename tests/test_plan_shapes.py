@@ -255,3 +255,28 @@ def test_recursive_spine_join_is_broadcastable(spark, sf_dir):
     through a sort-merge join."""
     plan = _plan(spark, "recursive_month_spine", sf_dir)
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iterations_are_keyed_joins(spark, sf_dir):
+    """PageRank must plan as Pregel-style keyed joins/aggregations —
+    no cartesian anywhere, and the only broadcast-nested-loop allowed
+    is the single-row node-count cross join."""
+    plan = _plan(spark, "graph_pagerank_copurchase", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(src" in plan or "hashpartitioning(dst" in plan
+
+
+def test_fuzzy_names_join_is_blocked(spark, sf_dir):
+    """The fuzzy match must join on the blocking key, never cross-join
+    the entity table against itself."""
+    plan = _plan(spark, "dedup_fuzzy_names", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_filter_posting_join_on_token(spark, sf_dir):
+    """Prefix-filtered similarity join: candidates come from a posting
+    join keyed on the (prefix) token, not any all-pairs construct."""
+    plan = _plan(spark, "dedup_jaccard_prefix_filter", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(s#" in plan or "hashpartitioning(s " in plan
