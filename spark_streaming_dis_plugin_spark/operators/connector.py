@@ -3260,3 +3260,53 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.last("day_total", ignorenulls=True).over(w),
                    F.lit(0.0)).alias("filled_total"),
         F.col("day_total").isNull().alias("was_gap"))
+
+
+@register(
+    "dis_rocksdb_state_streamed",
+    oracle=f"""
+    SELECT word, COUNT(*) AS n
+    FROM (
+      SELECT unnest(string_split_regex("value", '[^a-zA-Z0-9_]+')) AS word
+      FROM ({_ENV})
+    )
+    WHERE word != ''
+    GROUP BY word
+    """,
+    tags=("connector", "streaming", "state-store", "rocksdb", "e2e"))
+def dis_rocksdb_state_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROCKSDB STATE STORE PROVIDER under the oracle gate — the
+    production state backend at 100 TB (per-key state spills to local
+    disk with changelog checkpointing instead of living on the JVM
+    heap, which is what makes billion-key streaming aggregation
+    survivable): the wordcount stream drains rate-limited across
+    several micro-batches with
+    spark.sql.streaming.stateStore.providerClass set to RocksDB, and
+    the final complete-mode state must hash-match the batch SQL. A
+    state value lost or doubled across the provider's commit/load
+    cycle breaks the hash. Complements the transformWithState tests
+    (which REQUIRE RocksDB) by pinning the provider under the plain
+    built-in aggregation too; conf is restored afterward so the
+    driver session is left untouched."""
+    from ..streaming.queries import running_wordcount
+    from ..streaming.stateful import ROCKSDB_PROVIDER
+
+    log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .option("maxOffsetsPerTrigger", str(per))
+               .load())
+        final = _drain_multibatch(spark, running_wordcount(sdf),
+                                  "rocksdb_wc", output_mode="complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return final
