@@ -3310,3 +3310,76 @@ def dis_rocksdb_state_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(conf_key, prev)
     return final
+
+
+@register(
+    "dis_consumer_groups_streamed",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS n
+      FROM (
+        SELECT unnest(string_split_regex("value", '[^a-zA-Z0-9_]+'))
+          AS word
+        FROM ({_ENV})
+      )
+      WHERE word != ''
+      GROUP BY word
+    )
+    SELECT word, n AS n_group_a, n AS n_group_b FROM wc
+    """,
+    tags=("connector", "streaming", "consumer-groups", "e2e"))
+def dis_consumer_groups_streamed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """CONSUMER-GROUP semantics (the reference's group.id isolation,
+    DISUtils.scala:222-237: distinct groups each get the full stream):
+    TWO streaming queries consume the SAME log CONCURRENTLY, each with
+    its own checkpoint — Structured Streaming's checkpoint directory IS
+    the consumer group — and each must independently produce the
+    complete batch answer. The joined result pins isolation: if one
+    query's progress disturbed the other's offsets (shared state,
+    cache cross-talk, log-side read position), a word count diverges
+    between the groups and the hash breaks.
+
+    Both queries run simultaneously (started before either drains), so
+    the executor-local segment cache is genuinely shared under
+    concurrent access — the consumer-cache reuse the reference built
+    its locality machinery for (DISDataConsumer.scala:259-405), here
+    exercised for safety rather than placement."""
+    import shutil
+    import uuid
+
+    from ..streaming.drain import drain_available
+    from ..streaming.queries import running_wordcount
+
+    log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 4), 1)
+    names, ckpts, queries = [], [], []
+    try:
+        for group in ("a", "b"):
+            name = f"cg{group}_{uuid.uuid4().hex[:8]}"
+            ckpt = scratch_dir(f"cg{group}_ckpt_")
+            sdf = (spark.readStream.format("dis")
+                   .option("path", log.root).option("stream", log.stream)
+                   .option("maxOffsetsPerTrigger", str(per))
+                   .load())
+            q = (running_wordcount(sdf)
+                 .writeStream.format("memory").queryName(name)
+                 .outputMode("complete")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(processingTime="0 seconds").start())
+            names.append(name)
+            ckpts.append(ckpt)
+            queries.append(q)
+        for q in queries:
+            drain_available(q, timeout_seconds=180)
+    finally:
+        for ckpt in ckpts:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    a = spark.table(names[0]).select(
+        "word", F.col("n").alias("n_group_a"))
+    b = spark.table(names[1]).select(
+        F.col("word").alias("word_b"), F.col("n").alias("n_group_b"))
+    return (a.join(b, F.col("word") == F.col("word_b"), "full_outer")
+            .select(F.coalesce("word", "word_b").alias("word"),
+                    "n_group_a", "n_group_b"))
