@@ -3383,3 +3383,90 @@ def dis_consumer_groups_streamed(spark: SparkSession,
     return (a.join(b, F.col("word") == F.col("word_b"), "full_outer")
             .select(F.coalesce("word", "word_b").alias("word"),
                     "n_group_a", "n_group_b"))
+
+
+@register(
+    "dis_partition_add_streamed",
+    oracle=f"""
+    SELECT "partition", "offset", "key", "value",
+           strftime("timestamp", '{TS_FMT_DUCK}') AS ts_utc
+    FROM ({_ENV})
+    UNION ALL
+    SELECT {DEFAULT_NUM_PARTITIONS} AS "partition",
+           CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT)
+             AS "offset",
+           CAST(user_id AS VARCHAR) AS "key",
+           props AS "value",
+           strftime(CAST(ts AS TIMESTAMP), '{TS_FMT_DUCK}') AS ts_utc
+    FROM events WHERE event_id % 7 = 0
+    """,
+    tags=("connector", "streaming", "partition-add", "e2e"))
+def dis_partition_add_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION ADD under the oracle gate (§2a row 8 —
+    DirectDISInputDStream.scala:185-220's add path, previously only
+    planner-unit-tested): a live query is mid-consumption when the
+    stream gains a partition AND that partition receives records; the
+    per-trigger re-listing in latestOffset() must pick it up at offset 0
+    (clamp starts new partitions from earliest) and deliver every new
+    record exactly once, while the original partitions' consumption is
+    undisturbed. Two-phase protocol as in dis_tail_subscribe_streamed:
+    the query's first progress event proves consumption started before
+    the topology changed. One record missed on the new partition, read
+    twice on the old ones, or started at the wrong offset breaks the
+    hash."""
+    import shutil
+    import time as _time
+    import uuid
+
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog, create_log_from_events
+    from ..streaming.drain import drain_available
+    from ..tables import load_events
+
+    spark.dataSource.register(DisDataSource)
+    root = scratch_dir("dis_addlog_")
+    create_log_from_events(spark, f"{sf_dir}/events.parquet", root,
+                           segment_rows=2000)
+    log = DisLog(root, "events")
+    name = f"padd_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir("padd_ckpt_")
+    sdf = (spark.readStream.format("dis")
+           .option("path", root).option("stream", "events").load())
+    q = (sdf.select("partition", "offset", "key", "value", "timestamp")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="0 seconds").start())
+    try:
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if q.recentProgress:
+                break              # consumption underway pre-add
+            _time.sleep(0.05)
+        else:
+            raise TimeoutError("partition-add gate: no initial progress")
+        new_p = log.add_partitions(1) - 1
+        events = load_events(spark, sf_dir)
+        w = Window.orderBy("event_id")
+        env = (events.where(F.col("event_id") % 7 == 0)
+               .select(F.lit(new_p).cast("int").alias("partition"),
+                       (F.row_number().over(w) - 1).cast("long")
+                       .alias("offset"),
+                       F.col("user_id").cast("string").alias("key"),
+                       F.col("props").alias("value"),
+                       F.col("ts").alias("timestamp")))
+        (env.repartition(1, "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.format("dis")
+            .option("path", root).option("stream", "events")
+            .option("segmentRows", "2000")
+            .mode("append").save())
+        drain_available(q, timeout_seconds=180)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.table(name)
+            .select("partition", "offset", "key", "value",
+                    F.date_format("timestamp", TS_FMT_SPARK)
+                    .alias("ts_utc")))
