@@ -7,6 +7,17 @@ Each query is timed as the MEDIAN of $SPARK_GRAFT_BENCH_ITERS (default 3)
 warm iterations after one uncounted warmup pass — single-shot timings at
 this scale carry +-0.3s of JVM/IO noise that makes real regressions
 unreadable (BENCH_NOTES.md r2).
+
+Telemetry (r5 verdict ask: the driver's BENCH_r05 ran +34% vs the
+builder's same-protocol local runs, concentrated in sub-second rows —
+an environment-contention fingerprint that was unmeasurable because the
+bench emitted no load data): every run now records host load averages,
+cgroup/PSI CPU-stall time, and per-query {wall, system-CPU-busy,
+cpu-stall} deltas under "telemetry". Reading it:
+  - stall_sec ~ 0 and busy_sec ~ wall * cores_used -> clean run;
+  - stall_sec >> 0 or loadavg >> cpus -> co-tenant contention, wall
+    times are inflated by the environment, not by plan regressions;
+  - busy_sec inflated at equal stall -> real compute creep (ours).
 """
 
 from __future__ import annotations
@@ -18,10 +29,114 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_CLK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _cpu_busy_sec() -> float | None:
+    """System-wide non-idle CPU seconds since boot (/proc/stat line 1)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
+        return (sum(vals) - idle) / _CLK
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _cpu_stall_sec() -> float | None:
+    """Total CPU-stall seconds (PSI 'some' line) — time runnable tasks
+    spent waiting for a CPU. The direct co-tenant-contention signal."""
+    try:
+        with open("/proc/pressure/cpu") as f:
+            for line in f:
+                if line.startswith("some"):
+                    for tok in line.split():
+                        if tok.startswith("total="):
+                            return int(tok[6:]) / 1e6
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
+def _streaming_throughput(spark, sf_dir: str) -> dict:
+    """Round-6 scaling row (VERDICT r5 ask #6): drain the SAME wordcount
+    pipeline twice — one unbounded availableNow batch vs a ~6-batch
+    rate-limited drain — and report records/s for both. The gap prices
+    per-batch fixed overhead (planning + state commit + sink txn), which
+    is exactly what a 100x-larger trigger amortizes at production scale;
+    tracked round-over-round so micro-batch overhead creep is visible
+    separately from per-record throughput."""
+    from spark_streaming_dis_plugin_spark.operators.connector import (
+        _materialized_log,
+    )
+    from spark_streaming_dis_plugin_spark.streaming.drain import (
+        drain_available,
+    )
+    from spark_streaming_dis_plugin_spark.streaming.queries import (
+        running_wordcount,
+    )
+    from spark_streaming_dis_plugin_spark.scratch import scratch_dir
+
+    import shutil
+    import uuid
+
+    log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    out: dict[str, float] = {"records": total}
+    # Rate limits only spread batches under processingTime triggers in
+    # this source (availableNow captures the first latestOffset as its
+    # one drain target — verify-skill gotcha), so the multi-batch leg
+    # runs a processingTime trigger drained by drain_available.
+    for label, max_per in (("single_batch", None),
+                           ("six_batches", -(-total // 6))):
+        ckpt = scratch_dir("bench_thr_ckpt_")
+        name = f"thr_{uuid.uuid4().hex[:8]}"
+        reader = (spark.readStream.format("dis")
+                  .option("path", log.root).option("stream", log.stream))
+        if max_per:
+            reader = reader.option("maxOffsetsPerTrigger", str(max_per))
+        t0 = time.perf_counter()
+        writer = (running_wordcount(reader.load())
+                  .writeStream.format("memory").queryName(name)
+                  .outputMode("complete")
+                  .option("checkpointLocation", ckpt))
+        if max_per:
+            q = writer.trigger(processingTime="0 seconds").start()
+            n_batches = drain_available(q, timeout_seconds=300)
+        else:
+            q = writer.trigger(availableNow=True).start()
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("throughput drain did not terminate")
+            n_batches = 1
+        dt = time.perf_counter() - t0
+        out[f"records_per_sec_{label}"] = round(total / dt, 1)
+        out[f"drain_sec_{label}"] = round(dt, 3)
+        out[f"data_batches_{label}"] = n_batches
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.catalog.dropTempView(name)
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    telemetry: dict = {
+        "cpus": cpus,
+        "os_cpu_count": os.cpu_count(),
+        "loadavg_start": _loadavg(),
+    }
+    bench_t0 = time.perf_counter()
+    busy0, stall0 = _cpu_busy_sec(), _cpu_stall_sec()
 
     from spark_streaming_dis_plugin_spark.plans.registry import all_queries
     from spark_streaming_dis_plugin_spark.session import get_spark
@@ -35,11 +150,15 @@ def main() -> None:
     from spark_streaming_dis_plugin_spark.tables import TABLES, load
     for t in TABLES:
         load(spark, sf_dir, t).limit(1).count()
+    telemetry["startup_sec"] = round(time.perf_counter() - bench_t0, 3)
 
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
+    per_query_tel: dict[str, dict] = {}
     for name, spec in sorted(specs.items()):
         samples: list[float] = []
+        qb0, qs0 = _cpu_busy_sec(), _cpu_stall_sec()
+        qt0 = time.perf_counter()
         for i in range(iters + 1):          # first pass = uncounted warmup
             # persist()-using queries cache per invocation; clear between
             # runs so iterations stay independent and memory bounded
@@ -52,6 +171,25 @@ def main() -> None:
                 samples.append(time.perf_counter() - t0)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
+        qwall = time.perf_counter() - qt0
+        qtel = {"wall_all_iters": round(qwall, 3)}
+        qb1, qs1 = _cpu_busy_sec(), _cpu_stall_sec()
+        if qb0 is not None and qb1 is not None:
+            qtel["sys_cpu_busy"] = round(qb1 - qb0, 3)
+        if qs0 is not None and qs1 is not None:
+            qtel["cpu_stall"] = round(qs1 - qs0, 3)
+        per_query_tel[name] = qtel
+
+    streaming = _streaming_throughput(spark, sf_dir)
+
+    busy1, stall1 = _cpu_busy_sec(), _cpu_stall_sec()
+    telemetry["loadavg_end"] = _loadavg()
+    telemetry["wall_total_sec"] = round(time.perf_counter() - bench_t0, 3)
+    if busy0 is not None and busy1 is not None:
+        telemetry["sys_cpu_busy_sec"] = round(busy1 - busy0, 3)
+    if stall0 is not None and stall1 is not None:
+        telemetry["cpu_stall_sec"] = round(stall1 - stall0, 3)
+    telemetry["per_query"] = per_query_tel
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -61,6 +199,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
+        "streaming_throughput": streaming,
+        "telemetry": telemetry,
     }))
     spark.stop()
 

@@ -3374,6 +3374,16 @@ def dis_consumer_groups_streamed(spark: SparkSession,
         for q in queries:
             drain_available(q, timeout_seconds=180)
     finally:
+        # Stop BOTH queries before deleting their checkpoints: if the
+        # first drain times out or raises, the second query is still
+        # committing — rmtree under a live query would cascade checkpoint
+        # errors that mask the original failure.
+        for q in queries:
+            try:
+                q.stop()
+                q.awaitTermination(30)
+            except Exception:
+                pass
         for ckpt in ckpts:
             shutil.rmtree(ckpt, ignore_errors=True)
     a = spark.table(names[0]).select(

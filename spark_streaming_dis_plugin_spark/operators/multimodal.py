@@ -246,6 +246,11 @@ def pcm_energy_kernel(batches: Iterator[pd.DataFrame]
             s = np.frombuffer(buf, dtype="<i2").astype(np.int64)
             sq = s * s
             n = len(s)
+            if n == 0:
+                # A payload under 2 bytes decodes to zero samples: emit no
+                # row, matching the oracle (which derives rows only from
+                # byte PAIRS) — an all-zero row here would diverge.
+                continue
             n_frames = -(-n // PCM_FRAME) if n else 0
             frame_sums = [int(sq[i * PCM_FRAME:(i + 1) * PCM_FRAME].sum())
                           for i in range(n_frames)]
@@ -259,13 +264,22 @@ def pcm_energy_kernel(batches: Iterator[pd.DataFrame]
 @register(
     "multimodal_pcm_energy",
     oracle=f"""
-    WITH samp AS (
+    WITH raw AS (
       SELECT doc_id, i,
              CAST((i - 1) // {PCM_FRAME} AS BIGINT) AS frame,
              (ascii(substr(text, 2*i - 1, 1))
-              + 256 * ascii(substr(text, 2*i, 1))) AS s
+              + 256 * ascii(substr(text, 2*i, 1))) AS u
       FROM documents, LATERAL (
         SELECT unnest(range(1, length(text) // 2 + 1)) AS i)
+    ),
+    samp AS (
+      -- signed-int16 reconstruction: the kernel reads '<i2', so a high
+      -- byte >= 128 means a negative sample (u - 65536). The corpus is
+      -- ASCII today (high byte <= 127, branch never taken) but the
+      -- oracle must match the kernel's signedness, not the corpus.
+      SELECT doc_id, i, frame,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM raw
     ),
     frames AS (
       SELECT doc_id, frame, CAST(SUM(s * s) AS BIGINT) AS fe
@@ -288,9 +302,14 @@ def multimodal_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end over Arrow-batched binary columns via mapInPandas.
 
     The oracle re-derives the same int16 samples arithmetically from the
-    payload's source bytes (the artifact table builds payloads from
-    ASCII text, so byte pairs are exactly reconstructible in SQL) — all
-    outputs are exact int64 sums, no float anywhere.
+    payload's source bytes, with an explicit signed-int16 CASE so values
+    with a high byte >= 128 reconstruct as negative, matching the
+    kernel's '<i2' view. Remaining documented assumption: substr() is
+    character-positional, so the oracle is byte-exact only while the
+    corpus text is single-byte (ASCII) — which the generated documents
+    table is; a multi-byte corpus would need an oracle over
+    encode(text). All outputs are exact int64 sums, no float anywhere.
+    Payloads under 2 bytes yield zero samples and NO row on either side.
 
     Scale shape: map-only (zero shuffles), one numpy pass per Arrow
     batch, output rows are 5 scalars per artifact regardless of payload

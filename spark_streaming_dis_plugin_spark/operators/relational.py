@@ -2590,7 +2590,15 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     from ..scratch import scratch_dir
 
     if sf_dir not in _BUCKETED_DB_CACHE:
-        db = f"bdb_{abs(hash(sf_dir)) % 10**8}"
+        # Stable digest, NOT builtin hash(): str hash is salted per
+        # process, which would mint a fresh (never-dropped) database name
+        # every run and could collide two sf_dirs into one db whose
+        # tables then hold the wrong scale's data. md5 keeps the name a
+        # pure function of sf_dir; overwrite-mode writes below make
+        # re-entry idempotent.
+        import hashlib
+
+        db = f"bdb_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
         loc = scratch_dir("bucket_wh_")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
         (load(spark, sf_dir, "orders")

@@ -340,9 +340,12 @@ class DisStreamReader(DataSourceStreamReader):
         # minOffsetsPerTrigger records are available, unless
         # maxTriggerDelay (default 15m, Kafka's default) has elapsed since
         # the last fired batch — the small-batch suppressor for
-        # high-frequency triggers over trickling sources. Ignored by
-        # availableNow drains (which capture one target plan), same as
-        # Kafka.
+        # high-frequency triggers over trickling sources. The gate is
+        # skipped on the FIRST planning call after initialOffset (see
+        # latestOffset) so an availableNow drain — which captures its one
+        # target plan on that call — always sees the real backlog instead
+        # of terminating empty, matching Kafka's process-all-available
+        # AvailableNow contract.
         self.min_per_trigger = int(options.get("minoffsetspertrigger", 0)
                                    or 0)
         self.max_trigger_delay_s = _parse_duration_s(
@@ -469,12 +472,19 @@ class DisStreamReader(DataSourceStreamReader):
         latest = self.log.latest_offsets()
         if self.assigned is not None:
             latest = {p: o for p, o in latest.items() if p in self.assigned}
+        if self.min_per_trigger and self._last_fire is None:
+            # First planning call after initialOffset: never hold. An
+            # availableNow drain captures its one target plan here — if the
+            # gate declined, the drain would record the unchanged current
+            # offset and terminate having read NOTHING, the opposite of
+            # Kafka's process-all-available AvailableNow contract. Skipping
+            # the gate on the first call makes a fresh drain always see the
+            # real backlog; continuous triggers start holding from call 2.
+            self._last_fire = time.monotonic() - self.max_trigger_delay_s
         if self.min_per_trigger:
             avail = sum(max(latest[p] - current.get(p, 0), 0)
                         for p in latest)
             now = time.monotonic()
-            if self._last_fire is None:
-                self._last_fire = now
             if (avail < self.min_per_trigger
                     and now - self._last_fire < self.max_trigger_delay_s):
                 # Not enough backlog and the delay budget hasn't expired:

@@ -175,7 +175,19 @@ class DisLog:
         return os.path.join(self.stream_dir, f"p{partition:05d}")
 
     def segment_infos(self, partition: int) -> list[SegmentInfo]:
-        """Sorted SegmentInfo per segment file — pure directory listing."""
+        """Sorted SegmentInfo per segment file — pure directory listing.
+
+        Overlap resolution: a segment whose span is STRICTLY contained in
+        a wider segment's span is dropped in favor of the wider one. The
+        only writer that produces containment is ``merge_small_segments``
+        (merged file renamed into place before the originals are removed),
+        so if a compactor crashes mid-swap the reader sees the merged file
+        plus some originals and must not double-read those offsets.
+        Equal-span files are never dropped (no legitimate writer produces
+        them; dropping one would mask a different corruption). Uncommitted
+        txn segments can never be covered — they are merge-ineligible and
+        break a merge run — so ``rollback_txn`` still sees them.
+        """
         d = self._part_dir(partition)
         if not os.path.isdir(d):
             return []
@@ -188,7 +200,21 @@ class DisLog:
             rows = int(m.group(3)) if m.group(3) else until - frm
             out.append(SegmentInfo(frm, until, rows, m.group(4),
                                    os.path.join(d, name)))
-        return sorted(out, key=lambda s: (s.from_offset, s.until_offset))
+        # Strict-containment filter: sort widest-first at each from_offset;
+        # every already-kept segment has from <= s.from, so s is covered
+        # iff s.until < max(kept until) or it ends at the covered max but
+        # starts strictly inside the covering span.
+        out.sort(key=lambda s: (s.from_offset, -s.until_offset))
+        kept: list[SegmentInfo] = []
+        cov_from, cov_until = -1, -1
+        for s in out:
+            wider = s.until_offset - s.from_offset < cov_until - cov_from
+            if s.until_offset <= cov_until and wider:
+                continue
+            kept.append(s)
+            if s.until_offset > cov_until:
+                cov_from, cov_until = s.from_offset, s.until_offset
+        return sorted(kept, key=lambda s: (s.from_offset, s.until_offset))
 
     def _segments(self, partition: int) -> list[tuple[int, int, str]]:
         """Sorted [(from, until, path)] parsed from segment file names."""
@@ -529,7 +555,16 @@ def merge_small_segments(log: DisLog, target_rows: int) -> dict[int, int]:
             table = pa.concat_tables(pq.read_table(s.path) for s in run)
             new_path = os.path.join(part_dir, segment_name(
                 run[0].from_offset, run[-1].until_offset, table.num_rows))
-            _write_segment(table, new_path)
+            # Crash-safe swap, mirroring record_txn's tmp+rename discipline:
+            # write under a name the segment regex does NOT match, make the
+            # merged file appear atomically, THEN delete the originals. A
+            # crash before the rename leaves only an invisible tmp file; a
+            # crash after it leaves merged + originals coexisting, which
+            # segment_infos resolves by preferring the widest span — no
+            # window ever double-reads or loses offsets.
+            tmp_path = new_path + ".tmp"
+            _write_segment(table, tmp_path)
+            os.replace(tmp_path, new_path)
             for s in run:
                 os.remove(s.path)
             return len(run) - 1

@@ -1024,9 +1024,12 @@ def test_batch_starting_timestamp_scan(spark, sf_dir, log):
 
 
 def test_min_offsets_per_trigger_holds_small_batches(log):
-    """Kafka option parity: with minOffsetsPerTrigger above the backlog,
-    latestOffset declines the trigger (no offset advance) until
-    maxTriggerDelay expires — then fires with whatever is available."""
+    """Kafka option parity: the FIRST planning call after initialOffset
+    never holds (an availableNow drain captures its one target plan there
+    and must see the real backlog — Kafka's process-all-available
+    contract); from the second call on, minOffsetsPerTrigger declines the
+    trigger (no offset advance) until maxTriggerDelay expires — then
+    fires with whatever is available."""
     from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
         DisStreamReader,
     )
@@ -1034,15 +1037,40 @@ def test_min_offsets_per_trigger_holds_small_batches(log):
     total = sum(log.latest_offsets().values())
     reader = DisStreamReader(DisLog(log.root, log.stream), {
         "minoffsetspertrigger": str(total + 1),   # never enough backlog
+        "maxoffsetspertrigger": "40",             # keep backlog after b0
         "maxtriggerdelay": "30s",
     })
     start = reader.initialOffset()
+    first = reader.latestOffset()                 # first call: FIRES
+    advanced = sum(int(first[p]) - int(start.get(p, 0)) for p in first)
+    assert 0 < advanced <= 40 + len(first)        # clamp still applies
+    reader.commit(first)
     held = reader.latestOffset()
-    assert held == start                          # trigger declined
-    assert reader.latestOffset() == start         # still declined
+    assert held == first                          # call 2: declined
+    assert reader.latestOffset() == first         # still declined
     reader._last_fire -= 31                       # age past the delay
     fired = reader.latestOffset()
-    assert sum(int(v) for v in fired.values()) == total  # forced fire
+    assert sum(int(fired[p]) - int(first[p]) for p in fired) > 0
+
+
+def test_min_offsets_available_now_first_drain_sees_backlog(log):
+    """Regression (r5 ADVICE): minOffsetsPerTrigger above the backlog
+    must NOT make a fresh availableNow-style drain capture an unchanged
+    target and read zero rows — without a rate cap the first plan is the
+    FULL backlog."""
+    from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+        DisStreamReader,
+    )
+
+    total = sum(log.latest_offsets().values())
+    reader = DisStreamReader(DisLog(log.root, log.stream), {
+        "minoffsetspertrigger": str(total + 1),
+        "maxtriggerdelay": "15m",
+    })
+    start = reader.initialOffset()
+    target = reader.latestOffset()
+    assert sum(int(target[p]) - int(start.get(p, 0))
+               for p in target) == total
 
 
 def test_min_offsets_per_trigger_fires_on_enough_backlog(log):

@@ -449,3 +449,60 @@ def test_merge_small_segments_skips_uncommitted_txn(spark, tmp_path):
     survivors = [s for s in log.segment_infos(p) if s.txn]
     assert len(survivors) == 1 and survivors[0].path == fake
     assert log.rollback_txn("crashed_job") == 1
+
+
+def test_merge_crash_window_overlap_resolution(spark, tmp_path):
+    """Crash-safety of the merge swap: if the compactor dies AFTER the
+    merged segment is renamed into place but BEFORE the originals are
+    removed, the reader must resolve the overlap by preferring the widest
+    span — identical rows, no duplicates, no loss. Also: a tmp file left
+    by a crash BEFORE the rename must be invisible to planning."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_streaming_dis_plugin_spark.sources.dis_log import (
+        _write_segment, create_log_from_events, segment_name,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = str(tmp_path / "crashlog")
+    log = create_log_from_events(spark, f"{sf_dir}/events.parquet", root,
+                                 segment_rows=50)
+    p = log.partitions()[0]
+    segs = log.segment_infos(p)
+    assert len(segs) >= 3
+    rows_before = sorted(
+        tuple(r) for r in spark.read.format("dis")
+        .option("path", root).option("stream", log.stream).load()
+        .select("partition", "offset", "key", "value").collect())
+
+    # Simulate crash-after-rename: merged file for the first two segments
+    # coexists with BOTH originals (exactly what flush leaves if it dies
+    # between os.replace and the os.remove loop).
+    run = segs[:2]
+    table = pa.concat_tables(pq.read_table(s.path) for s in run)
+    merged = os.path.join(os.path.dirname(run[0].path), segment_name(
+        run[0].from_offset, run[-1].until_offset, table.num_rows))
+    _write_segment(table, merged)
+
+    # Reader-side resolution: the contained originals are dropped in
+    # favor of the merged span; counts stay metadata-exact.
+    infos = log.segment_infos(p)
+    spans = [(s.from_offset, s.until_offset) for s in infos]
+    assert (run[0].from_offset, run[-1].until_offset) in spans
+    assert all(s.path not in (run[0].path, run[1].path) for s in infos)
+    rows_after = sorted(
+        tuple(r) for r in spark.read.format("dis")
+        .option("path", root).option("stream", log.stream).load()
+        .select("partition", "offset", "key", "value").collect())
+    assert rows_after == rows_before
+    assert log.latest_offsets()[p] == max(s.until_offset for s in segs)
+
+    # Simulate crash-before-rename: a *.parquet.tmp file must not match
+    # the segment regex (planning and reads unchanged).
+    shutil.copy(merged, merged + ".tmp")
+    assert [(s.from_offset, s.until_offset) for s in log.segment_infos(p)
+            ] == spans
