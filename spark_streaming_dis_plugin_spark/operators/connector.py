@@ -783,6 +783,187 @@ def dis_late_drop_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n")
 
 
+_SCRAMBLE_MP_LOG_CACHE: dict[str, str] = {}
+
+# Partition assignment for the multi-partition late-drop gate: deliberately
+# UNEQUAL counts (ratio 1:2:3 via event_id % 6 -> {0}, {1,2}, {3,4,5}) so
+# the lag-proportional split is non-trivial every trigger — equal lags
+# would degenerate the split into offset // per and test nothing beyond
+# the single-partition gate.
+_MP_PART_SQL = ("CASE WHEN event_id % 6 = 0 THEN 0 "
+                "WHEN event_id % 6 <= 2 THEN 1 ELSE 2 END")
+
+
+def _materialized_scrambled_multipart_log(spark: SparkSession, sf_dir: str):
+    """A 3-partition on-disk DisLog whose per-partition ARRIVAL order is
+    the same stride-7 scramble of event time as
+    :func:`_materialized_scrambled_log`, with unequal partition sizes
+    (1:2:3). Batch boundaries are NOT offset // per here — each trigger's
+    per-partition until-offsets follow the lag-proportional split
+    (sources/rate.py), which the oracle re-derives with a recursive CTE.
+    Harness fixture only."""
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog
+    from ..tables import load_events
+
+    spark.dataSource.register(DisDataSource)
+    if sf_dir not in _SCRAMBLE_MP_LOG_CACHE:
+        root = scratch_dir("dis_latelog_mp_")
+        DisLog(root, "latemp").create(3)
+        events = load_events(spark, sf_dir)
+        part = (F.when(F.col("event_id") % 6 == 0, 0)
+                 .when(F.col("event_id") % 6 <= 2, 1)
+                 .otherwise(2)).cast("int")
+        w = (Window.partitionBy(part)
+             .orderBy(F.col("event_id") % _SCRAMBLE_STRIDES, "event_id"))
+        env = events.select(
+            part.alias("partition"),
+            (F.row_number().over(w) - 1).cast("long").alias("offset"),
+            F.col("user_id").cast("string").alias("key"),
+            F.col("props").alias("value"),
+            F.col("ts").alias("timestamp"))
+        (env.repartition(3, "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.format("dis")
+            .option("path", root).option("stream", "latemp")
+            .option("segmentRows", "500")
+            .mode("append").save())
+        _SCRAMBLE_MP_LOG_CACHE[sf_dir] = root
+    return DisLog(_SCRAMBLE_MP_LOG_CACHE[sf_dir], "latemp")
+
+
+@register(
+    "dis_late_drop_multipart_streamed",
+    oracle=f"""
+    WITH RECURSIVE env AS (
+      SELECT {_MP_PART_SQL} AS part,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY {_MP_PART_SQL}
+               ORDER BY event_id % {_SCRAMBLE_STRIDES}, event_id) - 1
+             AS BIGINT) AS off,
+             CAST(ts AS TIMESTAMP) AS "timestamp"
+      FROM events
+    ),
+    bounds AS (SELECT part, COUNT(*) AS latest FROM env GROUP BY 1),
+    tot AS (SELECT GREATEST(CAST(CEIL(SUM(latest) / 6.0) AS BIGINT), 1)
+              AS bg FROM bounds),
+    -- Per-trigger per-partition until-offsets: the SAME lag-proportional
+    -- split the reader runs imperatively (sources/rate.py — share =
+    -- max(floor(lag/total_lag * budget), 1), clamped to latest), unrolled
+    -- over triggers by the recursion. dis_microbatch_plan pins ONE step
+    -- of this math; this CTE pins its fixed point across a whole drain.
+    plan(batch, part, cur, nxt) AS (
+      SELECT 0, part, CAST(0 AS BIGINT),
+             CASE WHEN latest > 0 THEN
+               LEAST(GREATEST(CAST(FLOOR(CAST(latest AS DOUBLE)
+                     / SUM(latest) OVER () * bg) AS BIGINT), 1), latest)
+             ELSE CAST(0 AS BIGINT) END
+      FROM bounds, tot
+      UNION ALL
+      SELECT batch + 1, part, nxt, nn
+      FROM (
+        SELECT p.batch, p.part, p.nxt,
+               SUM(b.latest - p.nxt) OVER () AS remaining,
+               CASE WHEN b.latest > p.nxt THEN
+                 LEAST(p.nxt + GREATEST(CAST(FLOOR(
+                       CAST(b.latest - p.nxt AS DOUBLE)
+                       / NULLIF(SUM(b.latest - p.nxt) OVER (), 0) * t.bg)
+                       AS BIGINT), 1), b.latest)
+               ELSE p.nxt END AS nn
+        FROM plan p JOIN bounds b USING (part) CROSS JOIN tot t
+      ) WHERE remaining > 0
+    ),
+    assign AS (
+      SELECT pl.batch, e."timestamp"
+      FROM env e JOIN plan pl
+        ON pl.part = e.part AND e.off >= pl.cur AND e.off < pl.nxt
+    ),
+    bmax AS (SELECT batch, MAX("timestamp") AS m FROM assign GROUP BY batch),
+    run AS (SELECT batch,
+                   MAX(m) OVER (ORDER BY batch
+                                ROWS UNBOUNDED PRECEDING) AS r
+            FROM bmax),
+    -- Two watermarks per batch (Spark >= 3.4), same as the
+    -- single-partition gate: LAG(r, 2) for the late-event filter, MAX(r)
+    -- for the final emission frontier.
+    wm AS (SELECT batch,
+                  LAG(r, 2) OVER (ORDER BY batch) - INTERVAL 2 HOUR AS w
+           FROM run),
+    kept AS (
+      SELECT date_trunc('hour', a."timestamp") AS ws
+      FROM assign a JOIN wm USING (batch)
+      WHERE w IS NULL
+         OR date_trunc('hour', a."timestamp") + INTERVAL 1 HOUR > w
+    ),
+    fin AS (SELECT MAX(r) - INTERVAL 2 HOUR AS fw FROM run)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n
+    FROM kept, fin
+    WHERE ws + INTERVAL 1 HOUR <= fw
+    GROUP BY 1
+    """,
+    tags=("connector", "streaming", "watermark", "late-drop",
+          "multi-partition", "e2e"))
+def dis_late_drop_multipart_streamed(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """WATERMARK LATE-DATA DROP over a MULTI-PARTITION log — the
+    production shape the single-partition gate deliberately simplified
+    away (r5 verdict, missing #3): batch boundaries here are the
+    lag-proportional per-partition split (DirectDISInputDStream.scala:
+    129-161 via sources/rate.py), not offset // per, and the watermark
+    is the global max event time ACROSS partitions per batch.
+
+    Determinism chain:
+    - 3 partitions with unequal sizes (1:2:3) make the split non-trivial;
+    - each trigger's per-partition until-offsets are a pure function of
+      (per-partition totals, budget) — floor-of-1 guarantees progress, so
+      trigger k's plan is exactly recursion step k;
+    - the oracle unrolls that recursion in SQL (WITH RECURSIVE), assigns
+      every record to its batch, and replays the two-watermark
+      progression declaratively, composing dis_microbatch_plan's split
+      oracle with dis_late_drop_streamed's watermark oracle.
+
+    Asserts ``numRowsDroppedByWatermark > 0`` like the single-partition
+    gate: a silently non-evicting regression cannot pass."""
+    import shutil
+    import uuid
+
+    from ..streaming.drain import drain_available
+    from ..streaming.queries import late_window_counts
+
+    log = _materialized_scrambled_multipart_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 6), 1)
+    name = f"latedropmp_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir("latedropmp_ckpt_")
+    try:
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .option("maxOffsetsPerTrigger", str(per))
+               .load())
+        q = (late_window_counts(sdf)
+             .writeStream.format("memory")
+             .queryName(name).outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(processingTime="0 seconds").start())
+        drain_available(q, timeout_seconds=300)
+        dropped = sum(
+            int(op.get("numRowsDroppedByWatermark", 0))
+            for p in q.recentProgress
+            for op in p.get("stateOperators", []))
+        if dropped == 0:
+            raise AssertionError(
+                "multi-partition late-drop gate ran without dropping any "
+                "rows — watermark eviction is not being exercised")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    final = spark.table(name)
+    return final.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("window_start"),
+        "n")
+
+
 _ORDERED_ENV = """
       SELECT CAST(user_id AS VARCHAR) AS "key",
              props AS "value",
