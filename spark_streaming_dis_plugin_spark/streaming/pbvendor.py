@@ -9,15 +9,23 @@ App Engine platform directory. :func:`ensure_vendored_protobuf` packages
 that runtime into a zip and exposes it to every Python process involved:
 
 - the driver, via ``sys.path``;
-- the TWS *driver worker* and executor workers, via the ``PYTHONPATH``
-  environment variable — which the JVM captures AT LAUNCH and passes to
-  every Python worker it spawns. This is the hard constraint: the helper
-  only works if called BEFORE the SparkSession (and its JVM) is created.
-  ``session.get_spark`` calls it, so tests and bench runs are covered; a
-  pre-existing session (the grading driver creates its own before
-  importing this package) cannot be retrofitted, which is why the TWS
-  path is pytest/oracle-gated locally rather than driver-declared
-  (see COVERAGE.md).
+- the TWS *driver worker* and executor workers, via TWO channels:
+
+  1. the ``PYTHONPATH`` environment variable — which the JVM captures AT
+     LAUNCH and passes to every Python worker it spawns; works only when
+     this helper runs BEFORE the SparkSession (``session.get_spark``
+     calls it, covering tests and bench runs);
+  2. a ``.pth`` file staged into the first writable site-packages
+     directory (r5 verdict ask #4): every freshly spawned Python
+     interpreter processes site ``.pth`` files at startup regardless of
+     its environment, so workers see the vendored runtime even when the
+     JVM launched BEFORE this package was imported — the grading
+     driver's session-first shape. The zip is copied to a stable name in
+     the site dir (scratch zips are per-process and atexit-cleaned) and
+     the ``.pth`` references it relatively; both writes are tmp+rename
+     and idempotent across processes. Staging happens on package import
+     (``spark_streaming_dis_plugin_spark/__init__``), which in the
+     driver's sequence precedes the first Python-worker spawn.
 
 One patch is applied while zipping: the runtime's own escape hatch
 ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` is defaulted on, because
@@ -41,6 +49,62 @@ _VENDOR_SOURCES = (
 _ZIP_PATH: str | None = None
 _RESOLVED = False
 
+_SITE_ZIP = "spark_dis_pbvendor.zip"
+_SITE_PTH = "spark_dis_pbvendor.pth"
+
+
+def _site_dirs() -> list[str]:
+    """Candidate site-packages dirs, user-site first (narrowest scope)."""
+    import site
+
+    dirs: list[str] = []
+    try:
+        if site.ENABLE_USER_SITE:
+            dirs.append(site.getusersitepackages())
+    except Exception:
+        pass
+    try:
+        dirs.extend(site.getsitepackages())
+    except Exception:
+        pass
+    return dirs
+
+
+def _find_staged_site_zip() -> str | None:
+    """A vendor zip already staged by an earlier process, if any."""
+    for d in _site_dirs():
+        stable = os.path.join(d, _SITE_ZIP)
+        if os.path.exists(stable) and os.path.exists(
+                os.path.join(d, _SITE_PTH)):
+            return stable
+    return None
+
+
+def _stage_pth(zpath: str) -> str | None:
+    """Copy the vendor zip under a stable name into the first writable
+    site-packages dir and drop a ``.pth`` referencing it, so every later
+    Python interpreter — including JVM-spawned Spark workers whose env was
+    captured before this package imported — picks it up during site
+    processing. tmp+rename writes; idempotent."""
+    for d in _site_dirs():
+        try:
+            os.makedirs(d, exist_ok=True)
+            stable = os.path.join(d, _SITE_ZIP)
+            if not os.path.exists(stable):
+                tmp = stable + ".tmp"
+                shutil.copyfile(zpath, tmp)
+                os.replace(tmp, stable)
+            pth = os.path.join(d, _SITE_PTH)
+            if not os.path.exists(pth):
+                tmp = pth + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(_SITE_ZIP + "\n")
+                os.replace(tmp, pth)
+            return stable
+        except OSError:
+            continue
+    return None
+
 
 def ensure_vendored_protobuf() -> str | None:
     """Make ``google.protobuf`` importable here and in Spark workers.
@@ -60,6 +124,17 @@ def ensure_vendored_protobuf() -> str | None:
         return _ZIP_PATH
     except ImportError:
         pass
+    # Fast path: an earlier process already staged the zip + .pth into a
+    # site dir — reuse it (site processing may even have put it on
+    # sys.path already; insert is harmless if duplicated).
+    staged = _find_staged_site_zip()
+    if staged is not None:
+        if staged not in sys.path:
+            sys.path.insert(0, staged)
+        os.environ["PYTHONPATH"] = (
+            staged + os.pathsep + os.environ.get("PYTHONPATH", ""))
+        _ZIP_PATH = staged
+        return _ZIP_PATH
     src = next((p for p in _VENDOR_SOURCES if os.path.isdir(p)), None)
     if src is None:
         return None
@@ -88,23 +163,31 @@ def ensure_vendored_protobuf() -> str | None:
             for name in files:
                 full = os.path.join(dirp, name)
                 z.write(full, os.path.relpath(full, root))
-    sys.path.insert(0, zpath)
+    # Prefer the site-staged copy as the canonical path: it survives this
+    # process (scratch zips are atexit-cleaned) and reaches JVM-spawned
+    # workers via site processing even when the JVM predates this import.
+    stable = _stage_pth(zpath)
+    final = stable or zpath
+    sys.path.insert(0, final)
     os.environ["PYTHONPATH"] = (
-        zpath + os.pathsep + os.environ.get("PYTHONPATH", ""))
-    _ZIP_PATH = zpath
+        final + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    _ZIP_PATH = final
     return _ZIP_PATH
 
 
 def tws_runtime_ready(spark) -> bool:
     """True iff transformWithStateInPandas can actually run on this
     session: the protobuf runtime must be visible to the JVM-spawned
-    Python workers, i.e. it was either natively installed or the vendor
-    zip landed in PYTHONPATH before the JVM launched."""
+    Python workers — natively installed, staged as a site ``.pth``
+    (reaches any freshly spawned interpreter regardless of the JVM's
+    captured env), or in the PYTHONPATH the JVM captured at launch."""
     staged = ensure_vendored_protobuf()
     if staged == "native":
         return True
     if staged is None:
         return False
+    if _find_staged_site_zip() is not None:
+        return True
     try:
         jvm_path = spark._jvm.java.lang.System.getenv("PYTHONPATH") or ""
     except Exception:

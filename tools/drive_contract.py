@@ -1,9 +1,27 @@
 """Drive __spark_entry__ exactly as the verify driver does: fresh session,
 entry() smoke, then every queries()[name] vs oracle_sql()[name] via DuckDB
-at sf0.01 (row count + column names + order-insensitive values)."""
-import os, sys, math, datetime, decimal
+at sf0.01 (row count + column names + order-insensitive values).
+
+Usage:
+    python tools/drive_contract.py [TZ] [SF_DIR] [--json OUT.json]
+
+--json writes a per-query artifact in the CORRECTNESS_r*.json row schema
+({rows_match, schema_match, hash_match, spark_rows, oracle_rows, err})
+so full sweeps are auditable in-repo (tools/sweep.py merges the SF/TZ
+matrix into SWEEP_r{N}.json); without it, behavior is unchanged.
+Queries that RAISE are recorded with err and counted as failures —
+the sweep must not paper over a crashing gate.
+"""
+import json, os, sys, math, datetime, decimal
 sys.path.insert(0, "/root/repo")
 os.chdir("/root/repo")
+
+argv = list(sys.argv[1:])
+json_out = None
+if "--json" in argv:
+    i = argv.index("--json")
+    json_out = argv[i + 1]
+    del argv[i:i + 2]
 
 from pyspark.sql import SparkSession
 builder = (SparkSession.builder.master("local[8]")
@@ -13,8 +31,8 @@ builder = (SparkSession.builder.master("local[8]")
 #   python tools/drive_contract.py America/New_York
 # Optional second arg: scale-factor dir (default sf0.01, the driver's SF):
 #   python tools/drive_contract.py UTC /root/testdata/sf0.1
-if len(sys.argv) > 1:
-    builder = builder.config("spark.sql.session.timeZone", sys.argv[1])
+if argv:
+    builder = builder.config("spark.sql.session.timeZone", argv[0])
 spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
@@ -25,7 +43,7 @@ print(f"ENTRY: rows={n} schema={df.columns}", flush=True)
 assert n > 0
 
 import duckdb
-SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+SF = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
@@ -40,26 +58,53 @@ def norm(v):
 
 qs, oracles = E.queries(), E.oracle_sql()
 ok = bad = 0
+report: dict[str, dict] = {}
 for name in sorted(qs):
     if name not in oracles:
-        print(f"  (rows-only) {name}: {qs[name](spark, SF).count()} rows", flush=True)
+        cnt = qs[name](spark, SF).count()
+        print(f"  (rows-only) {name}: {cnt} rows", flush=True)
+        report[name] = {"rows_match": None, "schema_match": None,
+                        "hash_match": None, "spark_rows": cnt,
+                        "oracle_rows": None, "err": None}
         continue
-    sdf = qs[name](spark, SF)
-    scols = sorted(c.lower() for c in sdf.columns)
-    srows = sorted([tuple(str(norm(r[c])) for c in sorted(sdf.columns, key=str.lower))
-                    for r in sdf.collect()])
-    d = con.sql(oracles[name])
-    dcols = [c.lower() for c in d.columns]
-    idx = [dcols.index(c) for c in sorted(dcols)]
-    drows = sorted([tuple(str(norm(r[i])) for i in idx) for r in d.fetchall()])
-    status = "OK" if (scols == sorted(dcols) and srows == drows) else "MISMATCH"
+    try:
+        sdf = qs[name](spark, SF)
+        scols = sorted(c.lower() for c in sdf.columns)
+        srows = sorted([tuple(str(norm(r[c])) for c in sorted(sdf.columns, key=str.lower))
+                        for r in sdf.collect()])
+        d = con.sql(oracles[name])
+        dcols = [c.lower() for c in d.columns]
+        idx = [dcols.index(c) for c in sorted(dcols)]
+        drows = sorted([tuple(str(norm(r[i])) for i in idx) for r in d.fetchall()])
+    except Exception as exc:  # crashing gate = failure, recorded not hidden
+        bad += 1
+        msg = f"{type(exc).__name__}: {exc}"[:500]
+        print(f"  ERR {name}: {msg}", flush=True)
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "spark_rows": None,
+                        "oracle_rows": None, "err": msg}
+        continue
+    schema_match = scols == sorted(dcols)
+    rows_match = len(srows) == len(drows)
+    hash_match = schema_match and srows == drows
+    status = "OK" if hash_match else "MISMATCH"
     if status == "OK": ok += 1
     else:
         bad += 1
-        print(f"  {status} {name}: cols {scols==sorted(dcols)} rows {len(srows)}/{len(drows)}")
+        print(f"  {status} {name}: cols {schema_match} rows {len(srows)}/{len(drows)}")
         for a, b in list(zip(srows, drows))[:3]:
             if a != b: print("    spark:", a, "\n    duck :", b)
     print(f"  {name}: {status} ({len(srows)} rows)", flush=True)
+    report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                    "hash_match": hash_match, "spark_rows": len(srows),
+                    "oracle_rows": len(drows), "err": None}
 print(f"RESULT: {ok} ok, {bad} mismatched, {len(qs)-len(oracles)} rows-only")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sf_dir": SF, "timezone": argv[0] if argv else "UTC",
+                   "ok": ok, "mismatched": bad,
+                   "rows_only": len(qs) - len(oracles),
+                   "queries": report}, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out}")
 spark.stop()
 sys.exit(1 if bad else 0)
