@@ -8,7 +8,11 @@ Checked properties (see PLANS.md for full plans):
   is never globally sorted);
 - filter + projection reach the parquet scan (PushedFilters/ReadSchema);
 - both ntile variants: the partitioned one plans a hash Exchange, the
-  global one is the declared single-partition anti-pattern.
+  global one is LIMIT-bounded and fed by TakeOrderedAndProject (r6) —
+  no full-corpus sort ever reaches a single partition;
+- AQE skew-join handling engages on a deliberately skewed SMJ
+  (skew=true + AQEShuffleRead skewed), with the cases salting still
+  covers documented on the test.
 """
 
 from __future__ import annotations
@@ -58,8 +62,15 @@ def test_q1_reads_only_needed_columns(spark, sf_dir):
 def test_ntile_partitioned_vs_global_exchange(spark, sf_dir):
     part = _plan(spark, "window_ntile_lead_partitioned", sf_dir)
     assert "hashpartitioning(c_nationkey" in part
+    # The global-window row is LIMIT-bounded (r6): the input must reach
+    # the single-partition window through TakeOrderedAndProject
+    # (per-partition top-N + capped merge), never a full global sort.
     glob = _plan(spark, "window_ntile_lead", sf_dir)
-    assert "SinglePartition" in glob  # the declared coverage-only toy
+    assert "TakeOrderedAndProject" in glob    # per-partition top-N merge
+    assert "rangepartitioning" not in glob    # no full-corpus sort shuffle
+    # TakeOrderedAndProject already yields one bounded partition, so the
+    # global window needs NO Exchange at all — not even SinglePartition.
+    assert "Exchange" not in glob
 
 
 def test_no_cartesian_in_any_benched_query(spark, sf_dir):
@@ -280,3 +291,70 @@ def test_prefix_filter_posting_join_on_token(spark, sf_dir):
     plan = _plan(spark, "dedup_jaccard_prefix_filter", sf_dir)
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(s#" in plan or "hashpartitioning(s " in plan
+
+
+def test_aqe_skew_join_split_engages(spark):
+    """AQE's automatic skew-join handling, pinned (r5 verdict ask #7):
+    a sort-merge join whose probe side concentrates ~90% of rows on ONE
+    key must come out of adaptive replanning with the skew flag set
+    (the hot partition split into subpartitions, the matching build
+    partition duplicated per split) — proving the config surface this
+    engine ships (session.get_spark enables AQE) actually rewrites
+    skewed joins at runtime, with thresholds scaled down to test size.
+
+    When salting (salted_join_skew) is still needed at 100 TB, i.e. what
+    AQE skew handling does NOT cover:
+    - skewed AGGREGATIONS: OptimizeSkewedJoin is join-only; a groupBy on
+      a hot key still lands on one reducer — salt the key, partial-agg,
+      then merge;
+    - the non-splittable side of outer joins (e.g. the right side of a
+      LEFT OUTER join cannot be split without duplicating unmatched-row
+      handling);
+    - joins whose output partitioning is reused downstream (ensure-
+      requirements forbids splitting when the join must emit hash-
+      partitioned output for a parent operator).
+    """
+    import pyspark.sql.functions as F
+
+    n_fact, n_keys, dim_per_key = 2_000_000, 50, 20
+    # ~90% of fact rows on key 0; dim is uniform over all keys. 2M rows
+    # puts the hot reduce partition well past the (lowered) skew
+    # threshold at map-output-chunk granularity — AQE splits along map
+    # chunks, so the hot partition must dwarf a single map's output.
+    fact = (spark.range(n_fact)
+            .select(F.when(F.col("id") % 10 < 9, F.lit(0))
+                     .otherwise(F.col("id") % n_keys).alias("k"),
+                    (F.col("id") * 7).alias("v")))
+    dim = (spark.range(n_keys * dim_per_key)
+           .select((F.col("id") % n_keys).alias("k"),
+                   F.col("id").alias("w")))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",       # force SMJ...
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",  # ...and
+        # keep AQE from converting it back to broadcast at runtime
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        # coalescing can merge the tiny non-skewed partitions into sizes
+        # that mask the skew factor at this scale; disable for the pin
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = fact.join(dim, "k").select(F.count(F.lit(1)).alias("n"))
+        [row] = joined.collect()                 # execute -> final plan
+        assert row["n"] == n_fact * dim_per_key  # every fact row matches
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
