@@ -378,6 +378,120 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     return labels
 
 
+@register(
+    "dedup_cc_two_phase",
+    oracle=f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+    )
+    SELECT doc_id, MIN(label) AS component,
+           doc_id = MIN(label) AS survivor
+    FROM reach GROUP BY doc_id
+    """,
+    tags=("dedup", "graph", "iterative", "two-phase"), bench=True)
+def dedup_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by LARGE-STAR / SMALL-STAR alternation — the
+    O(log n)-round algorithm from Kiveris et al., "Connected Components
+    in MapReduce and Beyond" (SOCC'14), and the variant that replaces
+    min-label propagation when duplicate chains are DEEP: propagation
+    needs diameter-many rounds (a 10k-link plagiarism chain = 10k
+    shuffles), star contraction needs O(log n) regardless of shape,
+    because each round rewires whole neighborhoods at their minimum
+    rather than moving labels one hop.
+
+    Per round, both operations are one groupBy-min plus one keyed join
+    over the edge relation — the same shuffle cost as one propagation
+    step. Fixpoint = the edge set is a union of stars whose centers are
+    the component minima. Same output contract and the SAME recursive-CTE
+    oracle as dedup_connected_components; benched alongside it so the
+    crossover between the two is a measured number, not folklore."""
+    pairs = _jaccard_pairs(load(spark, sf_dir, "documents")) \
+        .select("doc_a", "doc_b")
+    labels = _two_phase_components(pairs)
+    return labels.select(
+        "doc_id", F.col("label").alias("component"),
+        (F.col("doc_id") == F.col("label")).alias("survivor"))
+
+
+def _two_phase_components(pairs: DataFrame) -> DataFrame:
+    """Large-star/small-star contraction over an undirected pair relation.
+
+    Round = large-star (every neighbor v > u rewires to m = min(N(u) ∪
+    {u}), computed over the SYMMETRIC edge list) then small-star (edges
+    directed large→small; every v in N(u) ∪ {u} except the minimum
+    rewires to it). Convergence is detected on the small-star output via
+    (count, xxhash64-sum) equality — one cheap aggregate per round, no
+    edge-set materialization on the driver — and the final star map is
+    (leaf → center); nodes appearing only as centers label themselves.
+    localCheckpoint after each round truncates the iterative lineage
+    exactly as in _min_label_components."""
+    edges = (pairs.select(F.col("doc_a").alias("u"),
+                          F.col("doc_b").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .localCheckpoint())
+    nodes = (edges.select(F.col("u").alias("doc_id"))
+             .unionAll(edges.select(F.col("v").alias("doc_id")))
+             .distinct().localCheckpoint())
+
+    def edge_fingerprint(e: DataFrame):
+        row = (e.select(F.least("u", "v").alias("a"),
+                        F.greatest("u", "v").alias("b")).distinct()
+               .agg(F.count(F.lit(1)).alias("n"),
+                    # decimal sum: int64 hash values overflow a LONG sum
+                    # under ANSI mode on any non-trivial edge set
+                    F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))
+                    .alias("h")).collect()[0])
+        return row["n"], row["h"]
+
+    prev_fp = None
+    for _ in range(30):
+        # Large-star: symmetric neighborhoods, m = min(N(u) ∪ {u}),
+        # rewire strictly-greater neighbors to m.
+        sym = (edges.unionAll(edges.select(F.col("v").alias("u"),
+                                           F.col("u").alias("v"))))
+        mins = (sym.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        ls = (sym.join(mins, "u")
+              .where(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .where(F.col("u") != F.col("v"))
+              .distinct())
+        # Small-star: direct edges large -> small, m = min(N(u) ∪ {u}),
+        # rewire every member of the closed neighborhood except m.
+        directed = ls.select(F.greatest("u", "v").alias("u"),
+                             F.least("u", "v").alias("v"))
+        smins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (directed.join(smins, "u")
+              .select(F.col("v").alias("n"), F.col("m"))
+              .unionAll(smins.select(F.col("u").alias("n"), F.col("m")))
+              .where(F.col("n") != F.col("m"))
+              .select(F.col("n").alias("u"), F.col("m").alias("v"))
+              .distinct()
+              .localCheckpoint())
+        fp = edge_fingerprint(ss)
+        edges = ss
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            "large-star/small-star did not converge within 30 rounds")
+    star = edges.select(F.greatest("u", "v").alias("doc_id"),
+                        F.least("u", "v").alias("label"))
+    return (nodes.join(star, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("label", F.col("doc_id")).alias("label")))
+
+
 # --------------------------------------------------------- MinHash + LSH
 
 def _with_signature(docs: DataFrame, portable: bool = True) -> DataFrame:

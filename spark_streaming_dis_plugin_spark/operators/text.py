@@ -610,3 +610,115 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("chars_removed", F.lit(0))
                     .alias("chars_removed"),
                     F.coalesce("text_clean", F.lit("")).alias("text_clean")))
+
+
+# ------------------------------------------------------------ BM25 search
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 5
+# Fixed benchmark queries over the fixture vocabulary — at production the
+# query relation arrives as a (query_id, term) table exactly like this.
+BM25_QUERIES = (
+    ("q_stream", ("spark", "stream")),
+    ("q_join", ("hash", "join", "merge")),
+    ("q_window", ("window", "sort")),
+)
+
+
+def _bm25_query_values_sql() -> str:
+    rows = ", ".join(f"('{q}', '{t}')" for q, ts in BM25_QUERIES
+                     for t in ts)
+    return f"(VALUES {rows}) AS qr(query_id, term)"
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len({tokens_sql('text')}) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    contrib AS (
+      SELECT qr.query_id, tf.doc_id,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / s.avgdl)) AS c
+      FROM {_bm25_query_values_sql()}
+      JOIN tf USING (term)
+      JOIN dfreq d USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT query_id, doc_id, round(SUM(c), 6) + 0.0 AS score
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {BM25_TOP_K}
+    """,
+    tags=("text", "bm25", "ranking", "retrieval"), bench=True)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOP_K} retrieval for a query set — the standard
+    lexical ranking function (Lucene-style idf = ln(1 + (N-df+0.5)/
+    (df+0.5)); k1={BM25_K1}, b={BM25_B}), the workhorse for corpus search
+    and retrieval-based decontamination in training-data pipelines.
+
+    Scale shape: tf is the one corpus-sized shuffle on (doc_id, term)
+    with map-side combine; the query relation (a handful of terms) is
+    BROADCAST onto tf, so the corpus postings are filtered to query
+    terms before df/dl joins — nothing query-independent ever moves.
+    df over query-term postings only (identical value to corpus df);
+    (n_docs, avgdl) is a two-scalar broadcast. Top-k per query is a
+    window group-limit over the tiny scored relation. Ranking keys on
+    the ROUNDED score (6 dp) in both engines so a last-ulp ln()
+    divergence cannot reorder near-ties; remaining ties break on
+    doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    para = spark.sparkContext.defaultParallelism
+    toks = (docs.repartition(para)
+            .select("doc_id", F.explode(tokens("text")).alias("term")))
+    dl = (docs.select("doc_id", F.size(tokens("text")).alias("dl")))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    queries = spark.createDataFrame(
+        [(q, t) for q, ts in BM25_QUERIES for t in ts],
+        "query_id string, term string")
+    tf = (toks.join(F.broadcast(queries.select("term").distinct()), "term")
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (tf.join(F.broadcast(queries), "term")
+               .join(F.broadcast(dfreq), "term")
+               .join(dl, "doc_id")
+               .crossJoin(F.broadcast(stats))
+               .select(
+                   "query_id", "doc_id",
+                   (F.log(F.lit(1.0)
+                          + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                          / (F.col("df") + F.lit(0.5)))
+                    * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                    / (F.col("tf") + F.lit(BM25_K1)
+                       * (F.lit(1.0 - BM25_B)
+                          + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")))
+                    ).alias("c")))
+    scored = (contrib.groupBy("query_id", "doc_id")
+              .agg((F.round(F.sum("c"), 6) + F.lit(0.0)).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= BM25_TOP_K)
+            .select("query_id", "doc_id", "score", "rnk"))
