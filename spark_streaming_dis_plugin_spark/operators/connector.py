@@ -3301,6 +3301,52 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
+TS_SUBSCRIBE_FROM = "2024-01-20 12:00:00"
+
+
+@register(
+    "dis_timestamp_subscribe_streamed",
+    oracle=f"""
+    WITH env AS ({_ENV}),
+    starts AS (
+      SELECT "partition", MIN("offset") AS so FROM env
+      WHERE "timestamp" >= TIMESTAMP '{TS_SUBSCRIBE_FROM}'
+      GROUP BY 1
+    )
+    SELECT e."partition", e."offset", e."key", e."value",
+           strftime(e."timestamp", '{TS_FMT_DUCK}') AS ts_utc
+    FROM env e JOIN starts s ON e."partition" = s."partition"
+    WHERE e."offset" >= s.so
+    """,
+    tags=("connector", "streaming", "timestamp", "subscribe", "e2e"))
+def dis_timestamp_subscribe_streamed(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """``startingTimestamp`` ON A LIVE STREAM — Kafka's
+    startingOffsetsByTimestamp family (offsetsForTimes resolution,
+    DISUtils.scala's timestamp seek surface), previously only
+    batch-gated (dis_boundary_read's test sibling): the subscription
+    starts at each partition's EARLIEST offset whose record timestamp
+    >= the target, resolved from parquet footer statistics at plan time
+    (sources/dis_log.py::offsets_for_time — one segment's timestamp
+    column decoded per partition, no data-page scan of the log body).
+    The drain must deliver exactly the per-partition suffix from that
+    resolved offset: the oracle recomputes the seek as
+    MIN(offset | timestamp >= T) per partition — equal to the footer
+    resolution because offsets increase across segments — and a
+    partition with no qualifying record contributes nothing (the Kafka
+    no-match -> latest convention)."""
+    log = _materialized_log(spark, sf_dir)
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("startingTimestamp", TS_SUBSCRIBE_FROM)
+           .load())
+    env = sdf.select(
+        "partition", "offset", "key", "value",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc"))
+    final = _drain_to_memory(spark, env, "tssub", output_mode="append")
+    return final
+
+
 @register(
     "dis_tail_subscribe_streamed",
     oracle=f"""

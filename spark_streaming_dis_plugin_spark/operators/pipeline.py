@@ -81,6 +81,43 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("first_doc")))
 
 
+SAMPLE_EXACT_K = 100
+
+
+@register(
+    "sample_exact_k",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (ORDER BY
+               {portable_hash_sql("'k:' || CAST(doc_id AS VARCHAR)")},
+               doc_id) AS r
+      FROM documents) WHERE r <= {SAMPLE_EXACT_K}
+    """,
+    tags=("pipeline", "sampling", "deterministic", "exact-k"))
+def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k uniform sample without RNG state: rank every row by a
+    salted content hash and keep the k smallest — the distributed
+    replacement for reservoir sampling. A reservoir needs sequential
+    state (and merges per partition); hash-rank is embarrassingly
+    parallel, exactly k, uniform over any corpus, and REPRODUCIBLE: the
+    same k docs come back under repartitioning, retries, or engine
+    changes, and growing the corpus displaces members only as new docs
+    hash below the current k-th rank — the property incremental
+    pipelines need for stable eval subsets. The salt ('k:')
+    decorrelates membership from every other hash gate.
+
+    Scale shape: orderBy(hash).limit(k) plans as TakeOrderedAndProject —
+    per-partition top-k then a P*k-row merge; the corpus is never
+    globally sorted. Ties on the 60-bit hash break on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    h = portable_hash(F.concat(F.lit("k:"),
+                               F.col("doc_id").cast("string")))
+    return (docs.select("doc_id", "lang", "n_chars", h.alias("h"))
+            .orderBy("h", "doc_id").limit(SAMPLE_EXACT_K)
+            .select("doc_id", "lang", "n_chars"))
+
+
 @register(
     "split_train_val_test",
     oracle=f"""

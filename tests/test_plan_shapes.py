@@ -358,3 +358,23 @@ def test_aqe_skew_join_split_engages(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_broadcasts_query_relation(spark, sf_dir):
+    """BM25: the query relation and df/stats sides broadcast; the corpus
+    postings shuffle once for tf (map-side combine) and never for the
+    query join — no sort-merge join anywhere in the plan."""
+    plan = _plan(spark, "text_bm25_search", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cc_two_phase_no_cartesian_keyed_shuffles(spark, sf_dir):
+    """Large-star/small-star CC: every round is groupBy-min + keyed join
+    over the edge relation — no cartesian anywhere, and the iterative
+    lineage is truncated (the executed plan scans checkpointed RDDs, not
+    a 2^rounds join tree)."""
+    plan = _plan(spark, "dedup_cc_two_phase", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # localCheckpoint barrier
