@@ -2747,3 +2747,112 @@ def hll_sketch_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.abs(F.col("est_all") - F.col("exact_all"))
                      <= 0.10 * F.col("exact_all"))
                     .alias("union_within_10pct")))
+
+
+# ------------------------------------------------------- Z-order layout
+
+ZORDER_BITS = 8          # per-dimension quantization (256 cells/axis)
+ZORDER_FILES = 16        # target file count for the clustered write
+
+_ZORDER_DIR_CACHE: dict[str, str] = {}
+
+
+def _zquant(col, cmin, cmax, bits: int):
+    """Quantize to [0, 2^bits-1] with exact integer arithmetic (both
+    engines integer-divide non-negative values identically)."""
+    span = F.greatest(cmax - cmin, F.lit(1))
+    return F.floor((col - cmin) * ((1 << bits) - 1) / span).cast("bigint")
+
+
+def _zinterleave(x, y, bits: int):
+    """Bit-interleave two quantized values into the Z (Morton) value —
+    pure JVM bitwise Column arithmetic, no UDF."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+             + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)),
+                           2 * i + 1))
+    return z
+
+
+def _zorder_quant_cols(orders: DataFrame):
+    """(orders + xq/yq quantized dims) using broadcast min/max scalars."""
+    stats = orders.agg(
+        F.min("o_custkey").alias("kmin"), F.max("o_custkey").alias("kmax"),
+        F.min(F.unix_date(F.col("o_orderdate").cast("date"))).alias("dmin"),
+        F.max(F.unix_date(F.col("o_orderdate").cast("date"))).alias("dmax"))
+    d = F.unix_date(F.col("o_orderdate").cast("date"))
+    return (orders.crossJoin(F.broadcast(stats))
+            .withColumn("xq", _zquant(F.col("o_custkey"), F.col("kmin"),
+                                      F.col("kmax"), ZORDER_BITS))
+            .withColumn("yq", _zquant(d, F.col("dmin"), F.col("dmax"),
+                                      ZORDER_BITS)))
+
+
+def _zordered_orders(spark: SparkSession, sf_dir: str) -> str:
+    """orders written once per (process, sf_dir) as ZORDER-clustered
+    parquet: z = interleave(quant(o_custkey), quant(o_orderdate)),
+    repartitionByRange(z) + sortWithinPartitions(z) — the organizing
+    write a lakehouse pays at ingest so every later 2-D selective scan
+    prunes most files by footer min/max on BOTH dimensions."""
+    from ..scratch import scratch_dir
+
+    if sf_dir not in _ZORDER_DIR_CACHE:
+        out = scratch_dir("zorder_orders_")
+        q = _zorder_quant_cols(load(spark, sf_dir, "orders"))
+        z = q.withColumn("z", _zinterleave(F.col("xq"), F.col("yq"),
+                                           ZORDER_BITS))
+        (z.drop("kmin", "kmax", "dmin", "dmax", "xq", "yq")
+         .repartitionByRange(ZORDER_FILES, "z")
+         .sortWithinPartitions("z")
+         .write.mode("overwrite").parquet(out))
+        _ZORDER_DIR_CACHE[sf_dir] = out
+    return _ZORDER_DIR_CACHE[sf_dir]
+
+
+@register(
+    "layout_zorder_scan",
+    oracle=f"""
+    WITH stats AS (
+      SELECT MIN(o_custkey) AS kmin, MAX(o_custkey) AS kmax
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date
+    FROM orders, stats
+    WHERE o_custkey BETWEEN kmin + (kmax - kmin) / 4
+                        AND kmin + (kmax - kmin) / 2
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    """,
+    tags=("relational", "layout", "zorder"))
+def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) multi-dimensional clustering — the layout lever
+    for 2-D selective scans that single-key layouts cannot serve:
+    range-partitioning by o_custkey alone leaves o_orderdate scattered
+    through every file, so a (custkey range AND date range) query reads
+    the whole date axis. Interleaving the bits of both quantized keys
+    makes file min/max footers tight in BOTH dimensions; a 2-D box query
+    then prunes most files before any data page is read
+    (tests/test_bucketing.py measures the overlap directly from the
+    parquet footers, z-order vs single-key clustering).
+
+    This row pins semantics: the 2-D box read over the z-clustered copy
+    must equal the same predicate on the raw table — layout is
+    correctness-neutral, exactly like the bucketed-join row. The z value
+    itself is pure JVM bitwise arithmetic (no UDF) and the clustered
+    copy is written once per process into scratch."""
+    out = _zordered_orders(spark, sf_dir)
+    stats = (load(spark, sf_dir, "orders")
+             .agg(F.min("o_custkey").alias("kmin"),
+                  F.max("o_custkey").alias("kmax")))
+    z = spark.read.parquet(out).crossJoin(F.broadcast(stats))
+    lo = F.col("kmin") + (F.col("kmax") - F.col("kmin")) / 4
+    hi = F.col("kmin") + (F.col("kmax") - F.col("kmin")) / 2
+    return (z.where(F.col("o_custkey").between(lo, hi)
+                    & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+                    & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")))
+            .select("o_orderkey", "o_custkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                    .alias("o_date")))

@@ -102,3 +102,75 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     expected = (load(spark, sf_dir, "documents")
                 .where(F.col("lang") == "en").count())
     assert df.count() == expected
+
+
+def test_zorder_prunes_both_dimensions_vs_single_key(spark, sf_dir,
+                                                     tmp_path):
+    """Z-order clustering measured DIRECTLY from parquet footers: write
+    orders (a) z-clustered on interleave(quant(custkey), quant(date))
+    and (b) range-clustered on custkey alone, same file count; for a 2-D
+    box predicate, count the files whose (min,max) footer stats on BOTH
+    columns overlap the box — the files a stats-pruning scan must read.
+    Single-key clustering serves the custkey axis but leaves the date
+    axis scattered through every selected file; z-order must strictly
+    reduce the overlap set. (Semantics-neutrality of the layout is the
+    oracle row layout_zorder_scan; this test is the WHY.)"""
+    import pyarrow.parquet as pq
+    import os
+
+    from spark_streaming_dis_plugin_spark.operators.relational import (
+        ZORDER_BITS, ZORDER_FILES, _zinterleave, _zorder_quant_cols,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    q = _zorder_quant_cols(orders)
+    z = (q.withColumn("z", _zinterleave(F.col("xq"), F.col("yq"),
+                                        ZORDER_BITS))
+         .drop("kmin", "kmax", "dmin", "dmax", "xq", "yq"))
+    zdir = str(tmp_path / "zorder")
+    (z.repartitionByRange(ZORDER_FILES, "z").sortWithinPartitions("z")
+     .write.mode("overwrite").parquet(zdir))
+    kdir = str(tmp_path / "bykey")
+    (orders.repartitionByRange(ZORDER_FILES, "o_custkey")
+     .sortWithinPartitions("o_custkey")
+     .write.mode("overwrite").parquet(kdir))
+
+    [st] = (orders.agg(F.min("o_custkey").alias("kmin"),
+                       F.max("o_custkey").alias("kmax")).collect())
+    k_lo = st["kmin"] + (st["kmax"] - st["kmin"]) // 4
+    k_hi = st["kmin"] + (st["kmax"] - st["kmin"]) // 2
+    import datetime
+    d_lo = datetime.datetime(1995, 1, 1)
+    d_hi = datetime.datetime(1996, 1, 1)
+
+    def overlap_files(d: str) -> tuple[int, int]:
+        total = hit = 0
+        for name in os.listdir(d):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, name)).metadata
+            if md.num_rows == 0:
+                continue
+            total += 1
+            cols = {md.schema.column(i).name: i
+                    for i in range(md.num_columns)}
+            kmin = kmax = dmin = dmax = None
+            for rg in range(md.num_row_groups):
+                ks = md.row_group(rg).column(cols["o_custkey"]).statistics
+                ds = md.row_group(rg).column(cols["o_orderdate"]).statistics
+                kmin = ks.min if kmin is None else min(kmin, ks.min)
+                kmax = ks.max if kmax is None else max(kmax, ks.max)
+                dmin = ds.min if dmin is None else min(dmin, ds.min)
+                dmax = ds.max if dmax is None else max(dmax, ds.max)
+            dmin = dmin.replace(tzinfo=None)
+            dmax = dmax.replace(tzinfo=None)
+            if kmax >= k_lo and kmin <= k_hi and dmax >= d_lo and dmin < d_hi:
+                hit += 1
+        return hit, total
+
+    z_hit, z_total = overlap_files(zdir)
+    k_hit, k_total = overlap_files(kdir)
+    assert z_total >= ZORDER_FILES // 2 and k_total >= ZORDER_FILES // 2
+    # single-key: every custkey-selected file spans the full date axis ->
+    # its overlap count is its custkey share; z-order cuts BOTH axes.
+    assert z_hit < k_hit, (z_hit, z_total, k_hit, k_total)
