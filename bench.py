@@ -33,13 +33,27 @@ _CLK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
 
 def _cpu_busy_sec() -> float | None:
-    """System-wide non-idle CPU seconds since boot (/proc/stat line 1)."""
+    """System-wide non-idle CPU seconds since boot (/proc/stat line 1).
+    NOTE: includes hypervisor steal (field 8) — pair with _cpu_steal_sec
+    to separate our compute from vCPU time the host gave away."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
         vals = [int(x) for x in parts]
         idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
         return (sum(vals) - idle) / _CLK
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _cpu_steal_sec() -> float | None:
+    """Hypervisor steal seconds since boot (/proc/stat field 8): vCPU was
+    runnable but the host ran another guest. Guest PSI barely sees this,
+    so inflated busy at flat stall + rising steal = noisy-neighbor VM."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        return int(parts[7]) / _CLK if len(parts) > 7 else None
     except (OSError, ValueError, IndexError):
         return None
 
@@ -137,6 +151,7 @@ def main() -> None:
     }
     bench_t0 = time.perf_counter()
     busy0, stall0 = _cpu_busy_sec(), _cpu_stall_sec()
+    steal0 = _cpu_steal_sec()
 
     from spark_streaming_dis_plugin_spark.plans.registry import all_queries
     from spark_streaming_dis_plugin_spark.session import get_spark
@@ -180,15 +195,23 @@ def main() -> None:
             qtel["cpu_stall"] = round(qs1 - qs0, 3)
         per_query_tel[name] = qtel
 
-    streaming = _streaming_throughput(spark, sf_dir)
+    try:
+        streaming = _streaming_throughput(spark, sf_dir)
+    except Exception as exc:  # never lose the whole bench file to the
+        # diagnostic row — a contended environment could push the drain
+        # past its timeout, and the headline timings above still matter
+        streaming = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
     busy1, stall1 = _cpu_busy_sec(), _cpu_stall_sec()
+    steal1 = _cpu_steal_sec()
     telemetry["loadavg_end"] = _loadavg()
     telemetry["wall_total_sec"] = round(time.perf_counter() - bench_t0, 3)
     if busy0 is not None and busy1 is not None:
         telemetry["sys_cpu_busy_sec"] = round(busy1 - busy0, 3)
     if stall0 is not None and stall1 is not None:
         telemetry["cpu_stall_sec"] = round(stall1 - stall0, 3)
+    if steal0 is not None and steal1 is not None:
+        telemetry["cpu_steal_sec"] = round(steal1 - steal0, 3)
     telemetry["per_query"] = per_query_tel
 
     total = round(sum(timings.values()), 3)

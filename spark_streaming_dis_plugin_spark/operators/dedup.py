@@ -310,7 +310,7 @@ def dedup_ngram_jaccard_capped(spark: SparkSession,
            doc_id = MIN(label) AS survivor
     FROM reach GROUP BY doc_id
     """,
-    tags=("dedup", "graph", "iterative"))
+    tags=("dedup", "graph", "iterative"), bench=True)
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: connected components over the
     Jaccard similarity graph by iterative min-label propagation. Each
