@@ -3302,6 +3302,52 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TS_SUBSCRIBE_FROM = "2024-01-20 12:00:00"
+TS_RANGE_FROM = "2024-01-10 00:00:00"
+TS_RANGE_UNTIL = "2024-01-20 12:00:00"
+
+
+@register(
+    "dis_timestamp_range_read",
+    oracle=f"""
+    WITH env AS ({_ENV}),
+    b AS (
+      SELECT "partition",
+             MIN(CASE WHEN "timestamp" >= TIMESTAMP '{TS_RANGE_FROM}'
+                      THEN "offset" END) AS so,
+             MIN(CASE WHEN "timestamp" >= TIMESTAMP '{TS_RANGE_UNTIL}'
+                      THEN "offset" END) AS eo,
+             MAX("offset") + 1 AS latest
+      FROM env GROUP BY 1
+    )
+    SELECT e."partition", e."offset", e."key", e."value",
+           strftime(e."timestamp", '{TS_FMT_DUCK}') AS ts_utc
+    FROM env e JOIN b ON e."partition" = b."partition"
+    WHERE e."offset" >= COALESCE(b.so, b.latest)
+      AND e."offset" <  COALESCE(b.eo, b.latest)
+    """,
+    tags=("connector", "batch", "timestamp", "bounded"))
+def dis_timestamp_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP-BOUNDED batch read — both boundaries resolved by time
+    (Kafka's startingOffsetsByTimestamp + endingOffsetsByTimestamp pair):
+    per partition, [earliest offset with ts >= T1, earliest offset with
+    ts >= T2), each resolved from parquet footer statistics at plan time
+    (offsets_for_time — no data pages read for planning). Kafka's
+    no-match convention on both ends: a partition with nothing at/after
+    T1 reads empty; nothing at/after T2 reads to the tail. The oracle
+    recomputes both seeks as MIN(offset | ts >= T) with the same
+    COALESCE-to-latest fallbacks. Offset-based slicing, NOT a timestamp
+    filter: on a non-monotone log the two differ, and the offset
+    semantics are the reproducible ones (a replayed consumer gets the
+    same records)."""
+    log = _materialized_log(spark, sf_dir)
+    df = (spark.read.format("dis")
+          .option("path", log.root).option("stream", log.stream)
+          .option("startingTimestamp", TS_RANGE_FROM)
+          .option("endingTimestamp", TS_RANGE_UNTIL)
+          .load())
+    return df.select(
+        "partition", "offset", "key", "value",
+        F.date_format("timestamp", TS_FMT_SPARK).alias("ts_utc"))
 
 
 @register(

@@ -238,22 +238,28 @@ class DisBatchReader(DataSourceReader):
 
         if "offsetRanges" in options:
             ranges = offset_ranges_from_json(stream, options["offsetRanges"])
-        elif "startingTimestamp" in options:
-            # Kafka-parity offsetsForTimes (startingOffsetsByTimestamp
-            # family): per-partition start = earliest offset with record
-            # time >= the timestamp, resolved by parquet-footer pruning
-            # (DisLog.offsets_for_time); a no-match partition reads empty.
-            starts = log.offsets_for_time(options["startingTimestamp"])
-            end = _parse_boundary(options.get("endingOffsets", "latest"),
-                                  stream, earliest.keys(), LATEST)
-            ranges = [OffsetRange(stream, p, starts.get(p, EARLIEST),
-                                  end.get(p, LATEST))
-                      for p in sorted(earliest)]
         else:
-            start = _parse_boundary(options.get("startingOffsets", "earliest"),
-                                    stream, earliest.keys(), EARLIEST)
-            end = _parse_boundary(options.get("endingOffsets", "latest"),
-                                  stream, earliest.keys(), LATEST)
+            # Kafka-parity offsetsForTimes (startingOffsetsByTimestamp /
+            # endingOffsetsByTimestamp families): a timestamp boundary
+            # resolves per partition to the earliest offset with record
+            # time >= the timestamp, via parquet-footer pruning
+            # (DisLog.offsets_for_time). No-match resolves to the
+            # partition's latest offset — for a START that means an empty
+            # read, for an END it means read-to-tail, both Kafka's
+            # conventions.
+            if "startingTimestamp" in options:
+                starts = log.offsets_for_time(options["startingTimestamp"])
+                start = {p: starts.get(p, EARLIEST) for p in earliest}
+            else:
+                start = _parse_boundary(
+                    options.get("startingOffsets", "earliest"),
+                    stream, earliest.keys(), EARLIEST)
+            if "endingTimestamp" in options:
+                ends = log.offsets_for_time(options["endingTimestamp"])
+                end = {p: ends.get(p, LATEST) for p in earliest}
+            else:
+                end = _parse_boundary(options.get("endingOffsets", "latest"),
+                                      stream, earliest.keys(), LATEST)
             ranges = [OffsetRange(stream, p, start.get(p, EARLIEST),
                                   end.get(p, LATEST))
                       for p in sorted(earliest)]

@@ -1023,6 +1023,33 @@ def test_batch_starting_timestamp_scan(spark, sf_dir, log):
     assert via_ts.count() > 0
 
 
+def test_batch_ending_timestamp_bounds_scan(spark, sf_dir, log):
+    """endingTimestamp (Kafka endingOffsetsByTimestamp parity): the
+    [T1, T2) timestamp-bounded read equals the offset-range read built
+    from both resolved boundaries; an endingTimestamp past the log tail
+    reads to latest (the no-match convention)."""
+    import json
+
+    t1, t2 = "2024-01-10 00:00:00", "2024-01-20 12:00:00"
+    starts, ends = log.offsets_for_time(t1), log.offsets_for_time(t2)
+    via_ts = (_dis(spark, log)
+              .option("startingTimestamp", t1)
+              .option("endingTimestamp", t2).load())
+    ranges = {str(p): [starts[p], ends[p]] for p in starts}
+    via_off = (_dis(spark, log)
+               .option("offsetRanges", json.dumps(ranges)).load())
+    assert sorted(map(tuple, via_ts.collect())) == \
+        sorted(map(tuple, via_off.collect()))
+    assert 0 < via_ts.count() < _dis(spark, log).load().count()
+
+    tail = (_dis(spark, log)
+            .option("startingTimestamp", t1)
+            .option("endingTimestamp", "2099-01-01 00:00:00").load())
+    from_t1 = (_dis(spark, log)
+               .option("startingTimestamp", t1).load())
+    assert tail.count() == from_t1.count()
+
+
 def test_min_offsets_per_trigger_holds_small_batches(log):
     """Kafka option parity: the FIRST planning call after initialOffset
     never holds (an availableNow drain captures its one target plan there
