@@ -119,6 +119,42 @@ def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted_exact_k",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (ORDER BY
+               round(ln(({portable_hash_sql(
+                   "'wk:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+                        / 1152921504606846977.0)
+                     / GREATEST(n_chars, 1), 9) DESC,
+               doc_id) AS r
+      FROM documents) WHERE r <= {SAMPLE_EXACT_K}
+    """,
+    tags=("pipeline", "sampling", "weighted", "deterministic", "exact-k"))
+def sample_weighted_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k sampling with PROBABILITY PROPORTIONAL TO WEIGHT
+    (Efraimidis-Spirakis A-ES: rank by u^(1/w), here in log space as
+    ln(u)/w with u a salted-hash uniform in (0,1]) — the standard way a
+    training pipeline over-samples long/high-quality documents while
+    keeping exactly k and full determinism. Same scale shape as
+    sample_exact_k: orderBy().limit() = TakeOrderedAndProject, no global
+    sort, no RNG state, membership reproducible under repartitioning.
+    The rank keys on the score ROUNDED to 9 dp in both engines so a
+    last-ulp ln() divergence cannot reorder near-ties; remaining ties
+    break on doc_id. Weight floor of 1 guards zero-char docs."""
+    docs = load(spark, sf_dir, "documents")
+    h = portable_hash(F.concat(F.lit("wk:"),
+                               F.col("doc_id").cast("string")))
+    # u in (0,1]: (h+1) / (2^60 + 1); 60-bit hash -> exact double
+    u = (h + F.lit(1.0)) / F.lit(float(2**60 + 1))
+    key = F.round(F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 9)
+    return (docs.select("doc_id", "lang", "n_chars", key.alias("k"))
+            .orderBy(F.desc("k"), "doc_id").limit(SAMPLE_EXACT_K)
+            .select("doc_id", "lang", "n_chars"))
+
+
+@register(
     "split_train_val_test",
     oracle=f"""
     SELECT CASE WHEN h % 100 < 80 THEN 'train'

@@ -722,3 +722,84 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= BM25_TOP_K)
             .select("query_id", "doc_id", "score", "rnk"))
+
+
+# ------------------------------------ intra-document repetition strip
+
+@register(
+    "text_intradoc_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS tk FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(
+               tk[(i*{BP_SEG_WORDS}+1):(i*{BP_SEG_WORDS}+{BP_SEG_WORDS})],
+               ' ') AS seg
+      FROM toks, LATERAL (
+        SELECT unnest(range(CAST(ceil(len(tk)/{BP_SEG_WORDS}.0) AS BIGINT)))
+          AS i)
+    ),
+    occ AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, seg
+                                ORDER BY seg_idx) AS occ
+      FROM segs
+    ),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_segments,
+             CAST(COUNT(*) FILTER (WHERE occ > 1) AS BIGINT) AS n_removed,
+             COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE occ = 1), '') AS text_clean
+      FROM occ GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_segments, 0) AS n_segments,
+           COALESCE(a.n_removed, 0) AS n_removed,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    tags=("text", "dedup", "intra-doc"))
+def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition removal — the complement of
+    text_boilerplate_strip's cross-document pass: keep only the FIRST
+    occurrence of each {BP_SEG_WORDS}-word segment inside a document
+    (generation loops, scraped pagination echoes, and template stutters
+    produce exactly this shape; C4/CCNet-style pipelines run both passes).
+
+    Scale shape: everything is keyed by doc_id — segmentation is
+    row-local, the first-occurrence window partitions on (doc_id, seg),
+    and reassembly groups by doc_id, so no corpus-global state exists at
+    all; the operator is embarrassingly partition-parallel over
+    documents (contrast the boilerplate pass, whose df-count is the one
+    corpus-global aggregate). Docs with no tokens stay in the output
+    with text_clean='' via the left join from documents."""
+    docs = load(spark, sf_dir, "documents")
+    tk = tokens(F.col("text"))
+    n_seg = F.ceil(F.size("tk") / BP_SEG_WORDS).cast("int")
+    seg_of = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("tk"), i * BP_SEG_WORDS + 1, BP_SEG_WORDS), " ")
+    segs = (docs.select("doc_id", tk.alias("tk"))
+            .withColumn(
+                "segs",
+                F.when(F.size("tk") > 0,
+                       F.transform(F.sequence(F.lit(0), n_seg - 1), seg_of))
+                .otherwise(F.array().cast("array<string>")))
+            .select("doc_id", F.posexplode("segs").alias("seg_idx", "seg")))
+    w = Window.partitionBy("doc_id", "seg").orderBy("seg_idx")
+    occ = segs.withColumn("occ", F.row_number().over(w))
+    kept_struct = F.when(F.col("occ") == 1, F.struct("seg_idx", "seg"))
+    agg = (occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count(F.when(F.col("occ") > 1, 1)).alias("n_removed"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s.seg), " ").alias("text_clean")))
+    return (docs.select("doc_id")
+            .join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+                    F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean")))
