@@ -1054,6 +1054,99 @@ def dis_multibatch_join_streamed(spark: SparkSession,
 
 
 @register(
+    "dis_join_restart_streamed",
+    oracle=f"""
+    WITH env AS ({_ORDERED_ENV}),
+    p AS (
+      SELECT "key" AS p_key, "timestamp" AS p_ts, "offset" AS p_offset
+      FROM env WHERE "offset" % 3 = 0
+    ),
+    c AS (
+      SELECT "key" AS c_key, "timestamp" AS c_ts, "offset" AS c_offset
+      FROM env WHERE "offset" % 3 = 1
+    )
+    SELECT p_key, p_offset, c_offset
+    FROM p JOIN c ON p_key = c_key
+                 AND c_ts <= p_ts
+                 AND c_ts >= p_ts - INTERVAL 1 HOUR
+    """,
+    tags=("connector", "streaming", "join", "restart", "e2e"))
+def dis_join_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN STATE across CHECKPOINT RESTART — the one
+    recovery class the other restart gates don't cover: the join
+    buffers BOTH sides' unmatched rows in the state store, and a
+    kill/resume must recover those buffers exactly (a lost click row
+    silently drops every pair it would later complete; a replayed batch
+    must not re-emit pairs). Three runs over one checkpoint + one
+    PARQUET sink (memory sinks cannot recover; the file sink's
+    _spark_metadata log is what dedupes a replayed batch's output):
+
+    1. rate-limited availableNow — one clamped batch, checkpoint parked
+       mid-backlog with buffered unmatched rows on both sides;
+    2. rate-limited processing-time run killed after >= 1 data batch
+       commits — buffered join state recovered on resume;
+    3. unthrottled drain to idle.
+
+    Same time-ordered log and join bound as
+    dis_multibatch_join_streamed, so its losslessness argument (no
+    match can straddle an eviction) carries over and the batch join
+    stays the exact oracle."""
+    import shutil
+    import time as _time
+    import uuid
+
+    from ..streaming.drain import drain_available
+    from ..streaming.queries import purchase_click_join
+
+    log = _materialized_ordered_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per_trigger = max(total // 6, 1)
+    out = scratch_dir("joinrestart_out_")
+    ckpt = scratch_dir("joinrestart_ckpt_")
+    name = f"joinrestart_{uuid.uuid4().hex[:8]}"
+
+    def start(trigger: dict, rate_limited: bool):
+        r = (spark.readStream.format("dis")
+             .option("path", log.root).option("stream", log.stream))
+        if rate_limited:
+            r = r.option("maxOffsetsPerTrigger", str(per_trigger))
+        sdf = r.load()
+        p = sdf.where(F.col("offset") % 3 == 0)
+        c = sdf.where(F.col("offset") % 3 == 1)
+        return (purchase_click_join(p, c)
+                .select("p_key", "p_offset", "c_offset")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .queryName(name).outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger).start())
+
+    q = start({"availableNow": True}, rate_limited=True)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("join-restart phase 1 did not terminate")
+    q = start({"processingTime": "0 seconds"}, rate_limited=True)
+    deadline = _time.monotonic() + 120
+    try:
+        while _time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                break
+            _time.sleep(0.05)
+        else:
+            raise TimeoutError("join-restart phase 2 made no progress")
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    q = start({"processingTime": "0 seconds"}, rate_limited=False)
+    drain_available(q, timeout_seconds=180)
+    final = spark.read.parquet(out)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return final.select("p_key", "p_offset", "c_offset")
+
+
+@register(
     "dis_assign_streamed",
     oracle=f"""
     SELECT word, COUNT(*) AS n
