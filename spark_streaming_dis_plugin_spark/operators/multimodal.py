@@ -318,3 +318,65 @@ def multimodal_pcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     para = spark.sparkContext.defaultParallelism
     return art.repartition(para).mapInPandas(pcm_energy_kernel,
                                              schema=PCM_SCHEMA)
+
+
+# --------------------------------------------- frame-fingerprint dedup
+
+@register(
+    "multimodal_video_dedup",
+    oracle=f"""
+    WITH video AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+    ), idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(octet_length(encode(text))
+                    // {FRAME_BYTES} AS BIGINT), {FRAME_STRIDE})) AS frame_idx
+      FROM video
+    ), frames AS (
+      SELECT doc_id, frame_idx,
+             md5(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS INT),
+                 {FRAME_BYTES})) AS fmd5
+      FROM idx
+    ), fp AS (
+      SELECT doc_id,
+             md5(string_agg(fmd5, ':' ORDER BY frame_idx)) AS fingerprint
+      FROM frames GROUP BY doc_id
+    ), g AS (
+      SELECT fingerprint, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_doc
+      FROM fp GROUP BY 1
+    )
+    SELECT f.doc_id, f.fingerprint, g.canonical_doc, g.n_copies
+    FROM fp f JOIN g USING (fingerprint)
+    """,
+    tags=("multimodal", "dedup", "fingerprint"))
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIMODAL DEDUP by content fingerprint — the video-pipeline
+    equivalent of exact text dedup: two artifacts are duplicates iff
+    their SAMPLED FRAME SEQUENCES hash identically (full-payload hashing
+    would re-read every byte; frame sampling is the standard shortcut
+    and this row pins that the sampled fingerprint is computed
+    consistently end-to-end). Composition: the frame-sample kernel
+    (mapInPandas over binary payloads) -> per-artifact ordered frame-hash
+    digest -> hash-group accounting with a canonical (min doc_id)
+    survivor per group.
+
+    Scale shape: frames never leave their partition until reduced to one
+    32-char digest per artifact (the only shuffled payload); the group
+    accounting shuffles doc-level digests only. Artifacts too small to
+    yield a frame are excluded on both sides (no fingerprint to
+    compare). The oracle reconstructs every frame hash arithmetically
+    (fixture payloads are ASCII text)."""
+    art = artifacts(spark, sf_dir).where(F.col("media_type") == "video/mp4")
+    frames = art.mapInPandas(frame_sample_stub, schema=FRAMES_SCHEMA)
+    fp = (frames.groupBy("doc_id")
+          .agg(F.md5(F.array_join(
+              F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct("frame_idx", "frame_md5"))),
+                  lambda s: s.frame_md5), ":").cast("binary"))
+               .alias("fingerprint")))
+    g = (fp.groupBy("fingerprint")
+         .agg(F.count(F.lit(1)).alias("n_copies"),
+              F.min("doc_id").alias("canonical_doc")))
+    return (fp.join(g, "fingerprint")
+            .select("doc_id", "fingerprint", "canonical_doc", "n_copies"))
