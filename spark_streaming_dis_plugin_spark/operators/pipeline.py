@@ -118,6 +118,41 @@ def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "n_chars"))
 
 
+SAMPLE_GROUP_K = 20
+
+
+@register(
+    "sample_stratified_exact_k",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+               {portable_hash_sql("'gk:' || CAST(doc_id AS VARCHAR)")},
+               doc_id) AS r
+      FROM documents) WHERE r <= {SAMPLE_GROUP_K}
+    """,
+    tags=("pipeline", "sampling", "deterministic", "stratified",
+          "exact-k"))
+def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k PER GROUP, deterministically: hash-rank within each
+    language and keep the {SAMPLE_GROUP_K} smallest — the stratified twin
+    of sample_exact_k (rate-based stratified sampling keeps a
+    *proportion* per stratum; eval-set construction usually needs an
+    exact per-stratum count). Plans as a WindowGroupLimit: per-partition
+    partial top-k per group before the single hash shuffle on lang, so
+    the full corpus never sorts and the shuffle carries at most
+    partitions x groups x k rows. Same hash-gate determinism contract as
+    the other samplers; fresh salt ('gk:') decorrelates from them."""
+    docs = load(spark, sf_dir, "documents")
+    h = portable_hash(F.concat(F.lit("gk:"),
+                               F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    return (docs.select("lang", "doc_id", "n_chars",
+                        F.row_number().over(w).alias("r"))
+            .where(F.col("r") <= SAMPLE_GROUP_K)
+            .select("lang", "doc_id", "n_chars"))
+
+
 @register(
     "sample_weighted_exact_k",
     oracle=f"""

@@ -1292,7 +1292,43 @@ def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("l_extendedprice", 2).alias("total")))
 
 
-# ------------------------------------------------- grouped-map pandas UDF
+@register(
+    "salted_agg_skew",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {dsum_sql('l_quantity', 2)} AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg", "skew"))
+def salted_agg_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage AGGREGATION — the skew remedy AQE cannot supply
+    (OptimizeSkewedJoin is join-only; the AQE pin in
+    tests/test_plan_shapes.py documents this as the first
+    salting-still-needed case): group first on (key, salt) so a hot
+    key's rows spread over S reducers, then merge the S partials per
+    key. Oracle-pinned to the plain one-stage aggregate it must equal —
+    decimal-cast partials make the merge order-independent, so the
+    two-stage result is bit-identical, not approximately equal.
+
+    lineitem.l_returnflag has 3 values over millions of rows — exactly
+    the cardinality where a single reducer per key bottlenecks at
+    100 TB. (Catalyst's own partial aggregation usually absorbs this
+    for algebraic aggs; the explicit salt is for the cases it can't —
+    collect-like or sketch-building aggregates with large per-key
+    partial state, and engines/paths without map-side combine.)"""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    S = 16
+    salted = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                       F.lit(S)).cast("int"))
+    partial = (salted.groupBy("l_returnflag", "salt")
+               .agg(F.count(F.lit(1)).alias("pn"),
+                    F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+                    .alias("pq")))
+    return (partial.groupBy("l_returnflag")
+            .agg(F.sum("pn").alias("n"),
+                 F.sum("pq").cast("double").alias("sum_qty")))
 
 @register(
     "grouped_rank_pandas",
