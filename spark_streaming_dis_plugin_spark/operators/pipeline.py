@@ -957,3 +957,50 @@ def pipeline_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("doc_id") == F.col("keep_id"), "left_semi")
             .select("doc_id", split.alias("split"),
                     "n_words_clean", "n_removed"))
+
+
+# ------------------------------------------------------- dataset card
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, text, n_chars,
+             len({tokens_sql('text')}) AS n_tokens
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+             AS n_exact_dups,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+    FROM tok
+    """,
+    tags=("pipeline", "reporting", "dataset-card"))
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD in one pass — the corpus-level numbers every released
+    training set publishes (doc/language counts, token and char totals,
+    exact-duplication accounting), computed as a single scan + global
+    aggregate so the report is one job, not a notebook of repeated
+    corpus reads.
+
+    Scale shape: token counting is a row-local size(tokens()), the
+    duplicate accounting rides COUNT(DISTINCT md5(text)) — Catalyst
+    plans distinct-aggregate expansion with partial aggregation, and the
+    16-byte hash (not the text) is what shuffles. One corpus scan total;
+    the output is a single row."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select(
+                "doc_id", "lang", "n_chars",
+                F.size(tokens(F.col("text"))).alias("n_tokens"),
+                F.md5(F.col("text").cast("binary")).alias("h"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 (F.count(F.lit(1)) - F.countDistinct("h")).cast("bigint")
+                 .alias("n_exact_dups"),
+                 F.countDistinct("h").cast("bigint")
+                 .alias("n_unique_texts")))
