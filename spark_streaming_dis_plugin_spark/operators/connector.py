@@ -3394,6 +3394,43 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
+@register(
+    "dis_segment_stats",
+    oracle=f"""
+    SELECT "partition",
+           "offset" // 2000 AS segment_idx,
+           MIN("offset") AS from_offset,
+           MAX("offset") + 1 AS until_offset,
+           COUNT(*) AS n_rows
+    FROM ({_ENV})
+    GROUP BY 1, 2
+    """,
+    tags=("connector", "metadata", "introspection"))
+def dis_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG INTROSPECTION from metadata alone — the describe-log-dirs
+    relation an operator monitors for small-file buildup, retention
+    health, and compaction candidates (merge_small_segments consumes
+    exactly this view): one row per physical segment with its offset
+    span and row count, read from SEGMENT FILENAMES ONLY (zero data
+    I/O, DISRDD.scala:89-112's metadata-count discipline extended to a
+    queryable relation). The oracle re-derives the layout from the DATA
+    (the ingest writer cuts segments every 2000 offsets, so
+    segment_idx = offset // 2000), which pins the writer's segmentRows
+    contract AND that every filename's embedded span/count is honest —
+    a segment whose name lies about its contents breaks the hash.
+    Driver-side listing of a few hundred filenames, not a data collect;
+    at production scale this relation is object-store LIST output."""
+    log = _materialized_log(spark, sf_dir)
+    rows = []
+    for p in log.partitions():
+        for i, seg in enumerate(log.segment_infos(p)):
+            rows.append((p, i, seg.from_offset, seg.until_offset,
+                         seg.rows))
+    return spark.createDataFrame(
+        rows, "partition int, segment_idx bigint, from_offset bigint, "
+              "until_offset bigint, n_rows bigint")
+
+
 TS_SUBSCRIBE_FROM = "2024-01-20 12:00:00"
 TS_RANGE_FROM = "2024-01-10 00:00:00"
 TS_RANGE_UNTIL = "2024-01-20 12:00:00"
