@@ -1,7 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (VERDICT r6 #1 — the driver keeps only the last ~2 KB
+of stdout and json.loads the FINAL line): stdout ends with one compact
+headline line {"metric", "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf", "streaming_throughput"}, size-asserted
+<= HEADLINE_MAX_BYTES. Full telemetry is emitted on its own EARLIER
+stdout line and persisted to BENCH_TELEMETRY.json; it never rides the
+headline line again (that is what nulled BENCH_r06). Pinned by
+tests/test_bench_contract.py via an exact tail-2KB truncation replay.
 
 Each query is timed as the MEDIAN of $SPARK_GRAFT_BENCH_ITERS (default 3)
 warm iterations after one uncounted warmup pass — single-shot timings at
@@ -33,15 +40,20 @@ _CLK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
 
 def _cpu_busy_sec() -> float | None:
-    """System-wide non-idle CPU seconds since boot (/proc/stat line 1).
+    """System-wide non-idle CPU seconds since boot (/proc/stat line 1),
+    as user+nice+system+irq+softirq+steal. Fields 9-10 (guest,
+    guest_nice) are deliberately EXCLUDED: the kernel already accounts
+    guest time inside user/nice, so summing them double-counts on KVM
+    guests and inflates the 'real compute creep' signal (r6 ADVICE #4).
     NOTE: includes hypervisor steal (field 8) — pair with _cpu_steal_sec
     to separate our compute from vCPU time the host gave away."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
         vals = [int(x) for x in parts]
-        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
-        return (sum(vals) - idle) / _CLK
+        # user nice system [idle iowait] irq softirq steal
+        busy = vals[0] + vals[1] + vals[2] + sum(vals[5:8])
+        return busy / _CLK
     except (OSError, ValueError, IndexError):
         return None
 
@@ -140,6 +152,31 @@ def _streaming_throughput(spark, sf_dir: str) -> dict:
     return out
 
 
+HEADLINE_MAX_BYTES = 1900
+"""Hard budget for the final stdout line. The round driver captures only
+the LAST ~2 KB of bench stdout and json.loads the final line; round 6's
+file came back "parsed": null because per-query telemetry pushed the one
+output line past that window (VERDICT r6 #1). The contract is now:
+telemetry goes to its own EARLIER stdout line and BENCH_TELEMETRY.json;
+the last line is the compact r5-format headline, asserted under this
+budget both here and in tests/test_bench_contract.py."""
+
+
+def format_output(headline: dict, telemetry: dict) -> tuple[str, str]:
+    """Render the two stdout lines: (telemetry_line, headline_line).
+    The headline line must stay parseable from a 2 KB stdout tail, so it
+    is emitted LAST and size-checked against HEADLINE_MAX_BYTES."""
+    telemetry_line = json.dumps({"bench_telemetry": telemetry},
+                                separators=(",", ":"))
+    headline_line = json.dumps(headline, separators=(",", ":"))
+    if len(headline_line.encode()) > HEADLINE_MAX_BYTES:
+        raise ValueError(
+            f"headline line {len(headline_line.encode())}B exceeds the "
+            f"{HEADLINE_MAX_BYTES}B driver-capture budget — trim the "
+            "benched set or shorten query names (see BENCH_NOTES.md)")
+    return telemetry_line, headline_line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -216,15 +253,25 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(json.dumps({
+    headline = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
         "streaming_throughput": streaming,
-        "telemetry": telemetry,
-    }))
+    }
+    telemetry_line, headline_line = format_output(headline, telemetry)
+    # Durable copy of the full telemetry (stdout tail may drop it):
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_TELEMETRY.json"), "w") as f:
+            json.dump({"headline": headline, "telemetry": telemetry},
+                      f, indent=1)
+    except OSError:
+        pass
+    print(telemetry_line)
+    print(headline_line, flush=True)
     spark.stop()
 
 

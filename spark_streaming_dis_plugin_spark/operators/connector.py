@@ -1121,28 +1121,39 @@ def dis_join_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("checkpointLocation", ckpt)
                 .trigger(**trigger).start())
 
-    q = start({"availableNow": True}, rate_limited=True)
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("join-restart phase 1 did not terminate")
-    q = start({"processingTime": "0 seconds"}, rate_limited=True)
-    deadline = _time.monotonic() + 120
+    # try/finally over all three phases (r6 ADVICE #3): an exception in
+    # any phase must still stop the live query and reclaim the checkpoint
+    # — matching the sibling gates' (e.g. multipart) cleanup discipline.
+    q = None
     try:
-        while _time.monotonic() < deadline:
-            if q.exception() is not None:
-                raise q.exception()
-            if any(p["numInputRows"] > 0 for p in q.recentProgress):
-                break
-            _time.sleep(0.05)
-        else:
-            raise TimeoutError("join-restart phase 2 made no progress")
+        q = start({"availableNow": True}, rate_limited=True)
+        if not q.awaitTermination(120):
+            raise TimeoutError("join-restart phase 1 did not terminate")
+        q = start({"processingTime": "0 seconds"}, rate_limited=True)
+        deadline = _time.monotonic() + 120
+        try:
+            while _time.monotonic() < deadline:
+                if q.exception() is not None:
+                    raise q.exception()
+                if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                    break
+                _time.sleep(0.05)
+            else:
+                raise TimeoutError("join-restart phase 2 made no progress")
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        q = start({"processingTime": "0 seconds"}, rate_limited=False)
+        drain_available(q, timeout_seconds=180)
+        final = spark.read.parquet(out)
     finally:
-        q.stop()
-        q.awaitTermination(60)
-    q = start({"processingTime": "0 seconds"}, rate_limited=False)
-    drain_available(q, timeout_seconds=180)
-    final = spark.read.parquet(out)
-    shutil.rmtree(ckpt, ignore_errors=True)
+        try:
+            if q is not None and q.isActive:
+                q.stop()
+                q.awaitTermination(60)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
     return final.select("p_key", "p_offset", "c_offset")
 
 
@@ -2838,14 +2849,25 @@ class _rocksdb_state:
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        self._prior: str | None = None
 
     def __enter__(self):
         from ..streaming.stateful import ROCKSDB_PROVIDER
 
+        # Restore-not-unset (r6 ADVICE #2): a caller/session may have set
+        # its own provider explicitly; clobbering it to "unset" on exit
+        # would silently change later queries' state backend.
+        try:
+            self._prior = self.spark.conf.get(self.KEY, None)
+        except Exception:
+            self._prior = None
         self.spark.conf.set(self.KEY, ROCKSDB_PROVIDER)
 
     def __exit__(self, *exc):
-        self.spark.conf.unset(self.KEY)
+        if self._prior is None:
+            self.spark.conf.unset(self.KEY)
+        else:
+            self.spark.conf.set(self.KEY, self._prior)
 
 
 @register(

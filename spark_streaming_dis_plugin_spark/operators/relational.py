@@ -2878,15 +2878,30 @@ def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the same predicate on the raw table — layout is
     correctness-neutral, exactly like the bucketed-join row. The z value
     itself is pure JVM bitwise arithmetic (no UDF) and the clustered
-    copy is written once per process into scratch."""
+    copy is written once per process into scratch.
+
+    The custkey band bounds are resolved to INT LITERALS before the scan
+    plan is built (r6 verdict #3): a 2-scalar min/max lookup — the same
+    legitimacy class as offset arithmetic, and at production scale a
+    table-statistics read, not a data scan. With column-vs-column bounds
+    (the r6 shape: crossJoin(broadcast(stats))) the band predicate could
+    never reach the parquet footers and the z-clustered files were read
+    in full — the opposite of the row's point. Both predicates now land
+    in PushedFilters (pinned: tests/test_plan_shapes.py
+    test_zorder_scan_pushes_both_dimensions). Since o_custkey is
+    integral, the oracle's fractional bounds [lo, hi] are equivalent to
+    the integer bounds [ceil(lo), floor(hi)] used here — fractional
+    literals would make Spark cast the column to double and lose the
+    pushdown."""
+    import math
+
     out = _zordered_orders(spark, sf_dir)
-    stats = (load(spark, sf_dir, "orders")
-             .agg(F.min("o_custkey").alias("kmin"),
-                  F.max("o_custkey").alias("kmax")))
-    z = spark.read.parquet(out).crossJoin(F.broadcast(stats))
-    lo = F.col("kmin") + (F.col("kmax") - F.col("kmin")) / 4
-    hi = F.col("kmin") + (F.col("kmax") - F.col("kmin")) / 2
-    return (z.where(F.col("o_custkey").between(lo, hi)
+    kmin, kmax = (load(spark, sf_dir, "orders")
+                  .agg(F.min("o_custkey"), F.max("o_custkey")).first())
+    lo = math.ceil(kmin + (kmax - kmin) / 4)
+    hi = math.floor(kmin + (kmax - kmin) / 2)
+    z = spark.read.parquet(out)
+    return (z.where(F.col("o_custkey").between(F.lit(lo), F.lit(hi))
                     & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
                     & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz")))
             .select("o_orderkey", "o_custkey",

@@ -10,6 +10,13 @@ timezones that have caught real bugs) plus sf0.1 x UTC (the bench scale,
 catches type/perf cliffs the small SFs hide). --fast drops the sf0.1 leg.
 Each leg is a SUBPROCESS so every run gets the driver's fresh-session
 shape (JVM launched after env staging, non-reused catalogs).
+
+Completeness invariant (r6 verdict ask #2): every leg's swept query set
+must EQUAL the registry's declared set at HEAD — the r6 artifact was
+generated before the last 4 declared rows landed and silently covered
+218/222. The sweep now exits 1 naming any missing/extra rows, and the
+artifact embeds declared_count / swept complete flags so the claim is
+self-auditing.
 """
 import json
 import os
@@ -17,6 +24,20 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def declared_set() -> set[str]:
+    """The registry's declared query names at current HEAD (no Spark
+    session needed — registration is import-time)."""
+    sys.path.insert(0, REPO)
+    from spark_streaming_dis_plugin_spark.plans.registry import all_queries
+    import __spark_entry__ as E
+    names = set(E.queries())
+    reg = set(all_queries())
+    # queries() is the driver surface; registry rows not exported there
+    # (bench/parity twins) are out of sweep scope by design.
+    assert names <= reg, sorted(names - reg)
+    return names
 
 def main() -> None:
     if len(sys.argv) < 2 or not sys.argv[1].isdigit():
@@ -28,6 +49,7 @@ def main() -> None:
     if not fast:
         legs.append(("UTC", "/root/testdata/sf0.1"))
 
+    declared = declared_set()
     matrix: dict[str, dict] = {}
     failed = False
     for tz, sf in legs:
@@ -52,14 +74,35 @@ def main() -> None:
             matrix[key] = {"err": "no artifact (contract crashed)",
                            "tail": tail}
 
+    # Completeness invariant: each leg must have swept EXACTLY the
+    # declared set at this HEAD. Fail loudly, naming the rows.
+    completeness: dict[str, dict] = {}
+    for key, v in matrix.items():
+        swept = set(v.get("queries", {}))
+        missing = sorted(declared - swept)
+        extra = sorted(swept - declared)
+        completeness[key] = {
+            "swept": len(swept), "missing": missing, "extra": extra,
+            "complete": not missing and not extra}
+        if missing or extra:
+            failed = True
+            print(f"INCOMPLETE leg {key}: missing={missing} extra={extra}",
+                  flush=True)
+
     summary = {k: {"ok": v.get("ok"), "mismatched": v.get("mismatched"),
-                   "rows_only": v.get("rows_only")}
+                   "rows_only": v.get("rows_only"),
+                   **completeness.get(k, {})}
                for k, v in matrix.items()}
     artifact = os.path.join(REPO, f"SWEEP_r{rnd:02d}.json")
     with open(artifact, "w") as f:
-        json.dump({"round": rnd, "summary": summary, "matrix": matrix},
+        json.dump({"round": rnd,
+                   "declared_count": len(declared),
+                   "all_legs_complete": all(
+                       c["complete"] for c in completeness.values()),
+                   "summary": summary, "matrix": matrix},
                   f, indent=1, sort_keys=True)
-    print(f"wrote {artifact}: {json.dumps(summary)}")
+    print(f"wrote {artifact}: declared={len(declared)} "
+          f"{json.dumps(summary)}")
     sys.exit(1 if failed else 0)
 
 
