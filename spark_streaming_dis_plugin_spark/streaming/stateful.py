@@ -304,3 +304,72 @@ def sessions_with_timers_tws(env: DataFrame,
                 outputStructType=SESSION_OUT_SCHEMA,
                 outputMode="Append",
                 timeMode="EventTime"))
+
+
+# --------------------- streaming exact-dedup (first-seen) on TWS
+
+DEDUP_OUT_SCHEMA = "vh bigint, value string"
+
+
+def dedup_first_seen_tws(env: DataFrame) -> DataFrame:
+    """Streaming EXACT DEDUP over a live envelope stream — the streaming
+    twin of the batch ``dedup_exact_by_hash`` / ``dedup_bloom_incremental``
+    family (r6 verdict ask #4), and the production shape for continuous
+    corpus ingest: records arrive forever, and each distinct content
+    (keyed by the portable 60-bit md5 hash of ``value``) must be emitted
+    exactly ONCE — the first time it is seen — with every later duplicate
+    suppressed by per-key state that survives micro-batch boundaries,
+    checkpoint kills and resumes.
+
+    transformWithStateInPandas with a per-content-hash ValueState holding
+    a single seen marker: the first batch containing a hash emits
+    ``(vh, value)`` and sets the marker; all later occurrences (same or
+    later batches, either side of a restart) find the marker and emit
+    nothing. The emitted row is CONTENT-DETERMINED (vh functionally
+    determines value), so the output set equals ``SELECT DISTINCT`` over
+    the whole log no matter how the backlog interleaves into batches
+    across partitions — the property that lets a plain batch oracle gate
+    a rate-limited multi-batch, kill/resume drain.
+
+    100 TB posture: state is one RocksDB entry per DISTINCT content hash
+    (16 bytes of key, 1 byte of value), hash-partitioned across
+    executors by the groupBy — the corpus itself never sits in state,
+    and per-batch work is one shuffle of (hash, value) pairs. For
+    unbounded content cardinality production bounds retention with state
+    TTL (handle.getValueState(ttlDurationMs=...)) accepting re-emission
+    after expiry, or fronts this operator with the broadcast Bloom probe
+    (dedup_bloom_incremental) so only probable-new content reaches the
+    stateful stage."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from ..functions.portable import portable_hash
+
+    class _FirstSeenProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._seen = handle.getValueState("seen", "one tinyint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._seen.exists():
+                # fully drain the iterator? not required by the API; the
+                # runtime discards unread batches for the key
+                return iter(())
+            self._seen.update((1,))
+            for pdf in rows:
+                if len(pdf):
+                    return iter([pd.DataFrame(
+                        {"vh": [key[0]],
+                         "value": [str(pdf["value"].iloc[0])]})])
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    hashed = env.select(portable_hash(F.col("value")).alias("vh"), "value")
+    return (hashed
+            .groupBy("vh")
+            .transformWithStateInPandas(
+                statefulProcessor=_FirstSeenProcessor(),
+                outputStructType=DEDUP_OUT_SCHEMA,
+                outputMode="Append",
+                timeMode="None"))
