@@ -405,3 +405,12 @@ def test_zorder_scan_pushes_both_dimensions(spark, sf_dir):
     # band bounds are literals now: no stats join feeds the scan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_image_neardup_banded_no_allpairs(spark, sf_dir):
+    """dHash near-dup must keep the SimHash banding topology: candidate
+    generation is a band-key equi-join (shuffled hash/SMJ on band,bv),
+    never a cartesian or broadcast nested-loop all-pairs pass."""
+    plan = _plan(spark, "multimodal_image_neardup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
