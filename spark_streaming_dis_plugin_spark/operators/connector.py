@@ -3066,6 +3066,126 @@ def dis_stream_dedup_tws_streamed(spark: SparkSession,
     return final.select("vh", "value")
 
 
+_ANN_LOG_CACHE: dict[str, str] = {}
+_ANN_LOG_PARTS = 3
+
+
+def _materialized_embeddings_log(spark: SparkSession, sf_dir: str):
+    """On-disk DisLog carrying the streamed split of the embeddings table
+    as JSON payloads — the arrival stream for the ANN-ingest gate. Built
+    once per (process, sf_dir); value = to_json(vec_id, e) (float->double
+    cast is exact, and Jackson prints shortest-round-trip doubles, so the
+    payload parses back bit-identical)."""
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog
+
+    from .similarity import ann_ingest_split
+
+    spark.dataSource.register(DisDataSource)
+    if sf_dir not in _ANN_LOG_CACHE:
+        root = scratch_dir("dis_emb_log_")
+        _, streamed = ann_ingest_split(spark, sf_dir)
+        part = (F.col("vec_id") % _ANN_LOG_PARTS).cast("int")
+        w = Window.partitionBy(part).orderBy("vec_id")
+        env = streamed.select(
+            part.alias("partition"),
+            (F.row_number().over(w) - 1).cast("long").alias("offset"),
+            F.col("vec_id").cast("string").alias("key"),
+            F.to_json(F.struct("vec_id", "e")).alias("value"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+             .alias("timestamp"))
+        DisLog(root, "embeddings").create(_ANN_LOG_PARTS)
+        (env.repartition(_ANN_LOG_PARTS, "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.format("dis")
+            .option("path", root).option("stream", "embeddings")
+            .option("segmentRows", "16")
+            .mode("append").save())
+        _ANN_LOG_CACHE[sf_dir] = root
+    return DisLog(_ANN_LOG_CACHE[sf_dir], "embeddings")
+
+
+def _register_ann_ingest():
+    from .similarity import ann_ingest_oracle
+
+    @register(
+        "dis_ann_ingest_streamed",
+        oracle=ann_ingest_oracle(n_probe=1),
+        tags=("connector", "streaming", "ann", "ivf", "ingest",
+              "multibatch", "e2e"))
+    def dis_ann_ingest_streamed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+        """STREAMING ANN INGEST (r6 verdict ask #6): the IVF index is
+        built over the BASE corpus split; new embeddings then arrive on a
+        live rate-limited dis stream and are folded into the index
+        incrementally — each micro-batch assigns its vectors to the
+        EXISTING trained centroids (broadcast, no retrain) and appends
+        them to a copy of the parquet inverted file via foreachBatch.
+        After >= 3 data batches drain, the declared result is a standard
+        n_probe=1 search over the post-ingest index.
+
+        Search-consistency contract: because per-batch assignment uses
+        exactly the math the batch build uses, base-build + incremental
+        appends composes to the same inverted file as a full rebuild —
+        and the oracle IS the rebuilt-index search (ann_ingest_oracle),
+        so the driver's hash equality checks post-ingest == rebuilt
+        directly. 100 TB shape: per batch, work is |batch| x C distance
+        ranks plus one parquet append into the arriving clusters; the
+        base corpus is never rescanned or reshuffled by ingest, and a
+        production deployment periodically re-trains centroids offline
+        exactly as it would re-run the batch build (drift is a training
+        policy, not an ingest-path concern)."""
+        import shutil
+
+        from ..streaming.drain import drain_available
+        from .similarity import _ivf_search_prebuilt, _rank_to_centroids
+        from .similarity import ann_base_index_root
+
+        base_root = ann_base_index_root(spark, sf_dir)
+        ingest_root = scratch_dir("ivf_ingest_")
+        shutil.copytree(f"{base_root}/centroids",
+                        f"{ingest_root}/centroids", dirs_exist_ok=True)
+        shutil.copytree(f"{base_root}/inverted",
+                        f"{ingest_root}/inverted", dirs_exist_ok=True)
+
+        log = _materialized_embeddings_log(spark, sf_dir)
+        total = sum(log.latest_offsets().values())
+        per = max(-(-total // 4), 1)
+        cent = spark.read.parquet(f"{ingest_root}/centroids")
+
+        def ingest(bdf, batch_id):
+            parsed = (bdf.select(
+                F.from_json("value", "vec_id bigint, e array<double>")
+                 .alias("r")).select("r.vec_id", "r.e"))
+            assigned = (_rank_to_centroids(parsed, cent)
+                        .where(F.col("rnk") == 1)
+                        .select("vec_id", "e",
+                                F.col("centroid_id").alias("cluster")))
+            assigned.write.mode("append").parquet(f"{ingest_root}/inverted")
+
+        ckpt = scratch_dir("ann_ingest_ckpt_")
+        try:
+            sdf = (spark.readStream.format("dis")
+                   .option("path", log.root).option("stream", log.stream)
+                   .option("maxOffsetsPerTrigger", str(per))
+                   .load())
+            q = (sdf.writeStream.foreachBatch(ingest)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(processingTime="0 seconds").start())
+            batches = drain_available(q, timeout_seconds=300)
+            if batches < 3:
+                raise AssertionError(
+                    f"ann ingest drained in {batches} data batches; "
+                    "the multi-batch gate requires >= 3")
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return _ivf_search_prebuilt(spark, sf_dir, n_probe=1,
+                                    root=ingest_root)
+
+
+_register_ann_ingest()
+
+
 @register(
     "dis_fanout_sink_roundtrip",
     oracle=f"""

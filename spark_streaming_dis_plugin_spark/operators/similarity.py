@@ -272,13 +272,17 @@ def _rank_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
             .withColumn("rnk", F.row_number().over(w)))
 
 
-def _ivf_build_relations(spark: SparkSession,
-                         sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _ivf_build_relations(spark: SparkSession, sf_dir: str,
+                         corpus: DataFrame | None = None
+                         ) -> tuple[DataFrame, DataFrame]:
     """IVF BUILD: one decimal-exact Lloyd iteration from deterministic
     seeds -> (trained centroids, inverted file). The inverted file is the
     full corpus tagged with its cluster (vec_id, e, cluster) — the
-    index relation a production system materializes once and amortizes."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    index relation a production system materializes once and amortizes.
+    ``corpus`` overrides the trained/indexed vector set (must contain the
+    seed ids) — the streaming-ingest gate trains on its base split."""
+    emb = corpus if corpus is not None else load(
+        spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double"))
         .alias("e"))
     cent0 = (emb.where(F.col("vec_id") < N_CENTROIDS)
@@ -322,14 +326,15 @@ def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _ivf_search_prebuilt(spark: SparkSession, sf_dir: str,
-                         n_probe: int) -> DataFrame:
+                         n_probe: int, root: str | None = None) -> DataFrame:
     """IVF SEARCH over the prebuilt index — the amortized production
     path: scan the stored inverted file, rank each query vector against
     the (tiny, broadcast) stored centroids at query time to pick its
     n_probe clusters, then score only those clusters' members. Each
     query touches ~|corpus| / C * n_probe vectors; the corpus-side scan
-    carries no Lloyd work at all (pinned by test_plan_shapes)."""
-    root = _ivf_index_root(spark, sf_dir)
+    carries no Lloyd work at all (pinned by test_plan_shapes).
+    ``root`` overrides the index location (streaming-ingest gate)."""
+    root = root or _ivf_index_root(spark, sf_dir)
     inverted = spark.read.parquet(f"{root}/inverted")
     cent = spark.read.parquet(f"{root}/centroids")
     queries = (inverted.where(F.col("vec_id") < N_QUERIES)
@@ -1128,3 +1133,114 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("query_id")
             .agg(F.count("p_neighbor").alias("hits_prefix"),
                  F.count(F.lit(1)).alias("k")))
+
+
+# -------------------------------------- streaming ANN ingest support
+
+ANN_INGEST_MOD = 4
+ANN_INGEST_MIN_ID = 16    # > max(seed, query) id: seeds/queries stay base
+ANN_INGEST_STREAM_PRED_SQL = (
+    f"(vec_id % {ANN_INGEST_MOD} = 0 AND vec_id >= {ANN_INGEST_MIN_ID})")
+
+
+def ann_ingest_split(spark: SparkSession,
+                     sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(base, streamed) corpus split for the streaming-ingest gate: every
+    4th vector from id 16 up 'arrives later' on the stream; seeds
+    (vec_id < 8) and queries (vec_id < 10) are always base, so training
+    on base alone is well-defined and the query set exists pre-ingest."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double"))
+        .alias("e"))
+    is_stream = ((F.col("vec_id") % ANN_INGEST_MOD == 0)
+                 & (F.col("vec_id") >= ANN_INGEST_MIN_ID))
+    return emb.where(~is_stream), emb.where(is_stream)
+
+
+_ANN_BASE_CACHE: dict[str, str] = {}
+
+
+def ann_base_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """IVF index trained and built over the BASE split only, materialized
+    once per (process, sf_dir) — the index that exists before streaming
+    ingest starts. Ingest appends assigned vectors to a per-call COPY of
+    this inverted file (never mutates the cached base)."""
+    if sf_dir not in _ANN_BASE_CACHE:
+        root = scratch_dir("ivf_base_index_")
+        base, _ = ann_ingest_split(spark, sf_dir)
+        cent, inverted = _ivf_build_relations(spark, sf_dir, corpus=base)
+        cent.write.mode("overwrite").parquet(f"{root}/centroids")
+        inverted.write.mode("overwrite").parquet(f"{root}/inverted")
+        _ANN_BASE_CACHE[sf_dir] = root
+    return _ANN_BASE_CACHE[sf_dir]
+
+
+def ann_ingest_oracle(n_probe: int) -> str:
+    """DuckDB twin of post-ingest search: centroids from one decimal-exact
+    Lloyd step over the BASE split, the inverted file as the REBUILT
+    assignment of the FULL corpus against those centroids (exactly what
+    base-build + per-batch streamed assignment composes to, since both
+    use the same trained centroids), then the standard n_probe search.
+    Being the rebuilt-index search, oracle equality IS the
+    search-consistency contract: post-ingest search == rebuilt-index
+    search."""
+    dims = ", ".join(f"{_dim_avg_sql(i + 1)} AS d{i}" for i in range(DIM))
+    cent_array = "[" + ", ".join(f"d{i}" for i in range(DIM)) + "]"
+    d2 = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(range(1, {dim} + 1), "
+          "i -> (CAST(v.embedding[i] AS DOUBLE) - c.ce[i]) "
+          "* (CAST(v.embedding[i] AS DOUBLE) - c.ce[i]))), "
+          "(acc, x) -> acc + x)").format(dim=DIM)
+    return f"""
+    WITH base AS (
+      SELECT * FROM embeddings WHERE NOT {ANN_INGEST_STREAM_PRED_SQL}
+    ),
+    cent0 AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM base WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign0 AS (
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2}, c.centroid_id) AS rnk
+        FROM base v CROSS JOIN cent0 c
+      ) WHERE rnk = 1
+    ),
+    cent1 AS (
+      SELECT cluster AS centroid_id, {cent_array} AS ce FROM (
+        SELECT a.cluster, {dims}
+        FROM assign0 a JOIN base v ON a.vec_id = v.vec_id
+        GROUP BY a.cluster
+      )
+    ),
+    ranked AS (
+      SELECT v.vec_id, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {d2}, c.centroid_id) AS rnk
+      FROM embeddings v CROSS JOIN cent1 c
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cluster FROM ranked WHERE rnk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id AS probe
+      FROM ranked WHERE rnk <= {n_probe} AND vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {cosine_sql('q.embedding', 'v.embedding')} AS cos
+      FROM probes p
+        JOIN assign a ON a.cluster = p.probe AND a.vec_id != p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings v ON v.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """
