@@ -3105,6 +3105,104 @@ def _materialized_embeddings_log(spark: SparkSession, sf_dir: str):
     return DisLog(_ANN_LOG_CACHE[sf_dir], "embeddings")
 
 
+_DOCS_LOG_CACHE: dict[str, str] = {}
+_DOCS_LOG_PARTS = 3
+
+
+def _materialized_docs_log(spark: SparkSession, sf_dir: str):
+    """On-disk DisLog carrying the documents corpus as JSON payloads —
+    the arrival stream for the streaming near-dup gate. Built once per
+    (process, sf_dir); JSON string escaping round-trips text exactly."""
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog
+
+    spark.dataSource.register(DisDataSource)
+    if sf_dir not in _DOCS_LOG_CACHE:
+        root = scratch_dir("dis_docs_log_")
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        part = (F.col("doc_id") % _DOCS_LOG_PARTS).cast("int")
+        w = Window.partitionBy(part).orderBy("doc_id")
+        env = docs.select(
+            part.alias("partition"),
+            (F.row_number().over(w) - 1).cast("long").alias("offset"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.to_json(F.struct("doc_id", "text")).alias("value"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+             .alias("timestamp"))
+        DisLog(root, "documents").create(_DOCS_LOG_PARTS)
+        (env.repartition(_DOCS_LOG_PARTS, "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.format("dis")
+            .option("path", root).option("stream", "documents")
+            .option("segmentRows", "64")
+            .mode("append").save())
+        _DOCS_LOG_CACHE[sf_dir] = root
+    return DisLog(_DOCS_LOG_CACHE[sf_dir], "documents")
+
+
+def _register_stream_neardup():
+    from .dedup import _LSH_PAIRS_ORACLE, _shingle_sets, streaming_band_rows
+    from .dedup import JACCARD_THRESHOLD
+
+    @register(
+        "dis_stream_neardup_lsh_streamed",
+        oracle=_LSH_PAIRS_ORACLE,
+        tags=("connector", "streaming", "stateful", "tws", "dedup",
+              "minhash", "lsh", "multibatch", "e2e"))
+    def dis_stream_neardup_lsh_streamed(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+        """STREAMING NEAR-DUP over a live corpus stream — the LSH twin of
+        dis_stream_dedup_tws_streamed, completing the streaming dedup
+        family (exact + near): documents arrive as rate-limited JSON
+        payloads; a stateless front computes MinHash signatures and
+        explodes LSH band rows in-stream (dedup.streaming_band_rows);
+        per-(band,v0,v1) bucket ListState (lsh_bucket_pairs_tws) emits a
+        candidate pair the moment a new member joins a bucket with
+        existing members — across micro-batch boundaries, which is the
+        point: a duplicate arriving a week after its original still
+        pairs, because the bucket membership IS the state. Drained over
+        >= 3 rate-limited batches, candidates dedup across bands
+        (DISTINCT, as in the batch pipeline), then exact-Jaccard
+        verification joins the STORED corpus (batch side) and applies
+        the 0.8 threshold — verification work stays proportional to the
+        candidate set, exactly like batch LSH.
+
+        The emitted candidate SET is batching-independent (all unordered
+        same-bucket pairs), so the full batch pipeline
+        (dedup_minhash_lsh) is the exact oracle — same signatures, same
+        bands, same verification arithmetic."""
+        from ..streaming.stateful import lsh_bucket_pairs_tws
+
+        log = _materialized_docs_log(spark, sf_dir)
+        total = sum(log.latest_offsets().values())
+        per = max(-(-total // 5), 1)
+        with _rocksdb_state(spark):
+            sdf = (spark.readStream.format("dis")
+                   .option("path", log.root).option("stream", log.stream)
+                   .option("maxOffsetsPerTrigger", str(per))
+                   .load())
+            parsed = (sdf.select(
+                F.from_json("value", "doc_id bigint, text string")
+                 .alias("r")).select("r.doc_id", "r.text"))
+            pairs = lsh_bucket_pairs_tws(streaming_band_rows(parsed))
+            drained = _drain_multibatch(spark, pairs, "lshstream",
+                                        output_mode="append")
+        cand = drained.select("doc_a", "doc_b").distinct()
+        sets = _shingle_sets(load(spark, sf_dir, "documents"))
+        sa = sets.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sh").alias("sha"))
+        sb = sets.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sh").alias("shb"))
+        inter = F.size(F.array_intersect("sha", "shb"))
+        jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+        return (cand.join(sa, "doc_a").join(sb, "doc_b")
+                .select("doc_a", "doc_b", jac.alias("jaccard"))
+                .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+_register_stream_neardup()
+
+
 def _register_ann_ingest():
     from .similarity import ann_ingest_oracle
 

@@ -1461,3 +1461,34 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", cont.alias("containment"),
                     jac.alias("jaccard"))
             .where(F.col("containment") >= CONTAINMENT_T))
+
+
+def streaming_band_rows(parsed: DataFrame) -> DataFrame:
+    """(doc_id, band, v0, v1) LSH band rows from a STREAMING (doc_id,
+    text) relation — the stateless front of the streaming near-dup gate
+    (dis_stream_neardup_lsh_streamed). Same shingle/signature/banding
+    math as _with_signature + _lsh_pairs, minus the persist() barrier
+    (unavailable on streams): CollapseProject therefore re-inlines the
+    hashed-shingle array into each of the 8 signature mins, an ~8x
+    expression blowup that is irrelevant at micro-batch row counts and
+    pays for keeping the whole front stateless and shuffle-free."""
+    hashed = (parsed
+              .select("doc_id", tokens("text").alias("tk"))
+              .select("doc_id", word_shingles("tk", SHINGLE_N).alias("sh"))
+              .where(F.size("sh") > 0)
+              .withColumn("hs", F.transform(
+                  F.col("sh"), lambda s: portable_hash(s) % MINHASH_PRIME)))
+    sig_cols = [
+        F.array_min(F.transform(
+            F.col("hs"),
+            lambda h: (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_PRIME))
+        .alias(f"h{i}")
+        for i in range(NUM_HASHES)]
+    sig = hashed.select("doc_id", *sig_cols)
+    band_structs = F.array(*[
+        F.struct(F.lit(band).alias("band"),
+                 F.col(f"h{band * BAND_SIZE}").alias("v0"),
+                 F.col(f"h{band * BAND_SIZE + 1}").alias("v1"))
+        for band in range(NUM_HASHES // BAND_SIZE)])
+    return (sig.select("doc_id", F.explode(band_structs).alias("b"))
+            .select("doc_id", "b.band", "b.v0", "b.v1"))

@@ -373,3 +373,65 @@ def dedup_first_seen_tws(env: DataFrame) -> DataFrame:
                 outputStructType=DEDUP_OUT_SCHEMA,
                 outputMode="Append",
                 timeMode="None"))
+
+
+# ------------------- streaming LSH bucket pairs (near-dup candidates)
+
+LSH_PAIRS_SCHEMA = "doc_a bigint, doc_b bigint"
+
+
+def lsh_bucket_pairs_tws(bands: DataFrame) -> DataFrame:
+    """Streaming NEAR-DUP candidate generation: the batch LSH band-bucket
+    self-join recast as per-bucket ListState. Input is the stateless band
+    relation (doc_id, band, v0, v1); keying by the full bucket id
+    (band, v0, v1) gives each bucket its own membership list, and every
+    arriving member emits one candidate pair against each member already
+    present (within-batch arrivals pair in sorted-id order, so a batch
+    delivering a whole bucket behaves exactly like the batch self-join).
+    The emitted pair SET therefore equals all unordered same-bucket pairs
+    — the batch band-join's output — regardless of how arrivals split
+    into micro-batches; cross-band duplicate pairs are deduplicated by
+    the caller exactly as the batch pipeline's DISTINCT does.
+
+    100 TB posture: state per bucket is the member id list — LSH bucket
+    sizes are the SAME quantity the batch join's skew is bounded by, so a
+    production deployment caps bucket size (a bucket past the cap is a
+    degenerate band — emit to a quarantine relation instead of
+    quadratically pairing, the established df-cap discipline from
+    dedup_ngram_jaccard_capped) and bounds retention with state TTL."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _BucketPairsProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._members = handle.getListState("members", "doc_id bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            existing = ([t[0] for t in self._members.get()]
+                        if self._members.exists() else [])
+            seen = set(existing)
+            new_ids: list[int] = []
+            for pdf in rows:
+                for d in sorted(int(x) for x in pdf["doc_id"]):
+                    if d not in seen:
+                        seen.add(d)
+                        new_ids.append(d)
+            pairs = []
+            members = list(existing)
+            for n in new_ids:
+                pairs.extend((min(n, m), max(n, m)) for m in members)
+                members.append(n)
+            if new_ids:
+                self._members.appendList([(d,) for d in new_ids])
+            if pairs:
+                yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+        def close(self) -> None:
+            pass
+
+    return (bands
+            .groupBy("band", "v0", "v1")
+            .transformWithStateInPandas(
+                statefulProcessor=_BucketPairsProcessor(),
+                outputStructType=LSH_PAIRS_SCHEMA,
+                outputMode="Append",
+                timeMode="None"))
