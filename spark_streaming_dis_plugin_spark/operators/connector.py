@@ -3105,39 +3105,144 @@ def _materialized_embeddings_log(spark: SparkSession, sf_dir: str):
     return DisLog(_ANN_LOG_CACHE[sf_dir], "embeddings")
 
 
-_DOCS_LOG_CACHE: dict[str, str] = {}
-_DOCS_LOG_PARTS = 3
+@register(
+    "dis_cdc_feed_tws_streamed",
+    oracle=f"""
+    WITH env AS ({_ENV})
+    SELECT "key", "offset",
+           LAG("value") OVER (PARTITION BY "key"
+                              ORDER BY "offset") AS prev_value,
+           "value",
+           LAG("value") OVER (PARTITION BY "key" ORDER BY "offset")
+             IS DISTINCT FROM "value" AS is_change
+    FROM env
+    """,
+    tags=("connector", "streaming", "stateful", "tws", "cdc",
+          "multibatch", "e2e"))
+def dis_cdc_feed_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC FEED under the oracle gate: every record of the
+    rate-limited stream emits alongside its key's PREVIOUS value
+    (streaming/stateful.cdc_changes_tws — per-key ValueState carries the
+    last value across micro-batches, so batch boundaries are invisible
+    in the feed), plus an is_change flag (null-safe inequality). The
+    batch oracle is a single LAG window over the log — equality pins
+    that state handoff across >= 3 batches reconstructs exactly the
+    in-partition record adjacency. The change-feed primitive under
+    feature stores and incremental cache invalidation."""
+    from ..streaming.stateful import cdc_changes_tws
+
+    log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    with _rocksdb_state(spark):
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .option("maxOffsetsPerTrigger", str(per))
+               .load())
+        feed = _drain_multibatch(spark, cdc_changes_tws(sdf), "cdcfeed",
+                                 output_mode="append")
+    return feed.select(
+        "key", "offset", "prev_value", "value",
+        (~F.col("prev_value").eqNullSafe(F.col("value"))).alias("is_change"))
 
 
-def _materialized_docs_log(spark: SparkSession, sf_dir: str):
-    """On-disk DisLog carrying the documents corpus as JSON payloads —
-    the arrival stream for the streaming near-dup gate. Built once per
-    (process, sf_dir); JSON string escaping round-trips text exactly."""
-    from ..sources.dis_datasource import DisDataSource
-    from ..sources.dis_log import DisLog
+_UPSERT_BUCKETS = 8
 
-    spark.dataSource.register(DisDataSource)
-    if sf_dir not in _DOCS_LOG_CACHE:
-        root = scratch_dir("dis_docs_log_")
-        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-        part = (F.col("doc_id") % _DOCS_LOG_PARTS).cast("int")
-        w = Window.partitionBy(part).orderBy("doc_id")
-        env = docs.select(
-            part.alias("partition"),
-            (F.row_number().over(w) - 1).cast("long").alias("offset"),
-            F.col("doc_id").cast("string").alias("key"),
-            F.to_json(F.struct("doc_id", "text")).alias("value"),
-            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
-             .alias("timestamp"))
-        DisLog(root, "documents").create(_DOCS_LOG_PARTS)
-        (env.repartition(_DOCS_LOG_PARTS, "partition")
-            .sortWithinPartitions("partition", "offset")
-            .write.format("dis")
-            .option("path", root).option("stream", "documents")
-            .option("segmentRows", "64")
-            .mode("append").save())
-        _DOCS_LOG_CACHE[sf_dir] = root
-    return DisLog(_DOCS_LOG_CACHE[sf_dir], "documents")
+
+@register(
+    "dis_upsert_view_streamed",
+    oracle=f"""
+    WITH env AS ({_ENV}),
+    latest AS (
+      SELECT "key", "value", "offset",
+             ROW_NUMBER() OVER (PARTITION BY "key"
+                                ORDER BY "offset" DESC) AS rn
+      FROM env
+    )
+    SELECT "key", "value" AS last_value, "offset" AS last_offset
+    FROM latest WHERE rn = 1
+    """,
+    tags=("connector", "streaming", "sink", "upsert", "materialized-view",
+          "multibatch", "e2e"))
+def dis_upsert_view_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MATERIALIZED VIEW by streaming upsert — the production
+    'latest state per key' table (user profiles, device shadows, feature
+    stores) maintained from the log without ever recomputing it: each
+    rate-limited micro-batch reduces to its per-key latest record, maps
+    keys to hash buckets, reads back ONLY the affected bucket partitions
+    of the stored view (directory-pruned), max-by-offset merges, and
+    rewrites ONLY those buckets via dynamic partition overwrite — so
+    per-batch work is proportional to |touched buckets|, never to the
+    view (at 100 TB: thousands of buckets, a batch rewrites the few its
+    keys hash into; every other partition is untouched files). The merge
+    is max-by-offset and therefore IDEMPOTENT, which is what upgrades
+    foreachBatch's at-least-once replay to an exactly-correct view — a
+    replayed batch merges to the same rows (the same upgrade the
+    txn-ledger sinks make).
+
+    Per-key ordering is well-defined because a key lives in exactly one
+    log partition (key-hash routing), so offset order IS the key's
+    arrival order. The oracle recomputes the view declaratively
+    (max-offset record per key over the whole log); >= 3 data batches
+    asserted so the view provably accreted incrementally."""
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    from ..streaming.drain import drain_available
+
+    log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    view = scratch_dir("upsert_view_")
+    shutil.rmtree(view)       # read-side existence check needs it absent
+    ckpt = scratch_dir("upsert_ckpt_")
+    bucket = F.pmod(F.xxhash64("key"), F.lit(_UPSERT_BUCKETS)).alias("bucket")
+
+    def upsert(bdf, batch_id):
+        w = Window.partitionBy("key").orderBy(F.desc("offset"))
+        latest = (bdf.select("key", "value", "offset")
+                  .withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1)
+                  .select(bucket, "key",
+                          F.col("value").alias("last_value"),
+                          F.col("offset").alias("last_offset")))
+        buckets = [r["bucket"] for r in
+                   latest.select("bucket").distinct().collect()]
+        try:
+            existing = (bdf.sparkSession.read.parquet(view)
+                        .where(F.col("bucket").isin(buckets)))
+            merged = existing.unionByName(latest)
+        except AnalysisException:      # first batch: no view yet
+            merged = latest
+        wv = Window.partitionBy("key").orderBy(F.desc("last_offset"))
+        out = (merged.withColumn("rn", F.row_number().over(wv))
+               .where(F.col("rn") == 1).drop("rn"))
+        # materialize BEFORE overwriting: the write targets the same path
+        # the merge reads (Spark rejects read-path overwrite, rightly).
+        # localCheckpoint is the micro-batch-scale stand-in for the
+        # staged-snapshot swap a table format (Delta/Iceberg) does here.
+        out = out.localCheckpoint()
+        (out.write.mode("overwrite").partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic").parquet(view))
+
+    try:
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .option("maxOffsetsPerTrigger", str(per))
+               .load())
+        q = (sdf.writeStream.foreachBatch(upsert)
+             .option("checkpointLocation", ckpt)
+             .trigger(processingTime="0 seconds").start())
+        batches = drain_available(q, timeout_seconds=300)
+        if batches < 3:
+            raise AssertionError(
+                f"upsert view built in {batches} data batches; "
+                "the multi-batch gate requires >= 3")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.read.parquet(view)
+            .select("key", "last_value", "last_offset"))
 
 
 def _register_stream_neardup():
@@ -3153,8 +3258,9 @@ def _register_stream_neardup():
                                         sf_dir: str) -> DataFrame:
         """STREAMING NEAR-DUP over a live corpus stream — the LSH twin of
         dis_stream_dedup_tws_streamed, completing the streaming dedup
-        family (exact + near): documents arrive as rate-limited JSON
-        payloads; a stateless front computes MinHash signatures and
+        family (exact + near): documents arrive rate-limited on the
+        partitioned docs log (key=doc_id, value=text — the curation
+        gate's substrate); a stateless front computes MinHash signatures and
         explodes LSH band rows in-stream (dedup.streaming_band_rows);
         per-(band,v0,v1) bucket ListState (lsh_bucket_pairs_tws) emits a
         candidate pair the moment a new member joins a bucket with
@@ -3181,9 +3287,11 @@ def _register_stream_neardup():
                    .option("path", log.root).option("stream", log.stream)
                    .option("maxOffsetsPerTrigger", str(per))
                    .load())
-            parsed = (sdf.select(
-                F.from_json("value", "doc_id bigint, text string")
-                 .alias("r")).select("r.doc_id", "r.text"))
+            # the docs log carries (key=doc_id, value=text) directly —
+            # same substrate as the curation sink gate
+            parsed = sdf.select(
+                F.col("key").cast("bigint").alias("doc_id"),
+                F.col("value").alias("text"))
             pairs = lsh_bucket_pairs_tws(streaming_band_rows(parsed))
             drained = _drain_multibatch(spark, pairs, "lshstream",
                                         output_mode="append")

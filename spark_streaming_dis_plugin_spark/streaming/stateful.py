@@ -435,3 +435,56 @@ def lsh_bucket_pairs_tws(bands: DataFrame) -> DataFrame:
                 outputStructType=LSH_PAIRS_SCHEMA,
                 outputMode="Append",
                 timeMode="None"))
+
+
+# ----------------------- streaming CDC change feed (prev-value state)
+
+CDC_SCHEMA = ("key string, offset bigint, prev_value string, "
+              "value string")
+
+
+def cdc_changes_tws(env: DataFrame) -> DataFrame:
+    """CHANGE-DATA-CAPTURE feed from the record log: for every arriving
+    record emit (key, offset, prev_value, value) where prev_value is the
+    key's immediately preceding record — across micro-batch boundaries,
+    which is what requires state: the last value of every key persists
+    between batches (ValueState), so a batch boundary between two
+    records of a key is invisible in the feed. Within a batch the key's
+    rows are folded in offset order (a key lives in one log partition,
+    so offset order is its total arrival order — the same contract the
+    upsert view relies on).
+
+    This is the streaming primitive under feature-store change capture
+    and incremental downstream invalidation; the batch oracle is one
+    LAG window over the log. 100 TB posture: state is one (value,
+    offset) pair per ACTIVE key, TTL-boundable; emission is 1:1 with
+    input, no amplification."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _CdcProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._last = handle.getValueState(
+                "last", "value string, last_offset bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._last.get()[0] if self._last.exists() else None
+            pdf = pd.concat(list(rows)).sort_values("offset")
+            out = []
+            for off, val in zip(pdf["offset"], pdf["value"]):
+                out.append((key[0], int(off), prev, str(val)))
+                prev = str(val)
+            if out:
+                self._last.update((prev, out[-1][1]))
+                yield pd.DataFrame(
+                    out, columns=["key", "offset", "prev_value", "value"])
+
+        def close(self) -> None:
+            pass
+
+    return (env.select("key", "offset", "value")
+            .groupBy("key")
+            .transformWithStateInPandas(
+                statefulProcessor=_CdcProcessor(),
+                outputStructType=CDC_SCHEMA,
+                outputMode="Append",
+                timeMode="None"))
