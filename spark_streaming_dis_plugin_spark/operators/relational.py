@@ -2907,3 +2907,59 @@ def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_custkey",
                     F.date_format("o_orderdate", "yyyy-MM-dd")
                     .alias("o_date")))
+
+
+AGG_MERGE_SPLIT = "2024-01-24 00:00:00"
+
+
+@register(
+    "agg_incremental_merge",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dsum_sql('"value"')} AS total_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("relational", "aggregate", "incremental"))
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE — the batch pattern behind every
+    'daily rollup + today's delta' pipeline at 100 TB: the standing
+    aggregate state over history (here: events before 2024-01-24) is NOT
+    recomputed when a new partition arrives; the delta is aggregated
+    alone and MERGED state-to-state (count: +, sum: exact decimal +,
+    min/max: least/greatest) through a full-outer join on the group key.
+    Declared equality with the one-shot GROUP BY over the whole table is
+    precisely the algebraic-mergeability contract (the same property
+    Spark's own partial aggregation exploits within a query, lifted to
+    cross-run persistence). Sums stay DECIMAL until after the merge so
+    history + delta is bit-exact regardless of split point; timestamps
+    merge by least/greatest. At scale the history side is a stored
+    state table read once per refresh — work scales with |delta| +
+    |state|, never with history's raw rows."""
+    events = load(spark, sf_dir, "events")
+    split = F.lit(AGG_MERGE_SPLIT).cast("timestamp_ntz")
+
+    def partial(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(F.col("value").cast("decimal(27,4)")).alias(f"s_{tag}"),
+            F.min("ts").alias(f"min_{tag}"),
+            F.max("ts").alias(f"max_{tag}"))
+
+    hist = partial(events.where(F.col("ts") < split), "h")
+    delta = partial(events.where(F.col("ts") >= split), "d")
+    merged = hist.join(delta, "user_id", "full_outer")
+    zero = F.lit(0).cast("decimal(27,4)")
+    return merged.select(
+        "user_id",
+        (F.coalesce("n_h", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+        .cast("bigint").alias("n_events"),
+        (F.coalesce("s_h", zero) + F.coalesce("s_d", zero))
+        .cast("double").alias("total_value"),
+        F.date_format(F.least("min_h", "min_d"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+         .alias("first_ts"),
+        F.date_format(F.greatest("max_h", "max_d"),
+                      "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"))
