@@ -67,3 +67,34 @@ def test_near_identical_payloads_small_hamming():
     out = _run([base, bytes(mutated)])
     a, b = int(out["dhash"].iloc[0]), int(out["dhash"].iloc[1])
     assert bin(a ^ b).count("1") <= 2
+
+
+def test_dhash_banding_is_lossless(spark, sf_dir):
+    """The dHash near-dup row's algorithmic claim: 4 x 14-bit pigeonhole
+    bands surface EVERY pair within hamming <= 3 over the 56-bit
+    signatures, so the banded pipeline equals brute-force all-pairs
+    hamming (the same losslessness contract as SimHash's banding)."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_dis_plugin_spark.operators.multimodal import (
+        DHASH_HAMMING_MAX,
+        multimodal_image_dhash,
+        multimodal_image_neardup,
+    )
+
+    banded = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in multimodal_image_neardup(spark, sf_dir).collect())
+    sig = multimodal_image_dhash(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"),
+                   F.col("dhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"),
+                   F.col("dhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    brute = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in (a.join(b, F.col("doc_a") < F.col("doc_b"))
+                  .where(ham <= DHASH_HAMMING_MAX)
+                  .select("doc_a", "doc_b",
+                          ham.cast("int").alias("hamming")).collect()))
+    assert banded == brute
