@@ -3106,6 +3106,64 @@ def _materialized_embeddings_log(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "dis_backfill_handoff_streamed",
+    oracle=f"""
+    WITH env AS ({_ENV}),
+    mids AS (
+      SELECT "partition", COUNT(*) // 2 AS mid FROM env GROUP BY 1
+    )
+    SELECT e.stream, e."partition", e."offset", e."key", e."value",
+           strftime(e."timestamp", '{TS_FMT_DUCK}') AS ts_utc,
+           CASE WHEN e."offset" < m.mid THEN 'backfill' ELSE 'tail' END
+             AS phase
+    FROM env e JOIN mids m ON e."partition" = m."partition"
+    """,
+    tags=("connector", "streaming", "batch", "handoff", "e2e"))
+def dis_backfill_handoff_streamed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """BATCH-BACKFILL -> STREAMING-TAIL HANDOFF — the bootstrap shape of
+    every kappa deployment: history is loaded with the cheap BATCH
+    reader (no micro-batch planning, no state) up to a per-partition
+    cutover offset, and the live STREAM starts exactly there
+    (startingOffsets JSON, the same dialect createRDD boundaries use).
+    The union must reproduce the whole log with every record in exactly
+    one phase — the phase tag makes any overlap (double-read at the
+    seam) or gap (record lost at the seam) a hash mismatch, which is the
+    entire risk of a handoff and the reason teams get it wrong with
+    timestamps instead of offsets. Cutover = per-partition midpoint so
+    the seam lands mid-backlog in every partition.
+
+    At 100 TB this is how a new pipeline catches up: the backfill half
+    is a plain partitioned scan (full parallelism, no trigger overhead
+    — the bench's ~4 s/micro-batch fixed cost times zero batches), and
+    only the live tail pays streaming costs."""
+    import json as _json
+
+    log = _materialized_log(spark, sf_dir)
+    mids = {str(p): n // 2 for p, n in log.latest_offsets().items()}
+    boundary = _json.dumps({log.stream: mids})
+    cols = ["stream", "partition", "offset", "key", "value"]
+
+    backfill = (spark.read.format("dis")
+                .option("path", log.root).option("stream", log.stream)
+                .option("endingOffsets", boundary)
+                .load()
+                .select(*cols, F.date_format("timestamp", TS_FMT_SPARK)
+                        .alias("ts_utc"),
+                        F.lit("backfill").alias("phase")))
+    sdf = (spark.readStream.format("dis")
+           .option("path", log.root).option("stream", log.stream)
+           .option("startingOffsets", boundary)
+           .load()
+           .select(*cols, F.date_format("timestamp", TS_FMT_SPARK)
+                   .alias("ts_utc")))
+    tail = (_drain_to_memory(spark, sdf, "handoff_tail",
+                             output_mode="append")
+            .withColumn("phase", F.lit("tail")))
+    return backfill.unionByName(tail)
+
+
+@register(
     "dis_cdc_feed_tws_streamed",
     oracle=f"""
     WITH env AS ({_ENV})
