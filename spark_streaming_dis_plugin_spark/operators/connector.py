@@ -3394,15 +3394,25 @@ def _register_ann_ingest():
         and the oracle IS the rebuilt-index search (ann_ingest_oracle),
         so the driver's hash equality checks post-ingest == rebuilt
         directly. 100 TB shape: per batch, work is |batch| x C distance
-        ranks plus one parquet append into the arriving clusters; the
+        ranks plus one parquet write into the arriving clusters; the
         base corpus is never rescanned or reshuffled by ingest, and a
         production deployment periodically re-trains centroids offline
         exactly as it would re-run the batch build (drift is a training
-        policy, not an ingest-path concern)."""
+        policy, not an ingest-path concern).
+
+        Replay safety (r7 ADVICE, medium): foreachBatch delivers each
+        batch AT LEAST once, so a plain ``mode('append')`` double-writes
+        a batch re-executed after a failure and duplicate neighbors can
+        occupy top-k ranks. Each batch therefore lands in its own
+        deterministic hive-style subdirectory ``inverted/src=b<batchId>``
+        with ``mode('overwrite')`` — a replay overwrites its own
+        directory, never touching the base copy (``src=base``) or other
+        batches. Partition discovery surfaces ``src`` as an inert string
+        column the search never selects."""
         import shutil
 
         from ..streaming.drain import drain_available
-        from .similarity import _ivf_search_prebuilt, _rank_to_centroids
+        from .similarity import _ivf_ingest_batch, _ivf_search_prebuilt
         from .similarity import ann_base_index_root
 
         base_root = ann_base_index_root(spark, sf_dir)
@@ -3410,7 +3420,8 @@ def _register_ann_ingest():
         shutil.copytree(f"{base_root}/centroids",
                         f"{ingest_root}/centroids", dirs_exist_ok=True)
         shutil.copytree(f"{base_root}/inverted",
-                        f"{ingest_root}/inverted", dirs_exist_ok=True)
+                        f"{ingest_root}/inverted/src=base",
+                        dirs_exist_ok=True)
 
         log = _materialized_embeddings_log(spark, sf_dir)
         total = sum(log.latest_offsets().values())
@@ -3421,11 +3432,7 @@ def _register_ann_ingest():
             parsed = (bdf.select(
                 F.from_json("value", "vec_id bigint, e array<double>")
                  .alias("r")).select("r.vec_id", "r.e"))
-            assigned = (_rank_to_centroids(parsed, cent)
-                        .where(F.col("rnk") == 1)
-                        .select("vec_id", "e",
-                                F.col("centroid_id").alias("cluster")))
-            assigned.write.mode("append").parquet(f"{ingest_root}/inverted")
+            _ivf_ingest_batch(parsed, cent, ingest_root, batch_id)
 
         ckpt = scratch_dir("ann_ingest_ckpt_")
         try:

@@ -272,6 +272,24 @@ def _rank_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
             .withColumn("rnk", F.row_number().over(w)))
 
 
+def _ivf_ingest_batch(parsed: DataFrame, cent: DataFrame,
+                      ingest_root: str, batch_id: int) -> None:
+    """One streaming-ingest micro-batch folded into an IVF inverted file:
+    assign each arriving vector to its nearest EXISTING centroid (no
+    retrain) and land the batch in its own hive-style subdirectory
+    ``inverted/src=b<batch_id>`` with ``mode('overwrite')``. The
+    deterministic per-batch directory makes foreachBatch's at-least-once
+    replay idempotent (r7 ADVICE, medium): a re-executed batch replaces
+    its own directory byte-for-byte instead of appending duplicates that
+    could occupy top-k ranks in the post-ingest search."""
+    assigned = (_rank_to_centroids(parsed, cent)
+                .where(F.col("rnk") == 1)
+                .select("vec_id", "e",
+                        F.col("centroid_id").alias("cluster")))
+    assigned.write.mode("overwrite").parquet(
+        f"{ingest_root}/inverted/src=b{batch_id}")
+
+
 def _ivf_build_relations(spark: SparkSession, sf_dir: str,
                          corpus: DataFrame | None = None
                          ) -> tuple[DataFrame, DataFrame]:

@@ -72,10 +72,13 @@ def _vendor_fingerprint() -> str | None:
     """Cheap content fingerprint of (vendor source, our patch logic).
     Read without building the zip, so the fast path can detect staleness:
     r6 ADVICE #1 found that once the staged zip existed, vendor-source or
-    patch changes silently never reached workers. Hashes the two files
-    our patching touches plus the version marker; a full-tree hash would
-    cost a walk per import for change classes that can't occur (the SDK
-    dir is read-only)."""
+    patch changes silently never reached workers. Digests a whole-tree
+    stat walk — sorted (relpath, size, mtime_ns) of every shippable file
+    — rather than any file bodies (r7 ADVICE: hashing only the two
+    patched files left every OTHER vendored source invisible to the
+    staleness check). One os.walk of ~100 entries per process, no reads;
+    a content change without a size/mtime move is not a class the SDK
+    dir produces."""
     src = next((p for p in _VENDOR_SOURCES if os.path.isdir(p)), None)
     if src is None:
         return None
@@ -84,12 +87,22 @@ def _vendor_fingerprint() -> str | None:
     h = hashlib.sha256()
     h.update(_STAGE_PATCH_REV.encode())
     h.update(src.encode())
-    for name in ("runtime_version.py", "__init__.py"):
-        try:
-            with open(os.path.join(src, name), "rb") as f:
-                h.update(f.read())
-        except OSError:
-            h.update(b"<missing>")
+    entries = []
+    for dirp, dirs, files in os.walk(src):
+        dirs[:] = [d for d in dirs
+                   if d not in ("blaze-out", "__pycache__")]
+        for name in files:
+            if name.endswith(".pyc"):
+                continue
+            full = os.path.join(dirp, name)
+            try:
+                st = os.stat(full)
+                entries.append((os.path.relpath(full, src),
+                                st.st_size, st.st_mtime_ns))
+            except OSError:
+                entries.append((os.path.relpath(full, src), -1, -1))
+    for rel, size, mtime in sorted(entries):
+        h.update(f"{rel}\x00{size}\x00{mtime}\x00".encode())
     return h.hexdigest()[:16]
 
 
@@ -114,7 +127,10 @@ def _find_staged_site_zip(fingerprint: str | None) -> str | None:
     """A vendor zip already staged by an earlier process AND matching the
     current vendor-source fingerprint. A staged copy without a manifest
     (pre-fingerprint rounds) or with a stale one is ignored, forcing a
-    rebuild + re-stage — the refresh path r6 ADVICE #1 asked for."""
+    rebuild + re-stage — the refresh path r6 ADVICE #1 asked for.
+    When ``fingerprint`` is None (no vendor source on this machine), any
+    manifest-bearing staged copy is accepted: no rebuild is possible, so
+    rejecting it would only discard a working runtime (r7 ADVICE)."""
     for d in _site_dirs():
         stable = os.path.join(d, _SITE_ZIP)
         if not (os.path.exists(stable)
@@ -125,7 +141,7 @@ def _find_staged_site_zip(fingerprint: str | None) -> str | None:
                 staged_fp = f.read().strip()
         except OSError:
             continue  # no manifest -> treat as stale
-        if fingerprint is not None and staged_fp == fingerprint:
+        if fingerprint is None or staged_fp == fingerprint:
             return stable
     return None
 

@@ -311,6 +311,18 @@ def sessions_with_timers_tws(env: DataFrame,
 DEDUP_OUT_SCHEMA = "vh bigint, value string"
 
 
+def _first_seen_value(chunks) -> str | None:
+    """First non-empty pandas chunk's first ``value``, or None when every
+    chunk is empty. Factored out so the marker-commit rule is structural:
+    the caller sets the seen marker ONLY on a non-None return, i.e. only
+    alongside an actual emission (r7 ADVICE — a key delivered with only
+    empty chunks must stay unseen so a later occurrence still emits)."""
+    for pdf in chunks:
+        if len(pdf):
+            return str(pdf["value"].iloc[0])
+    return None
+
+
 def dedup_first_seen_tws(env: DataFrame) -> DataFrame:
     """Streaming EXACT DEDUP over a live envelope stream — the streaming
     twin of the batch ``dedup_exact_by_hash`` / ``dedup_bloom_incremental``
@@ -354,13 +366,12 @@ def dedup_first_seen_tws(env: DataFrame) -> DataFrame:
                 # fully drain the iterator? not required by the API; the
                 # runtime discards unread batches for the key
                 return iter(())
+            value = _first_seen_value(rows)
+            if value is None:
+                return iter(())
             self._seen.update((1,))
-            for pdf in rows:
-                if len(pdf):
-                    return iter([pd.DataFrame(
-                        {"vh": [key[0]],
-                         "value": [str(pdf["value"].iloc[0])]})])
-            return iter(())
+            return iter([pd.DataFrame(
+                {"vh": [key[0]], "value": [value]})])
 
         def close(self) -> None:
             pass
