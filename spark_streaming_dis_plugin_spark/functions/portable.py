@@ -98,6 +98,22 @@ def word_shingles(tokens_col: Column | str, n: int) -> Column:
     return F.array_distinct(F.filter(cur, lambda s: s.isNotNull()))
 
 
+def word_gram_positions(tokens_col: Column | str, n: int) -> Column:
+    """Position-aligned n-word grams: element ``i`` (0-based) of the
+    returned array is the space-joined gram starting at token ``i``; the
+    trailing ``n-1`` slots null-propagate (callers posexplode + filter).
+    Unlike :func:`word_shingles` this keeps ORDER and MULTIPLICITY — the
+    shape duplicated-substring-span detection needs. Same zip_with-chain
+    discipline (never reference an outer array inside a HOF lambda)."""
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    cur = toks
+    for k in range(2, n + 1):
+        shifted = F.slice(toks, k, _SLICE_REST)
+        cur = F.zip_with(cur, shifted,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return cur
+
+
 def word_shingles_sql(expr: str, n: int) -> str:
     toks = tokens_sql(expr)
     return (

@@ -3457,6 +3457,129 @@ def _register_ann_ingest():
 _register_ann_ingest()
 
 
+_ANN_QUERY_LOG_CACHE: dict[str, str] = {}
+_ANN_QUERY_LOG_PARTS = 2
+
+
+def _materialized_ann_query_log(spark: SparkSession, sf_dir: str):
+    """On-disk DisLog carrying the ANN QUERY set (vec_id < N_QUERIES) as
+    JSON payloads — the arrival stream for the query-serving gate. Tiny
+    by construction (queries, not corpus); small segments so a rate
+    limit spreads it over several micro-batches."""
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog
+
+    from .similarity import N_QUERIES
+
+    spark.dataSource.register(DisDataSource)
+    if sf_dir not in _ANN_QUERY_LOG_CACHE:
+        from ..tables import load
+
+        root = scratch_dir("dis_annq_log_")
+        emb = load(spark, sf_dir, "embeddings")
+        q = (emb.where(F.col("vec_id") < N_QUERIES)
+             .select("vec_id",
+                     F.transform("embedding", lambda x: x.cast("double"))
+                     .alias("e")))
+        part = (F.col("vec_id") % _ANN_QUERY_LOG_PARTS).cast("int")
+        w = Window.partitionBy(part).orderBy("vec_id")
+        env = q.select(
+            part.alias("partition"),
+            (F.row_number().over(w) - 1).cast("long").alias("offset"),
+            F.col("vec_id").cast("string").alias("key"),
+            F.to_json(F.struct(F.col("vec_id").alias("query_id"),
+                               F.col("e").alias("qe"))).alias("value"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+             .alias("timestamp"))
+        DisLog(root, "annq").create(_ANN_QUERY_LOG_PARTS)
+        (env.repartition(_ANN_QUERY_LOG_PARTS, "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.format("dis")
+            .option("path", root).option("stream", "annq")
+            .option("segmentRows", "4")
+            .mode("append").save())
+        _ANN_QUERY_LOG_CACHE[sf_dir] = root
+    return DisLog(_ANN_QUERY_LOG_CACHE[sf_dir], "annq")
+
+
+def _register_ann_query():
+    from .similarity import _ivf_nprobe_oracle
+
+    @register(
+        "dis_ann_query_streamed",
+        oracle=_ivf_nprobe_oracle(n_probe=1),
+        tags=("connector", "streaming", "ann", "ivf", "search",
+              "multibatch", "e2e"))
+    def dis_ann_query_streamed(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+        """STREAMING ANN QUERY SERVING: the batch IVF search
+        (sim_ivf_topk) driven from a live query stream — embedding
+        queries arrive on a rate-limited dis stream and each micro-batch
+        is searched against the STATIC prebuilt full-corpus index
+        (broadcast centroids pick the probe cluster, then only that
+        cluster's members are scored), results landing per batch in a
+        parquet sink. Because per-query results are independent of how
+        the query set splits into batches, the accumulated sink equals
+        the one-shot batch search — and the oracle IS sim_ivf_topk's
+        (_ivf_nprobe_oracle), so the driver checks streamed == batch
+        hash-exactly.
+
+        Replay safety: each batch's results land in a deterministic
+        ``src=b<batchId>`` subdirectory with ``mode('overwrite')`` — the
+        idempotent-foreachBatch discipline of dis_ann_ingest_streamed
+        (r7 ADVICE), so an at-least-once re-execution replaces rather
+        than duplicates. 100 TB shape: per batch, |batch| x C centroid
+        ranks plus a probe-pruned scan of ~|corpus|/C vectors per query;
+        the serving index is read-only and shared, queries never shuffle
+        the corpus, and horizontal scale is executors x batches — the
+        production online-ANN topology (query log in, result log out).
+        Reference crosswalk: createDirectStream (DISUtils.scala) feeding
+        per-batch downstream compute is exactly this foreachBatch shape;
+        the search itself is engine-side."""
+        import shutil
+
+        from ..streaming.drain import drain_available
+        from .similarity import _ivf_index_root, _ivf_search_for_queries
+
+        root = _ivf_index_root(spark, sf_dir)
+        inverted = spark.read.parquet(f"{root}/inverted")
+        cent = spark.read.parquet(f"{root}/centroids")
+        qlog = _materialized_ann_query_log(spark, sf_dir)
+        total = sum(qlog.latest_offsets().values())
+        per = max(-(-total // 4), 1)
+        out = scratch_dir("ann_qres_")
+
+        def search(bdf, batch_id):
+            q = (bdf.select(
+                F.from_json("value", "query_id bigint, qe array<double>")
+                 .alias("r")).select("r.query_id", "r.qe"))
+            res = _ivf_search_for_queries(inverted, cent, q, n_probe=1)
+            res.write.mode("overwrite").parquet(f"{out}/src=b{batch_id}")
+
+        ckpt = scratch_dir("ann_query_ckpt_")
+        try:
+            sdf = (spark.readStream.format("dis")
+                   .option("path", qlog.root).option("stream", qlog.stream)
+                   .option("maxOffsetsPerTrigger", str(per))
+                   .load())
+            q = (sdf.writeStream.foreachBatch(search)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(processingTime="0 seconds").start())
+            batches = drain_available(q, timeout_seconds=300)
+            if batches < 3:
+                raise AssertionError(
+                    f"ann query stream drained in {batches} data batches; "
+                    "the multi-batch gate requires >= 3")
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return (spark.read.parquet(out)
+                .select("query_id", "neighbor_id",
+                        (F.col("cos") + 0.0).alias("cos"), "rnk"))
+
+
+_register_ann_query()
+
+
 @register(
     "dis_fanout_sink_roundtrip",
     oracle=f"""

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.portable import (
     cosine, cosine_sql, portable_hash, portable_hash_sql, tokens,
-    tokens_sql, word_shingles, word_shingles_sql,
+    tokens_sql, word_gram_positions, word_shingles, word_shingles_sql,
 )
 from ..plans.registry import register
 from ..tables import load
@@ -1492,3 +1492,202 @@ def streaming_band_rows(parsed: DataFrame) -> DataFrame:
         for band in range(NUM_HASHES // BAND_SIZE)])
     return (sig.select("doc_id", F.explode(band_structs).alias("b"))
             .select("doc_id", "b.band", "b.v0", "b.v1"))
+
+
+# ------------------------------------------- duplicated substring spans
+
+SPAN_GRAM_N = 8
+
+
+def _span_ctes() -> str:
+    """Shared DuckDB CTE chain: tokenized docs -> positioned 8-grams ->
+    cross-doc duplicated positions -> merged maximal spans (+ doc token
+    totals). Ends defining ``toks2``, ``spans`` and ``tot``."""
+    return f"""toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+    ), toks2 AS (SELECT doc_id, t FROM toks WHERE len(t) >= {SPAN_GRAM_N}),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, len(t) - {SPAN_GRAM_N} + 2),
+               i -> {{'p': i - 1,
+                      'g': array_to_string(
+                             list_slice(t, i, i + {SPAN_GRAM_N} - 1),
+                             ' ')}})) AS r
+      FROM toks2
+    ), pg AS (SELECT doc_id, r.p AS p, r.g AS g FROM grams),
+    dup AS (SELECT g FROM pg GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+    dpos AS (SELECT doc_id, p FROM pg WHERE g IN (SELECT g FROM dup)),
+    lagged AS (
+      SELECT doc_id, p, lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+      FROM dpos
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             SUM(CASE WHEN prev IS NULL OR p > prev + {SPAN_GRAM_N}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM lagged
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(p) AS s, MAX(p) + {SPAN_GRAM_N} - 1 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    tot AS (SELECT doc_id, len(t) AS tot_tokens FROM toks2)"""
+
+
+def _span_frames(spark: SparkSession,
+                 sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(toks, spans): tokenized docs ``(doc_id, t, tot_tokens)`` and
+    merged duplicated spans ``(doc_id, tot_tokens, s, e)`` — the Spark
+    twin of :func:`_span_ctes`, shared by the span-report and excision
+    operators so both threshold the SAME duplication evidence."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    para = spark.sparkContext.defaultParallelism
+    toks = (docs.repartition(para)
+            .select("doc_id", tokens("text").alias("t"))
+            .where(F.size("t") >= SPAN_GRAM_N)
+            .withColumn("tot_tokens", F.size("t")))
+    pg = (toks
+          .select("doc_id", "tot_tokens",
+                  F.posexplode(word_gram_positions("t", SPAN_GRAM_N))
+                   .alias("p", "g"))
+          .where(F.col("g").isNotNull()))
+    dup = (pg.groupBy("g")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .where(F.col("nd") > 1)
+           .select("g"))
+    dpos = pg.join(dup, "g").select("doc_id", "tot_tokens", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    marker = F.when(
+        F.col("prev").isNull()
+        | (F.col("p") > F.col("prev") + SPAN_GRAM_N), 1).otherwise(0)
+    isl = (dpos.withColumn("prev", F.lag("p").over(w))
+           .withColumn("island", F.sum(marker).over(
+               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    spans = (isl.groupBy("doc_id", "tot_tokens", "island")
+             .agg(F.min("p").alias("s"),
+                  (F.max("p") + F.lit(SPAN_GRAM_N - 1)).alias("e")))
+    return toks, spans
+
+
+@register(
+    "dedup_duplicated_spans",
+    oracle=f"""
+    WITH {_span_ctes()}
+    SELECT spans.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+           CAST(MAX(tot_tokens) AS BIGINT) AS tot_tokens,
+           ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / MAX(tot_tokens), 4) + 0.0
+             AS dup_frac
+    FROM spans JOIN tot ON tot.doc_id = spans.doc_id
+    GROUP BY spans.doc_id
+    ORDER BY spans.doc_id
+    """,
+    tags=("dedup", "substring", "spans", "pipeline"), bench=True)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT DUPLICATED SUBSTRING SPANS — the training-data
+    hygiene operator of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (exact-substring dedup), re-expressed as a
+    shuffle-parallel DataFrame pipeline instead of a suffix array: every
+    8-token gram that occurs in MORE THAN ONE document marks its start
+    position as duplicated; per document, overlapping/adjacent marked
+    windows merge (gaps-and-islands over a lag/rolling-sum window) into
+    maximal spans. Output per affected doc: span count, duplicated-token
+    total, doc length, duplicated fraction — the quantities a curation
+    pipeline thresholds on before cutting spans out of the corpus.
+
+    100 TB shape: one corpus-wide shuffle — the gram groupBy (HAVING
+    count(DISTINCT doc) > 1) and the join back of surviving grams; at
+    production scale both move a 128-bit gram fingerprint, not the gram
+    text (xxhash64-pair discipline of dedup_ngram_jaccard_fast), and
+    boilerplate grams past a document-frequency cap are dropped exactly
+    like high-df shingles (they mark everything and discriminate
+    nothing). The island merge is per-document window work, partitioned
+    by doc_id — no cross-doc state. The suffix-array formulation needs a
+    global sort of the concatenated corpus; this form needs only
+    hash-shuffles, which is why it is the one that survives 1000
+    executors. Reference scope check: the connector (DISUtils.scala)
+    ships payloads opaquely; corpus hygiene is engine-side — parity
+    target is capability, not a reference operator."""
+    _, spans = _span_frames(spark, sf_dir)
+    return (spans.groupBy("doc_id", "tot_tokens")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+                 F.sum(F.col("e") - F.col("s") + 1).cast("long")
+                  .alias("dup_tokens"))
+            .select("doc_id", "n_spans", "dup_tokens",
+                    F.col("tot_tokens").cast("long").alias("tot_tokens"),
+                    (F.round(F.col("dup_tokens").cast("double")
+                             / F.col("tot_tokens"), 4) + 0.0)
+                    .alias("dup_frac"))
+            .orderBy("doc_id"))
+
+
+@register(
+    "pipeline_span_excision",
+    oracle=f"""
+    WITH {_span_ctes()},
+    tokpos AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) + 1),
+                    i -> {{'p': i - 1, 'tok': t[i]}})) AS r
+      FROM toks2
+    ), tp AS (SELECT doc_id, r.p AS p, r.tok AS tok FROM tokpos),
+    kept AS (
+      SELECT tp.doc_id, tp.p, tp.tok FROM tp
+      WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                        WHERE sp.doc_id = tp.doc_id
+                          AND tp.p BETWEEN sp.s AND sp.e)
+    )
+    SELECT t.doc_id,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.p), '') AS kept_text,
+           CAST(COUNT(k.p) AS BIGINT) AS n_kept,
+           CAST(MAX(t.tot_tokens) - COUNT(k.p) AS BIGINT) AS n_removed
+    FROM tot t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("dedup", "substring", "excision", "pipeline"))
+def pipeline_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING EXCISION — the actionable half of
+    dedup_duplicated_spans: actually CUT the cross-document duplicated
+    spans out and emit the cleaned token stream per document (every doc
+    >= 8 tokens appears; unaffected docs pass through whole, a fully
+    duplicated doc comes out empty). This is the corpus a training run
+    would consume after Lee-et-al-style exact-substring dedup.
+
+    Plan: token positions anti-join the merged span intervals ON doc_id
+    (an interval probe against the handful of spans of the SAME doc —
+    never a corpus-wide range join), then per-doc reassembly via
+    array_sort(collect_list(struct(p, tok))) — grouped by doc_id, so
+    reassembly is partition-local after one hash shuffle. At 100 TB both
+    sides of the anti-join are already partitioned by doc_id from the
+    span stage; the only corpus-wide move remains the gram shuffle
+    inherited from _span_frames."""
+    toks, spans = _span_frames(spark, sf_dir)
+    tp = (toks.select("doc_id", "tot_tokens",
+                      F.posexplode("t").alias("p", "tok")))
+    sp = spans.select(F.col("doc_id").alias("s_doc"), "s", "e")
+    kept = tp.join(
+        sp, (F.col("doc_id") == F.col("s_doc"))
+        & F.col("p").between(F.col("s"), F.col("e")), "left_anti")
+    kept_agg = (kept.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                     F.array_join(
+                         F.transform(
+                             F.array_sort(
+                                 F.collect_list(F.struct("p", "tok"))),
+                             lambda r: r["tok"]), " ").alias("kept_text")))
+    n_kept = F.coalesce("n_kept", F.lit(0).cast("long"))
+    return (toks.select("doc_id",
+                        F.col("tot_tokens").cast("long").alias("tt"))
+            .join(kept_agg, "doc_id", "left_outer")
+            .select("doc_id",
+                    F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+                    n_kept.alias("n_kept"),
+                    (F.col("tt") - n_kept).cast("long").alias("n_removed"))
+            .orderBy("doc_id"))

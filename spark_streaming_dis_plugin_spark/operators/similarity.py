@@ -358,6 +358,16 @@ def _ivf_search_prebuilt(spark: SparkSession, sf_dir: str,
     queries = (inverted.where(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("e").alias("qe")))
+    return _ivf_search_for_queries(inverted, cent, queries, n_probe)
+
+
+def _ivf_search_for_queries(inverted: DataFrame, cent: DataFrame,
+                            queries: DataFrame, n_probe: int) -> DataFrame:
+    """IVF search core for an explicit query relation (query_id, qe) —
+    shared by the batch prebuilt-index search and the streaming
+    query-serving gate, which feeds each micro-batch of arriving queries
+    through this exact plan. Per-query results are independent, so a
+    query set split across micro-batches composes to the batch answer."""
     # query -> probe clusters: rank against C stored centroids (query-time
     # work proportional to |queries| * C, independent of corpus size)
     qd2 = F.aggregate(

@@ -414,3 +414,14 @@ def test_image_neardup_banded_no_allpairs(spark, sf_dir):
     plan = _plan(spark, "multimodal_image_neardup", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicated_spans_single_gram_shuffle_no_cartesian(spark, sf_dir):
+    """dedup_duplicated_spans: the only corpus-wide move is the gram
+    groupBy + join back — no cartesian, no broadcast of the corpus, and
+    the island merge stays in doc_id-partitioned window work."""
+    plan = _plan(spark, "dedup_duplicated_spans", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # island merge windows partition by doc_id
+    assert "hashpartitioning(doc_id" in plan
