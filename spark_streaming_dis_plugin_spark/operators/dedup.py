@@ -1537,12 +1537,18 @@ def _span_ctes() -> str:
     tot AS (SELECT doc_id, len(t) AS tot_tokens FROM toks2)"""
 
 
-def _span_frames(spark: SparkSession,
-                 sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _span_frames(spark: SparkSession, sf_dir: str,
+                 hashed: bool = False) -> tuple[DataFrame, DataFrame]:
     """(toks, spans): tokenized docs ``(doc_id, t, tot_tokens)`` and
     merged duplicated spans ``(doc_id, tot_tokens, s, e)`` — the Spark
     twin of :func:`_span_ctes`, shared by the span-report and excision
-    operators so both threshold the SAME duplication evidence."""
+    operators so both threshold the SAME duplication evidence.
+    ``hashed=True`` is the production posting key: each positioned gram
+    collapses to xxhash64 BEFORE the corpus-wide groupBy/join, so the
+    only big shuffle moves 8-byte longs instead of ~50-byte gram
+    strings — same discipline as dedup_ngram_jaccard_fast (a 64-bit
+    collision marking a false duplicate position is the only divergence
+    source; the parity pytest pins equality on the fixtures)."""
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
@@ -1551,11 +1557,13 @@ def _span_frames(spark: SparkSession,
             .select("doc_id", tokens("text").alias("t"))
             .where(F.size("t") >= SPAN_GRAM_N)
             .withColumn("tot_tokens", F.size("t")))
+    gram = F.posexplode(word_gram_positions("t", SPAN_GRAM_N))
     pg = (toks
-          .select("doc_id", "tot_tokens",
-                  F.posexplode(word_gram_positions("t", SPAN_GRAM_N))
-                   .alias("p", "g"))
+          .select("doc_id", "tot_tokens", gram.alias("p", "g"))
           .where(F.col("g").isNotNull()))
+    if hashed:
+        pg = pg.select("doc_id", "tot_tokens", "p",
+                       F.xxhash64("g").alias("g"))
     dup = (pg.groupBy("g")
            .agg(F.count_distinct("doc_id").alias("nd"))
            .where(F.col("nd") > 1)
@@ -1615,6 +1623,10 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships payloads opaquely; corpus hygiene is engine-side — parity
     target is capability, not a reference operator."""
     _, spans = _span_frames(spark, sf_dir)
+    return _span_report(spans)
+
+
+def _span_report(spans: DataFrame) -> DataFrame:
     return (spans.groupBy("doc_id", "tot_tokens")
             .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
                  F.sum(F.col("e") - F.col("s") + 1).cast("long")
@@ -1625,6 +1637,25 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / F.col("tot_tokens"), 4) + 0.0)
                     .alias("dup_frac"))
             .orderBy("doc_id"))
+
+
+@register(
+    "dedup_duplicated_spans_fast",
+    oracle=None,       # xxhash64 gram keys are JVM-only; the report is
+                       # asserted equal to the portable string-key
+                       # pipeline in tests (64-bit collisions would be
+                       # the only divergence source)
+    tags=("dedup", "substring", "spans", "production-hash"), bench=True,
+    declared=False)    # bench + parity-pytest gated (COVERAGE.md)
+def dedup_duplicated_spans_fast(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """dedup_duplicated_spans with the production posting keys: every
+    positioned 8-gram hashed to xxhash64 before the corpus-wide
+    duplicate-marking shuffle — at 100 TB that shuffle is this
+    operator's dominant cost and its key width is the first lever
+    (identical topology, ~6x fewer shuffled bytes per gram)."""
+    _, spans = _span_frames(spark, sf_dir, hashed=True)
+    return _span_report(spans)
 
 
 @register(

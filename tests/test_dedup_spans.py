@@ -97,3 +97,16 @@ def test_excision_identical_docs_fully_removed(spark, tmp_path):
     out = _run_excision(spark, rows, tmp_path)
     assert out[1] == ("", 0, 16)
     assert out[2] == ("", 0, 16)
+
+
+def test_fast_hashed_gram_twin_matches_portable(spark, sf_dir):
+    """dedup_duplicated_spans_fast (xxhash64 gram posting keys) must
+    report exactly what the portable string-key pipeline reports on the
+    real fixture corpus — the parity gate that lets the fast row be
+    bench-only (same discipline as dedup_ngram_jaccard_fast)."""
+    from spark_streaming_dis_plugin_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    slow = qs["dedup_duplicated_spans"].fn(spark, sf_dir).collect()
+    fast = qs["dedup_duplicated_spans_fast"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, slow)) == sorted(map(tuple, fast))
