@@ -3946,6 +3946,72 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tris AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pernode AS (
+      SELECT node, COUNT(*) AS tri_cnt FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) GROUP BY node
+    )
+    SELECT node AS part_id, CAST(tri_cnt AS BIGINT) AS triangles
+    FROM pernode ORDER BY part_id
+    """,
+    tags=("connector", "graph", "triangles"))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING over the part co-purchase graph (same edge
+    construction as graph_pagerank_copurchase, canonicalized u < v so
+    the graph is stored once per undirected edge): per-node triangle
+    participation — the clustering-structure primitive under cohesion
+    metrics, community seeds and recommendation confidence.
+
+    Plan is the join-oriented node-iterator: wedges = edges ⋈ edges on
+    the shared middle vertex, closed against a third edge lookup — two
+    hash-shuffle equi-joins, no cartesian anywhere, each triangle
+    produced exactly once because ids are oriented a < b < c. At scale
+    the wedge join's fanout is the cost driver (sum of deg^2); the
+    production refinement is orienting edges by (degree, id) instead of
+    raw id — "compact-forward"/MGT — which bounds per-vertex wedge work
+    by arboricity so power-law hubs stop dominating, plus the same
+    high-df cap discipline the shingle joins use for degenerate keys.
+    The id orientation here keeps the oracle reproducible in pure SQL;
+    the degree orientation is result-identical, only the join order
+    changes."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    a = pairs.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("u"))
+    b = pairs.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "ok").where(F.col("u") < F.col("v"))
+             .select("u", "v").distinct())
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tris = (e1.join(e2, "b")
+            .join(e3, (F.col("a") == F.col("a3"))
+                  & (F.col("c") == F.col("c3")))
+            .select("a", "b", "c"))
+    return (tris.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
+            .groupBy("part_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+            .orderBy("part_id"))
+
+
+@register(
     "events_anomaly_mad",
     oracle="""
     WITH med AS (
