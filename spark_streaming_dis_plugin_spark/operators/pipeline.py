@@ -1004,3 +1004,59 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_exact_dups"),
                  F.countDistinct("h").cast("bigint")
                  .alias("n_unique_texts")))
+
+
+# --------------------------------------------------- JSONL corpus ingest
+
+_JSONL_CACHE: dict[str, str] = {}
+
+
+@register(
+    "source_jsonl_corpus",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) + 0.0
+             AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    tags=("source", "jsonl", "schema-on-read", "pipeline"))
+def source_jsonl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL CORPUS INGEST — the dominant wire format of LLM training
+    corpora (one JSON object per line), read schema-on-read and proven
+    equivalent to the parquet path: the documents table is materialized
+    once per (process, sf_dir) as multi-part JSONL fixture data, read
+    back with an EXPLICIT schema (never inferSchema at scale — inference
+    is a full extra pass over 100 TB), and aggregated per (lang, source);
+    the oracle computes the same profile from the parquet table, so hash
+    equality pins lossless ingest (JSON string escaping round-trips
+    newlines/quotes; int64 ids survive because the schema declares
+    bigint instead of letting inference widen to double).
+
+    100 TB posture: a JSONL directory scans partition-parallel exactly
+    like parquet (line-splittable; gzip members would be the
+    non-splittable trap — production uses zstd-framed or uncompressed
+    shards), but carries no column pruning or predicate pushdown, which
+    is why this operator exists as the INGEST edge: land JSONL, convert
+    once to parquet/z-ordered layout (layout_zorder_scan), and every
+    downstream operator reads columnar."""
+    from ..scratch import scratch_dir
+
+    if sf_dir not in _JSONL_CACHE:
+        root = scratch_dir("jsonl_docs_")
+        load(spark, sf_dir, "documents").write.mode("overwrite").json(root)
+        _JSONL_CACHE[sf_dir] = root
+    schema = ("doc_id bigint, text string, lang string, "
+              "source string, n_chars bigint")
+    docs = spark.read.schema(schema).json(_JSONL_CACHE[sf_dir])
+    cnt = F.count(F.lit(1))
+    total = F.sum("n_chars").cast("bigint")
+    return (docs.groupBy("lang", "source")
+            .agg(cnt.cast("bigint").alias("n_docs"),
+                 total.alias("total_chars"),
+                 (F.round(total.cast("double") / cnt, 4) + 0.0)
+                 .alias("avg_chars"))
+            .orderBy("lang", "source"))
