@@ -3978,34 +3978,55 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     participation — the clustering-structure primitive under cohesion
     metrics, community seeds and recommendation confidence.
 
-    Plan is the join-oriented node-iterator: wedges = edges ⋈ edges on
-    the shared middle vertex, closed against a third edge lookup — two
-    hash-shuffle equi-joins, no cartesian anywhere, each triangle
-    produced exactly once because ids are oriented a < b < c. At scale
-    the wedge join's fanout is the cost driver (sum of deg^2); the
-    production refinement is orienting edges by (degree, id) instead of
-    raw id — "compact-forward"/MGT — which bounds per-vertex wedge work
-    by arboricity so power-law hubs stop dominating, plus the same
-    high-df cap discipline the shingle joins use for degenerate keys.
-    The id orientation here keeps the oracle reproducible in pure SQL;
-    the degree orientation is result-identical, only the join order
-    changes."""
+    Plan is "compact-forward" (degree-ordered node-iterator): every
+    undirected edge is ORIENTED from its lower-(degree, id) endpoint to
+    the higher one, wedges form only around each triangle's
+    lowest-ranked vertex (out-neighbor pairs of the center, ordered by
+    the same (degree, id) key), and each wedge closes against one
+    oriented-edge lookup — two hash equi-joins, no cartesian, each
+    triangle produced exactly once at its unique lowest-ranked corner.
+    The orientation is THE scale decision: with raw-id orientation the
+    wedge fanout is sum(deg^2) over hub vertices — on this co-purchase
+    graph at sf0.1 that is tens of millions of wedges and it OOMed a
+    shared 100-query session (measured, round 8 sweep); degree
+    orientation bounds out-degrees by O(sqrt(m)) (arboricity), so hubs
+    contribute edges but almost no wedges. Rank comparisons are inline
+    (deg, id) tuple predicates — no global sort, no row_number over a
+    single partition, nothing that breaks at 10^9 vertices. The oracle
+    keeps the raw-id formulation (DuckDB handles the small-SF fanout
+    fine) — orientation changes only WHERE each triangle is counted,
+    not the triangle set, so the two plans are result-identical."""
     li = load(spark, sf_dir, "lineitem")
     pairs = li.select("l_orderkey", "l_partkey").distinct()
     a = pairs.select(F.col("l_orderkey").alias("ok"),
                      F.col("l_partkey").alias("u"))
     b = pairs.select(F.col("l_orderkey").alias("ok"),
                      F.col("l_partkey").alias("v"))
-    edges = (a.join(b, "ok").where(F.col("u") < F.col("v"))
-             .select("u", "v").distinct())
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
-    tris = (e1.join(e2, "b")
-            .join(e3, (F.col("a") == F.col("a3"))
-                  & (F.col("c") == F.col("c3")))
-            .select("a", "b", "c"))
-    return (tris.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
+    und = (a.join(b, "ok").where(F.col("u") < F.col("v"))
+           .select("u", "v").distinct())
+    deg = (und.select(F.col("u").alias("n"))
+           .unionAll(und.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    e = (und.join(deg.select(F.col("n").alias("u"),
+                             F.col("deg").alias("du")), "u")
+         .join(deg.select(F.col("n").alias("v"),
+                          F.col("deg").alias("dv")), "v"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    e_or = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dd"))
+    x = e_or.select("s", F.col("d").alias("v"), F.col("dd").alias("rv"))
+    y = e_or.select("s", F.col("d").alias("w"), F.col("dd").alias("rw"))
+    wedge = (x.join(y, "s")
+             .where((F.col("rv") < F.col("rw"))
+                    | ((F.col("rv") == F.col("rw"))
+                       & (F.col("v") < F.col("w"))))
+             .select("s", "v", "w"))
+    tris = wedge.join(e_or.select(F.col("s").alias("v"),
+                                  F.col("d").alias("w")), ["v", "w"])
+    return (tris.select(F.explode(F.array("s", "v", "w")).alias("part_id"))
             .groupBy("part_id")
             .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
             .orderBy("part_id"))
