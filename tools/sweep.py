@@ -56,11 +56,19 @@ def main() -> None:
         key = f"{os.path.basename(sf)}-{tz}"
         out = os.path.join(REPO, f".sweep_{key.replace('/', '_')}.json")
         print(f"=== sweep leg {key} ===", flush=True)
+        # A sweep leg runs the WHOLE declared registry (236 rows) in one
+        # session — far past the grading driver's 50-row shape — and at
+        # sf0.1 the default 8g heap accumulates enough broadcast/state
+        # residue to OOM around row ~120 (round 8: twice, at the first
+        # sizeable SMJ past that point). Size the leg JVM for the
+        # machine instead; caller's SPARK_GRAFT_DRIVER_MEM still wins.
+        env = dict(os.environ)
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools/drive_contract.py"),
              tz, sf, "--json", out],
             cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True)
+            text=True, env=env)
         tail = "\n".join(proc.stdout.strip().splitlines()[-3:])
         print(tail, flush=True)
         if proc.returncode != 0:
