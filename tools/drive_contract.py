@@ -26,7 +26,15 @@ if "--json" in argv:
 from pyspark.sql import SparkSession
 builder = (SparkSession.builder.master("local[8]")
            .appName("driver-sim").config("spark.ui.enabled","false")
-           .config("spark.sql.shuffle.partitions","8"))
+           .config("spark.sql.shuffle.partitions","8")
+           # Without this the session runs on pyspark's 1g default heap.
+           # The grading driver's 50-row sf0.01 shape survives that; a
+           # full-registry sweep leg (236 rows, one session) does not —
+           # round 8 OOMed at sf0.1 around row ~120 twice before this
+           # was traced here (sweep.py's env default only matters
+           # because this line reads it).
+           .config("spark.driver.memory",
+                   os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")))
 # Optional: simulate a driver session in another timezone (TZ robustness):
 #   python tools/drive_contract.py America/New_York
 # Optional second arg: scale-factor dir (default sf0.01, the driver's SF):
