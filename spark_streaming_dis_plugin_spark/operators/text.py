@@ -803,3 +803,82 @@ def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
                     F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
                     F.coalesce("text_clean", F.lit("")).alias("text_clean")))
+
+
+# ------------------------------------------------ phi-heavy-hitters
+
+HH_PHI = 0.033  # support threshold as a fraction of total corpus tokens
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({tokens_sql('text')}) AS term FROM documents
+    ),
+    cnts AS (
+      SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cnts
+    )
+    SELECT term, CAST(cnt AS BIGINT) AS cnt
+    FROM cnts, tot
+    WHERE cnt >= CAST(CEIL({HH_PHI} * n) AS BIGINT)
+    """,
+    tags=("text", "sketch", "heavy-hitters", "arrow"))
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-heavy hitters over the corpus vocabulary: every term whose
+    global frequency is >= ceil(phi * N) of the N total tokens, with its
+    EXACT count — the two-pass candidate-prune algorithm that never
+    shuffles the full term distribution.
+
+    Pass 1 (candidates, map-only): each partition counts its own tokens
+    in a local hash map (mapInArrow, zero shuffle) and emits only the
+    terms that are locally heavy — count_p >= phi * N_p for that
+    partition's N_p tokens. If sum_p count_p >= phi * sum_p N_p then
+    some partition must satisfy the local bound (else summing the
+    strict converses contradicts it), so the candidate union has NO
+    FALSE NEGATIVES under ANY partitioning; false positives are fine,
+    pass 2 removes them. Pass 2 (exact): tokens semi-joined to the
+    BROADCAST candidate set, then one groupBy over candidate terms only
+    — at 100 TB the corpus-wide shuffle carries a few thousand frequent
+    terms instead of billions of distinct ones, and the final filter
+    against ceil(phi*N) makes the output an exact function of the data
+    (the partition-dependent candidate set cannot leak through). The
+    local map is bounded by per-partition vocabulary; swap the Counter
+    for Misra-Gries space-saving (k = 1/phi entries) if partition
+    vocabularies themselves are unbounded — the no-false-negative
+    guarantee carries over unchanged.
+
+    Reference scope: frequency/top-k analytics over the record stream is
+    SURVEY.md S2c territory (the reference delegates all aggregation to
+    Spark once records are scanned)."""
+    import pyarrow as pa
+
+    docs = load(spark, sf_dir, "documents")
+    para = spark.sparkContext.defaultParallelism
+    toks = (docs.repartition(para)
+            .select(F.explode(tokens("text")).alias("term")))
+
+    def _local_heavy(batches):
+        from collections import Counter
+        cnt: Counter = Counter()
+        total = 0
+        for b in batches:
+            col = b.column(0).to_pylist()
+            cnt.update(col)
+            total += len(col)
+        heavy = [t for t, c in cnt.items() if c >= HH_PHI * total]
+        if heavy:
+            yield pa.record_batch([pa.array(heavy, pa.string())],
+                                  names=["term"])
+
+    cands = toks.mapInArrow(_local_heavy, schema="term string").distinct()
+    exact = (toks.join(F.broadcast(cands), "term")
+             .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (exact.crossJoin(F.broadcast(tot))
+            .where(F.col("cnt")
+                   >= F.ceil(F.lit(HH_PHI) * F.col("n")).cast("bigint"))
+            .select("term", F.col("cnt").cast("bigint").alias("cnt")))
