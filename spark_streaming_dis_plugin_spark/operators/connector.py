@@ -4721,3 +4721,94 @@ def dis_partition_add_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("partition", "offset", "key", "value",
                     F.date_format("timestamp", TS_FMT_SPARK)
                     .alias("ts_utc")))
+
+
+# ------------------------------------------------ per-key OLS trend
+
+@register(
+    "events_ols_trend",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                  AS DECIMAL(9,0)) AS xi,
+             CAST("value" AS DECIMAL(18,4)) AS v4
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(CAST(SUM(CAST(xi AS DECIMAL(27,4))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(v4 AS DECIMAL(27,4))) AS VARCHAR)
+                  AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(xi * xi AS DECIMAL(27,8))) AS VARCHAR)
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(xi * v4 AS DECIMAL(27,8))) AS VARCHAR)
+                  AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(v4 * v4 AS DECIMAL(27,8))) AS VARCHAR)
+                  AS DOUBLE) AS syy
+      FROM seq GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round((sxy - sx * sy / nd) / (sxx - sx * sx / nd), 9) + 0.0
+             AS slope,
+           round((sy - (sxy - sx * sy / nd) / (sxx - sx * sx / nd) * sx)
+                 / nd, 9) + 0.0 AS intercept,
+           round((sxy - sx * sy / nd) * (sxy - sx * sy / nd)
+                 / ((sxx - sx * sx / nd) * (syy - sy * sy / nd)), 9) + 0.0
+             AS r2
+    FROM m WHERE n >= 3
+    """,
+    tags=("connector", "timeseries", "statistics", "regression"))
+def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key closed-form OLS trend: for each user, regress the metric
+    against the user's own event sequence index (ROW_NUMBER over (ts,
+    event_id) — TZ-free, tie-broken, so x is a pure function of the
+    data). Slope/intercept/R^2 come from the five raw moments, each an
+    EXACT decimal sum: x is an exact small decimal, the double metric is
+    snapped once to DECIMAL(18,4) (the repo's established portable cast),
+    and every product stays inside DECIMAL(38,_) headroom — so the
+    moments are bit-identical across engines and partitionings, and the
+    closed forms diverge only in final-op association (round(9) absorbs
+    it, the stats_moments_portable discipline).
+
+    Scale shape: one shuffle on user_id for the sequence window, and the
+    groupBy reuses that partitioning (no second exchange). Per-key state
+    is O(1) — five partial sums — so this is the form trend extraction
+    takes at 100 TB: never collect a key's history, fold moments. The
+    same five sums maintain incrementally under streaming ingest
+    (state-to-state merge, cf. incremental_agg_merge).
+
+    Reference scope: per-key analytics over scanned records are delegated
+    to Spark (SURVEY.md S2b); this is the regression member of that
+    family next to events_ewma / events_markov_transitions."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    xi = F.row_number().over(w).cast("decimal(9,0)")
+    v4 = F.col("value").cast("decimal(18,4)")
+    seq = events.select("user_id", xi.alias("xi"), v4.alias("v4"))
+    x, v = F.col("xi"), F.col("v4")
+    m = (seq.groupBy("user_id")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.count(F.lit(1)).cast("double").alias("nd"),
+              F.sum(x.cast("decimal(27,4)")).cast("double").alias("sx"),
+              F.sum(v.cast("decimal(27,4)")).cast("double").alias("sy"),
+              F.sum((x * x).cast("decimal(27,8)")).cast("double")
+               .alias("sxx"),
+              F.sum((x * v).cast("decimal(27,8)")).cast("double")
+               .alias("sxy"),
+              F.sum((v * v).cast("decimal(27,8)")).cast("double")
+               .alias("syy")))
+    sx, sy, sxx, sxy, syy, nd = (F.col(c) for c in
+                                 ("sx", "sy", "sxx", "sxy", "syy", "nd"))
+    slope = (sxy - sx * sy / nd) / (sxx - sx * sx / nd)
+    return (m.where(F.col("n") >= 3)
+            .select("user_id", "n",
+                    (F.round(slope, 9) + 0.0).alias("slope"),
+                    (F.round((sy - slope * sx) / nd, 9) + 0.0)
+                    .alias("intercept"),
+                    (F.round((sxy - sx * sy / nd) * (sxy - sx * sy / nd)
+                             / ((sxx - sx * sx / nd) * (syy - sy * sy / nd)),
+                             9) + 0.0).alias("r2")))

@@ -2963,3 +2963,69 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("first_ts"),
         F.date_format(F.greatest("max_h", "max_d"),
                       "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"))
+
+
+# ------------------------------------------------- equi-width histogram
+
+HIST_BINS = 50
+
+
+@register(
+    "hist_price_equiwidth",
+    oracle=f"""
+    WITH s AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      FROM lineitem
+    ),
+    b AS (
+      SELECT CAST(LEAST(FLOOR((l_extendedprice - mn)
+                              / ((mx - mn) / {HIST_BINS}.0)),
+                        {HIST_BINS - 1}) AS BIGINT) AS bin,
+             mn, mx
+      FROM lineitem, s
+    )
+    SELECT bin,
+           mn + CAST(bin AS DOUBLE) * ((mx - mn) / {HIST_BINS}.0) AS lo,
+           mn + (CAST(bin AS DOUBLE) + 1.0) * ((mx - mn) / {HIST_BINS}.0)
+             AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bin, mn, mx
+    """,
+    tags=("relational", "agg", "histogram", "two-pass"))
+def hist_price_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice in the canonical two-pass
+    distributed form: pass 1 is a column-pruned MIN/MAX scan collapsing to
+    one row; pass 2 broadcasts that row, computes the bin index with pure
+    JVM arithmetic (floor of an identical IEEE expression in both engines
+    — no epsilon absorber needed), and aggregates. The top bin is closed
+    via LEAST(bin, {HIST_BINS - 1}) so max lands in the last bucket.
+
+    Scale shape: two scans of the fact table (the first reading ONE
+    column), one broadcast of a 1-row stats relation, and a groupBy with
+    at most {HIST_BINS} distinct keys — partial aggregation reduces every
+    map task to <= {HIST_BINS} rows before the shuffle, so the exchange
+    carries O(tasks * bins) rows regardless of table size. This is the
+    building block profilers and quantile estimators run at 100 TB; a
+    t-digest/QuantileSummaries sketch replaces pass 1+2 with one pass when
+    approximate edges suffice.
+
+    Reference scope: distribution summaries over scanned records are
+    delegated analytics (SURVEY.md S2b) — the reference hands records to
+    Spark and all aggregation happens there."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(F.min("l_extendedprice").alias("mn"),
+                   F.max("l_extendedprice").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(HIST_BINS))
+    bin_ = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / width),
+        F.lit(HIST_BINS - 1)).cast("bigint")
+    bind = F.col("bin").cast("double")
+    return (li.select("l_extendedprice")
+            .crossJoin(F.broadcast(stats))
+            .select(bin_.alias("bin"), "mn", "mx")
+            .groupBy("bin", "mn", "mx")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bin",
+                    (F.col("mn") + bind * width).alias("lo"),
+                    (F.col("mn") + (bind + 1.0) * width).alias("hi"),
+                    "n"))
