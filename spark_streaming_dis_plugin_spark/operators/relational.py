@@ -3029,3 +3029,49 @@ def hist_price_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("mn") + bind * width).alias("lo"),
                     (F.col("mn") + (bind + 1.0) * width).alias("hi"),
                     "n"))
+
+
+@register(
+    "stats_grouped_quantiles",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           round(quantile_cont(l_quantity, 0.25), 9) + 0.0 AS qty_p25,
+           round(quantile_cont(l_quantity, 0.5), 9) + 0.0 AS qty_p50,
+           round(quantile_cont(l_quantity, 0.9), 9) + 0.0 AS qty_p90,
+           round(quantile_cont(l_extendedprice, 0.5), 9) + 0.0
+             AS price_p50,
+           round(quantile_cont(l_extendedprice, 0.99), 9) + 0.0
+             AS price_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg", "quantiles"))
+def stats_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped quantiles (continuous interpolation, the
+    quantile_cont / percentile definition: rank (n-1)*p, linear midpoint)
+    — the distribution profile a dataset card or drift monitor reads per
+    segment. round(9) absorbs the one place the engines may associate
+    the interpolation arithmetic differently.
+
+    Scale shape: exact percentile is one of the few aggregates with no
+    constant-size partial state — Spark's Percentile buffers per-group
+    value multisets, so memory is bounded by per-group cardinality, and
+    the shuffle carries the grouped values once. That is the honest
+    exact-quantile cost at any scale; when the value domain is large and
+    approximation is acceptable, swap in percentile_approx
+    (QuantileSummaries, constant state, same plan shape) — kept exact
+    here so the oracle pins the interpolation semantics themselves.
+
+    Reference scope: delegated analytics over scanned records
+    (SURVEY.md S2b)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+
+    def q(col: str, p: float, name: str):
+        return (F.round(F.percentile(col, F.lit(p)), 9) + 0.0).alias(name)
+
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 q("l_quantity", 0.25, "qty_p25"),
+                 q("l_quantity", 0.5, "qty_p50"),
+                 q("l_quantity", 0.9, "qty_p90"),
+                 q("l_extendedprice", 0.5, "price_p50"),
+                 q("l_extendedprice", 0.99, "price_p99")))

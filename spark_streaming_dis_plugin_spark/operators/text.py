@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import (
-    portable_hash, portable_hash_sql, tokens, tokens_sql, word_shingles_sql,
+    portable_hash, portable_hash_sql, tokens, tokens_sql,
+    word_gram_positions, word_shingles_sql,
 )
 from ..plans.registry import register
 from ..tables import load
@@ -882,3 +883,57 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("cnt")
                    >= F.ceil(F.lit(HH_PHI) * F.col("n")).cast("bigint"))
             .select("term", F.col("cnt").cast("bigint").alias("cnt")))
+
+
+# ------------------------------------------------ exact phrase search
+
+PHRASE = ("slow", "hash", "batch")
+
+
+@register(
+    "text_phrase_search",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {tokens_sql('text')} AS toks FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_filter(range(1, greatest(len(toks) - {len(PHRASE) - 1},
+                                           0) + 1),
+               i -> {' AND '.join(
+                   f"toks[i + {k}] = '{w}'"
+                   for k, w in enumerate(PHRASE))}) AS hits
+      FROM t
+    )
+    SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+           CAST(hits[1] - 1 AS BIGINT) AS first_pos
+    FROM h WHERE len(hits) > 0
+    """,
+    tags=("text", "search", "phrase", "positional"))
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search: documents containing the query words as a
+    CONSECUTIVE token run, with occurrence count and first 0-based token
+    position — the positional-match primitive under quote-queries,
+    contamination span lookup, and n-gram overlap auditing. Positional
+    word-grams (order- and multiplicity-preserving zip_with chain) turn
+    the phrase test into a per-row array scan: NO explode, NO join, NO
+    shuffle — the corpus is read once and every operation is a columnar
+    expression, so the 100 TB cost is exactly one pass over the text
+    column. Over a pre-materialized positional inverted index the same
+    query becomes a k-way posting intersection keyed on (doc, pos);
+    corpus-resident as here, the single scan IS the optimal plan — there
+    is nothing to intersect until postings have been paid for.
+
+    Reference scope: content predicates over scanned records are
+    delegated filters (SURVEY.md S2b); this extends the text family
+    (BM25 ranked retrieval) with exact-match retrieval."""
+    docs = load(spark, sf_dir, "documents")
+    phrase = F.lit(" ".join(PHRASE))
+    grams = word_gram_positions(tokens("text"), len(PHRASE))
+    hit = (docs
+           .select("doc_id",
+                   F.size(F.filter(grams, lambda g: g == phrase))
+                    .cast("bigint").alias("n_hits"),
+                   (F.array_position(grams, phrase) - 1).cast("bigint")
+                   .alias("first_pos")))
+    return hit.where(F.col("n_hits") > 0)
