@@ -425,3 +425,41 @@ def test_duplicated_spans_single_gram_shuffle_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # island merge windows partition by doc_id
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
+    """text_heavy_hitters: pass 2 semi-joins tokens to the CANDIDATE set
+    via broadcast — the corpus-wide shuffle carries only candidate terms,
+    never the full vocabulary distribution."""
+    plan = _plan(spark, "text_heavy_hitters", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ols_trend_single_exchange(spark, sf_dir):
+    """events_ols_trend: the sequence window shuffles on user_id ONCE and
+    the moment aggregation reuses that partitioning — exactly one
+    hash-partitioned Exchange in the whole plan."""
+    plan = _plan(spark, "events_ols_trend", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_histogram_broadcasts_stats_tiny_shuffle(spark, sf_dir):
+    """hist_price_equiwidth: the 1-row min/max relation is broadcast to
+    the binning scan; the only corpus-wide exchange is the <=50-key bin
+    aggregation (partial agg bounds it at O(tasks * bins))."""
+    plan = _plan(spark, "hist_price_equiwidth", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan        # 1-row stats, by design
+    assert "SortMergeJoin" not in plan
+    # partial/final HashAggregate pair around the bin exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_phrase_search_zero_shuffle(spark, sf_dir):
+    """text_phrase_search: pure per-row array expressions — the corpus is
+    scanned once with NO exchange of any kind."""
+    plan = _plan(spark, "text_phrase_search", sf_dir)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
