@@ -4812,3 +4812,66 @@ def events_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round((sxy - sx * sy / nd) * (sxy - sx * sy / nd)
                              / ((sxx - sx * sx / nd) * (syy - sy * sy / nd)),
                              9) + 0.0).alias("r2")))
+
+
+# --------------------------------------------- last-touch attribution
+
+ATTR_WINDOW_MIN = 30
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN struct_pack(cts := ts, cid := event_id)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lc
+      FROM events
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           CASE WHEN lc.cts >= ts - INTERVAL {ATTR_WINDOW_MIN} MINUTE
+                THEN lc.cid END AS click_event_id,
+           CASE WHEN lc.cts >= ts - INTERVAL {ATTR_WINDOW_MIN} MINUTE
+                THEN strftime(lc.cts, '{TS_FMT_DUCK}') END AS click_ts
+    FROM seq WHERE event_type = 'purchase'
+    """,
+    tags=("connector", "timeseries", "attribution", "asof"))
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click at or before it, and only if that click falls
+    inside a {ATTR_WINDOW_MIN}-minute lookback (outside -> NULL =
+    unattributed). One window pass does it — carry the latest click
+    (ts, event_id) forward along each user's (ts, event_id)-ordered
+    sequence with last_value IGNORE NULLS, then filter to purchases —
+    the same no-join as-of discipline as asof_join_window: at 100 TB
+    this is ONE shuffle on user_id and a streaming frame with O(1)
+    state per row, where the naive formulation is a per-purchase
+    inequality self-join. The lookback test is pure NTZ interval
+    arithmetic (timezone-free on both engines).
+
+    Reference scope: delegated per-key sequence analytics
+    (SURVEY.md S2b), the attribution member next to events_ewma /
+    funnel_conversion."""
+    events = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lc = F.last(
+        F.when(F.col("event_type") == "click",
+               F.struct(F.col("ts").alias("cts"),
+                        F.col("event_id").alias("cid"))),
+        ignorenulls=True).over(w)
+    seq = events.select("user_id", "event_id", "ts", "event_type",
+                        lc.alias("lc"))
+    in_win = (F.col("lc.cts")
+              >= F.col("ts") - F.expr(f"INTERVAL {ATTR_WINDOW_MIN} MINUTE"))
+    return (seq.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id",
+                    F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+                    F.when(in_win, F.col("lc.cid")).alias("click_event_id"),
+                    F.when(in_win, F.date_format("lc.cts", TS_FMT_SPARK))
+                    .alias("click_ts")))
