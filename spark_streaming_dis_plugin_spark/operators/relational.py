@@ -2991,7 +2991,7 @@ HIST_BINS = 50
            CAST(COUNT(*) AS BIGINT) AS n
     FROM b GROUP BY bin, mn, mx
     """,
-    tags=("relational", "agg", "histogram", "two-pass"))
+    tags=("relational", "agg", "histogram", "two-pass"), bench=True)
 def hist_price_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of l_extendedprice in the canonical two-pass
     distributed form: pass 1 is a column-pruned MIN/MAX scan collapsing to

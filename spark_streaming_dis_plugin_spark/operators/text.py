@@ -827,7 +827,7 @@ HH_PHI = 0.033  # support threshold as a fraction of total corpus tokens
     FROM cnts, tot
     WHERE cnt >= CAST(CEIL({HH_PHI} * n) AS BIGINT)
     """,
-    tags=("text", "sketch", "heavy-hitters", "arrow"))
+    tags=("text", "sketch", "heavy-hitters", "arrow"), bench=True)
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """phi-heavy hitters over the corpus vocabulary: every term whose
     global frequency is >= ceil(phi * N) of the N total tokens, with its
