@@ -3075,3 +3075,65 @@ def stats_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  q("l_quantity", 0.9, "qty_p90"),
                  q("l_extendedprice", 0.5, "price_p50"),
                  q("l_extendedprice", 0.99, "price_p99")))
+
+
+@register(
+    "hist_price_equidepth",
+    oracle="""
+    WITH s AS (
+      SELECT [quantile_cont(l_extendedprice, 0.1),
+              quantile_cont(l_extendedprice, 0.2),
+              quantile_cont(l_extendedprice, 0.3),
+              quantile_cont(l_extendedprice, 0.4),
+              quantile_cont(l_extendedprice, 0.5),
+              quantile_cont(l_extendedprice, 0.6),
+              quantile_cont(l_extendedprice, 0.7),
+              quantile_cont(l_extendedprice, 0.8),
+              quantile_cont(l_extendedprice, 0.9)] AS bs
+      FROM lineitem
+    )
+    SELECT CAST(len(list_filter(bs, b -> l_extendedprice > b)) AS BIGINT)
+             AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem, s
+    GROUP BY 1
+    """,
+    tags=("relational", "agg", "histogram", "quantiles", "two-pass"))
+def hist_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (decile) histogram — the data-dependent complement of
+    hist_price_equiwidth: pass 1 computes the nine exact decile
+    boundaries in one aggregate, pass 2 broadcasts them and bins each
+    row by counting boundaries strictly below it. Boundary comparison
+    is safe without an absorber: the 1-2 ulp the engines may disagree
+    on inside the quantile interpolation cannot flip `price > b`
+    against cent-granular data (boundaries land either exactly on a
+    data value or strictly inside a >= 0.01-wide gap).
+
+    Scale shape: the boundary pass is the expensive one — EXACT
+    percentiles buffer per-partition value multisets (same honest cost
+    as stats_grouped_quantiles); swap approx_percentile in when sketch
+    edges suffice and pass 2 is unchanged. Pass 2 is a broadcast of
+    nine doubles plus a <= 10-key partial-agg'd groupBy, i.e. free.
+    Equi-depth bins are what skew-aware range partitioners and
+    histogram-based optimizers actually want (uniform mass, not
+    uniform width).
+
+    Reference scope: delegated distribution analytics (SURVEY.md S2b).
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ps = [i / 10.0 for i in range(1, 10)]
+    stats = li.agg(F.percentile(
+        "l_extendedprice",
+        F.array(*[F.lit(p) for p in ps])).alias("bs"))
+    price = F.col("l_extendedprice")
+    bin_ = (F.size(F.filter(F.col("bs"), lambda b: price > b))
+            .cast("bigint"))
+    return (li.select("l_extendedprice")
+            .crossJoin(F.broadcast(stats))
+            .select(bin_.alias("bin"), "l_extendedprice")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("l_extendedprice").alias("lo"),
+                 F.max("l_extendedprice").alias("hi")))

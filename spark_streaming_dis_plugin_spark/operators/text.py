@@ -937,3 +937,84 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.array_position(grams, phrase) - 1).cast("bigint")
                    .alias("first_pos")))
     return hit.where(F.col("n_hits") > 0)
+
+
+# ------------------------------------------- PMI co-occurrence mining
+
+PMI_MIN_PAIR_DOCS = 5
+PMI_TOP_K = 100
+
+
+@register(
+    "text_pmi_cooccurrence",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest({tokens_sql('text')}) AS term
+      FROM documents
+    ),
+    ca AS (SELECT term, COUNT(*) AS c FROM dt GROUP BY term),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM dt),
+    pairs AS (
+      SELECT a.term AS ta, b.term AS tb, COUNT(*) AS cab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    )
+    SELECT ta, tb, CAST(cab AS BIGINT) AS n_docs_both,
+           round(ln((CAST(cab AS DOUBLE) * n)
+                    / (CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE))), 6)
+             + 0.0 AS pmi
+    FROM pairs
+    JOIN ca x ON x.term = ta JOIN ca y ON y.term = tb CROSS JOIN nd
+    WHERE cab >= {PMI_MIN_PAIR_DOCS}
+    ORDER BY pmi DESC, ta, tb LIMIT {PMI_TOP_K}
+    """,
+    tags=("text", "cooccurrence", "statistics", "topk"))
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP_K} token pairs by pointwise mutual information at
+    document granularity: pmi(a,b) = ln(P(a,b) / (P(a)P(b))) with
+    document-frequency probabilities — the collocation/phrase-mining
+    statistic corpus analyses run before vocabulary or tokenizer
+    decisions. Deterministic top-k: rank on round(pmi, 6) (absorbing
+    the engines' ln ulp, the text_bigram_lm_score discipline) with
+    (ta, tb) tie-break.
+
+    Scale shape: the doc-term posting relation is per-doc DISTINCT
+    tokens, so the pair join keyed on doc_id is bounded by
+    sum_d(u_d^2) with u_d = per-doc distinct vocabulary — the same
+    quadratic-per-block bound every blocked self-join in dedup carries
+    (operators/dedup.py df-cap discipline applies verbatim when u_d is
+    unbounded: drop terms with extreme document frequency first; here
+    the fixture vocabulary is small). Term counts (vocabulary-sized)
+    broadcast onto the pair relation, and the final top-k is
+    TakeOrderedAndProject — per-partition top-{PMI_TOP_K} then a
+    bounded merge, never a global sort.
+
+    Reference scope: delegated corpus analytics (SURVEY.md S2c), the
+    co-occurrence member of the text family."""
+    docs = load(spark, sf_dir, "documents")
+    dt = (docs.select("doc_id",
+                      F.explode(F.array_distinct(tokens("text")))
+                      .alias("term")))
+    ca = dt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    nd = dt.agg(F.count_distinct("doc_id").cast("double").alias("n"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.col("a.term") < F.col("b.term")))
+             .groupBy(F.col("a.term").alias("ta"),
+                      F.col("b.term").alias("tb"))
+             .agg(F.count(F.lit(1)).alias("cab"))
+             .where(F.col("cab") >= PMI_MIN_PAIR_DOCS))
+    pmi = F.round(
+        F.log((F.col("cab").cast("double") * F.col("n"))
+              / (F.col("x.c").cast("double") * F.col("y.c").cast("double"))),
+        6) + 0.0
+    return (pairs
+            .join(F.broadcast(ca.alias("x")), F.col("x.term") == F.col("ta"))
+            .join(F.broadcast(ca.alias("y")), F.col("y.term") == F.col("tb"))
+            .crossJoin(F.broadcast(nd))
+            .select("ta", "tb",
+                    F.col("cab").cast("bigint").alias("n_docs_both"),
+                    pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "ta", "tb")
+            .limit(PMI_TOP_K))
