@@ -4875,3 +4875,168 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
                     F.when(in_win, F.col("lc.cid")).alias("click_event_id"),
                     F.when(in_win, F.date_format("lc.cts", TS_FMT_SPARK))
                     .alias("click_ts")))
+
+
+@register(
+    "events_resample_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS lo,
+             date_trunc('day', MAX(ts)) AS hi
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM b
+    ), d AS (
+      SELECT user_id, date_trunc('day', ts) AS day, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(d.rn IS NOT NULL AS BIGINT) AS observed,
+           last_value(d.value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value
+    FROM g LEFT JOIN d USING (user_id, day)
+    WHERE d.rn IS NULL OR d.rn = 1
+    """,
+    tags=("connector", "timeseries", "resample", "gapfill"))
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular event sequence onto a regular
+    daily grid and forward-fill gaps with the last observed close —
+    the standard irregular-to-regular conversion in front of any
+    time-series model (and the batch twin of a stream's gap-filling
+    window). Per user: grid = every day between their first and last
+    event; observation = that day's LAST event value (ts, event_id
+    tie-break); gaps carry the previous close forward (last_value
+    IGNORE NULLS). The grid starts at each user's own first active day,
+    so the fill never reads before an observation exists.
+
+    Scale shape: everything is keyed on user_id — the bounds aggregate,
+    the per-(user, day) close (one row per day survives the window
+    filter's partial), and the fill window all reuse ONE user_id
+    exchange lineage; the grid explode generates O(span_days) rows per
+    user from a 1-row bounds record, never from the fact table. No
+    global sort, no self-join: the naive gap-fill is a per-day
+    "latest event at or before" inequality join — the same class of
+    quadratic this engine's as-of family replaces with ordered-window
+    carries. Day boundaries are pure NTZ date_trunc (timezone-free).
+
+    Reference scope: delegated per-key sequence analytics
+    (SURVEY.md S2b) next to events_ewma / attribution.
+    """
+    events = load(spark, sf_dir, "events")
+    bounds = (events.groupBy("user_id")
+              .agg(F.date_trunc("DAY", F.min("ts")).alias("lo"),
+                   F.date_trunc("DAY", F.max("ts")).alias("hi")))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY")))
+         .alias("day"))
+    wd = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    daily = (events
+             .select("user_id", F.date_trunc("DAY", "ts").alias("day"),
+                     "value", "ts", "event_id")
+             .withColumn("rn", F.row_number().over(wd))
+             .where(F.col("rn") == 1)
+             .select("user_id", "day", "value"))
+    wf = (Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (grid.join(daily, ["user_id", "day"], "left")
+            .select("user_id",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.col("value").isNotNull().cast("bigint")
+                     .alias("observed"),
+                    F.last("value", ignorenulls=True).over(wf)
+                     .alias("filled_value")))
+
+
+ZSCORE_LOOKBACK = 20   # trailing events in the baseline window
+ZSCORE_MIN_OBS = 12    # minimum baseline observations to score
+ZSCORE_GATE = 3.0      # |z| beyond this flags an anomaly
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CAST("value" AS DECIMAL(18,4)) AS v4
+      FROM events
+    ), w AS (
+      SELECT user_id, event_id, ts, v4,
+             CAST(COUNT(v4) OVER tw AS DOUBLE) AS cnt,
+             CAST(CAST(SUM(CAST(v4 AS DECIMAL(27,4))) OVER tw AS VARCHAR)
+                  AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(v4 * v4 AS DECIMAL(27,8))) OVER tw
+                       AS VARCHAR) AS DOUBLE) AS s2
+      FROM seq
+      WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING
+                             AND 1 PRECEDING)
+    ), scored AS (
+      SELECT user_id, event_id, ts, CAST(v4 AS DOUBLE) AS value,
+             (s2 - s1 * s1 / cnt) / (cnt - 1) AS var, cnt, s1
+      FROM w WHERE cnt >= {ZSCORE_MIN_OBS}
+    )
+    SELECT event_id, user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts,
+           value,
+           round((value - s1 / cnt) / sqrt(var), 9) + 0.0 AS z
+    FROM scored
+    WHERE var > 1e-9
+      AND abs((value - s1 / cnt) / sqrt(var)) > {ZSCORE_GATE}
+    """,
+    tags=("connector", "timeseries", "anomaly", "statistics"))
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection: each event is scored
+    against the mean/std of the user's previous {ZSCORE_LOOKBACK}
+    events (strictly BEFORE it — no self-leakage), and flagged when
+    |z| > {ZSCORE_GATE} with at least {ZSCORE_MIN_OBS} baseline
+    observations. This is the metric-monitoring member of the per-key
+    sequence family — the batch twin of a streaming outlier gate.
+
+    Determinism discipline = events_ols_trend's: the double metric is
+    snapped ONCE to DECIMAL(18,4), the trailing sum and sum-of-squares
+    are exact decimal window aggregates (order-independent,
+    partitioning-independent), and mean/variance/z are derived from
+    those exact moments in double with round(9)+0.0 absorbing final-op
+    association. The variance guard (var > 1e-9) and the gate compare
+    run on bit-identical doubles on both engines, so flag decisions
+    can't straddle.
+
+    Scale shape: ONE shuffle on user_id; the trailing frame is O(1)
+    running state per row (Spark's sliding ROWS frame adds/retires one
+    value at a time — no per-row rescan); output is only the flagged
+    tail, so nothing fact-sized leaves the stage. The same two moments
+    are exactly what a transformWithState streaming twin would keep
+    per key.
+
+    Reference scope: delegated per-key sequence analytics
+    (SURVEY.md S2b) next to events_ewma / events_ols_trend.
+    """
+    events = load(spark, sf_dir, "events")
+    tw = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-ZSCORE_LOOKBACK, -1))
+    v4 = F.col("value").cast("decimal(18,4)")
+    seq = events.select("user_id", "event_id", "ts", v4.alias("v4"))
+    w = seq.select(
+        "user_id", "event_id", "ts", "v4",
+        F.count("v4").over(tw).cast("double").alias("cnt"),
+        F.sum(F.col("v4").cast("decimal(27,4)")).over(tw)
+         .cast("double").alias("s1"),
+        F.sum((F.col("v4") * F.col("v4")).cast("decimal(27,8)")).over(tw)
+         .cast("double").alias("s2"))
+    cnt, s1, s2 = F.col("cnt"), F.col("s1"), F.col("s2")
+    value = F.col("v4").cast("double")
+    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    z = (value - s1 / cnt) / F.sqrt(var)
+    return (w.where(cnt >= ZSCORE_MIN_OBS)
+            .where((var > 1e-9) & (F.abs(z) > ZSCORE_GATE))
+            .select("event_id", "user_id",
+                    F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+                    value.alias("value"),
+                    (F.round(z, 9) + 0.0).alias("z")))

@@ -17,7 +17,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -540,3 +540,123 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (cand.where(hamming <= DHASH_HAMMING_MAX)
             .select("doc_a", "doc_b", hamming.cast("int").alias("hamming")))
+
+
+# ------------------------------------------- PCM activity segmentation
+
+VAD_FRAME = 16                    # samples per VAD analysis frame
+VAD_THRESHOLD = 10_300_000_000    # frame-energy gate (int64, exact)
+
+VAD_FRAME_SCHEMA = "doc_id bigint, frame bigint, fe bigint"
+
+
+def pcm_frame_energy_kernel(batches: Iterator[pd.DataFrame]
+                            ) -> Iterator[pd.DataFrame]:
+    """Per-frame PCM16 energy rows (doc_id, frame, fe): the same '<i2'
+    numpy view as pcm_energy_kernel, but emitting one row per
+    VAD_FRAME-sample frame instead of per-artifact scalars, so the
+    segmentation above it can run in the DataFrame layer."""
+    import numpy as np
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = bytes(payload)
+            buf = buf[: len(buf) // 2 * 2]
+            s = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+            sq = s * s
+            n = len(s)
+            n_frames = -(-n // VAD_FRAME) if n else 0
+            rows.extend(
+                (int(doc_id), i,
+                 int(sq[i * VAD_FRAME:(i + 1) * VAD_FRAME].sum()))
+                for i in range(n_frames))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame", "fe"])
+
+
+@register(
+    "audio_vad_segments",
+    oracle=f"""
+    WITH audio AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+    ), raw AS (
+      SELECT doc_id, i,
+             CAST((i - 1) // {VAD_FRAME} AS BIGINT) AS frame,
+             (ascii(substr(text, 2*i - 1, 1))
+              + 256 * ascii(substr(text, 2*i, 1))) AS u
+      FROM audio, LATERAL (
+        SELECT unnest(range(1, length(text) // 2 + 1)) AS i)
+    ), samp AS (
+      SELECT doc_id, frame,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM raw
+    ), frames AS (
+      SELECT doc_id, frame, CAST(SUM(s * s) AS BIGINT) AS fe
+      FROM samp GROUP BY 1, 2
+    ), isl AS (
+      SELECT doc_id, frame, fe,
+             frame - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY frame) AS grp
+      FROM frames WHERE fe > {VAD_THRESHOLD}
+    ), seg AS (
+      SELECT doc_id,
+             CAST(MIN(frame) AS BIGINT) AS start_frame,
+             CAST(MAX(frame) AS BIGINT) AS end_frame,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(fe) AS BIGINT) AS seg_energy
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY start_frame) AS BIGINT) AS seg_id,
+           start_frame, end_frame, n_frames, seg_energy
+    FROM seg
+    """,
+    tags=("multimodal", "audio", "vad", "islands", "pandas-kernel"))
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style segmentation over raw PCM16: frames whose
+    energy clears a gate, merged into maximal consecutive runs
+    (islands-and-gaps) with per-segment start/end/length/energy — the
+    audio twin of sentence segmentation in a text pipeline, and the
+    step that turns raw recordings into trainable utterance spans.
+
+    Split of labor is deliberate: the numpy kernel (mapInPandas, '<i2'
+    view, exact int64 frame sums — fully REAL, no codec needed) emits
+    per-frame energy ROWS, and the merge runs in the DataFrame layer:
+    island key = frame - row_number() over (doc, frame-order), then one
+    aggregate per (doc, island). Unlike the per-artifact scalars of
+    multimodal_pcm_energy, segmentation must NOT be kernel-local at
+    production scale: long recordings land as multiple chunk rows, and
+    only a distributed ordered window stitches active runs across chunk
+    boundaries. Cost is ONE doc_id exchange — the island aggregate
+    reuses the window's hash clustering (doc_id is a prefix of the
+    (doc_id, grp) grouping, no second shuffle; frame rows are 3 ints,
+    the payload itself never shuffles). Gate compare and energies are
+    exact int64 everywhere — no float in the whole row.
+
+    Oracle re-derives frames arithmetically from the payload's source
+    bytes (same signed-int16 CASE and ASCII caveat as
+    multimodal_pcm_energy) and mirrors the islands in SQL.
+    """
+    art = (artifacts(spark, sf_dir)
+           .where(F.col("media_type") == "audio/wav")
+           .select("doc_id", "payload"))
+    para = spark.sparkContext.defaultParallelism
+    frames = art.repartition(para).mapInPandas(pcm_frame_energy_kernel,
+                                               schema=VAD_FRAME_SCHEMA)
+    active = frames.where(F.col("fe") > F.lit(VAD_THRESHOLD))
+    wi = Window.partitionBy("doc_id").orderBy("frame")
+    isl = active.withColumn(
+        "grp", F.col("frame") - F.row_number().over(wi))
+    seg = (isl.groupBy("doc_id", "grp")
+           .agg(F.min("frame").alias("start_frame"),
+                F.max("frame").alias("end_frame"),
+                F.count(F.lit(1)).alias("n_frames"),
+                F.sum("fe").alias("seg_energy")))
+    ws = Window.partitionBy("doc_id").orderBy("start_frame")
+    return seg.select(
+        "doc_id",
+        F.row_number().over(ws).cast("bigint").alias("seg_id"),
+        "start_frame", "end_frame", "n_frames", "seg_energy")

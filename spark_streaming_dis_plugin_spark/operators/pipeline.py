@@ -1060,3 +1060,97 @@ def source_jsonl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(total.cast("double") / cnt, 4) + 0.0)
                  .alias("avg_chars"))
             .orderBy("lang", "source"))
+
+
+@register(
+    "quality_audit_constraints",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(l_shipdate) AS BIGINT) AS ship_ok,
+             CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+               AS pk_distinct,
+             CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.06
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disc_ok,
+             CAST(SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS qty_ok,
+             CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS flag_ok
+      FROM lineitem
+    ), fk AS (
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS orphan_rows
+      FROM (SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1) k
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = k.l_orderkey)
+    )
+    SELECT metric, value FROM (
+      SELECT 'row_count' AS metric, CAST(n AS DOUBLE) AS value
+        FROM base
+      UNION ALL SELECT 'shipdate_completeness',
+        CAST(ship_ok AS DOUBLE) / n FROM base
+      UNION ALL SELECT 'pk_uniqueness',
+        CAST(pk_distinct AS DOUBLE) / n FROM base
+      UNION ALL SELECT 'discount_range_compliance',
+        CAST(disc_ok AS DOUBLE) / n FROM base
+      UNION ALL SELECT 'quantity_positive_compliance',
+        CAST(qty_ok AS DOUBLE) / n FROM base
+      UNION ALL SELECT 'returnflag_domain_compliance',
+        CAST(flag_ok AS DOUBLE) / n FROM base
+      UNION ALL SELECT 'orderkey_fk_containment',
+        1.0 - CAST(orphan_rows AS DOUBLE) / (SELECT n FROM base) FROM fk
+    ) m
+    """,
+    tags=("pipeline", "data-quality", "audit"))
+def quality_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality audit: completeness, PK uniqueness,
+    range/domain compliance, and FK containment as ONE metrics relation
+    (metric, value) — the pre-ingest gate every production training
+    pipeline runs before a corpus lands.
+
+    Scale shape: all row-local checks fold into a SINGLE conditional
+    aggregate over one scan (map-side partials; zero extra passes —
+    this is why audits should be conditional sums, not one scan per
+    constraint). PK uniqueness adds the unavoidable distinct on the key
+    pair, FK containment is a pre-aggregated anti-join (per-key counts
+    move, not rows: |distinct keys| << |rows|). Every metric is an
+    exact integer count divided in double once at the end, so the
+    relation is bit-identical across engines and partitionings.
+
+    Reference scope: delegated relational surface (SURVEY.md S2b) —
+    record-stream validation before downstream processing.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    base = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_shipdate").alias("ship_ok"),
+        F.count_distinct("l_orderkey", "l_linenumber").alias("pk_distinct"),
+        F.sum(((F.col("l_discount") >= 0)
+               & (F.col("l_discount") <= 0.06)).cast("bigint"))
+         .alias("disc_ok"),
+        F.sum((F.col("l_quantity") > 0).cast("bigint")).alias("qty_ok"),
+        F.sum(F.col("l_returnflag").isin("A", "N", "R").cast("bigint"))
+         .alias("flag_ok"))
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    fk = (per_key.join(orders.select("o_orderkey"),
+                       per_key.l_orderkey == F.col("o_orderkey"),
+                       "left_anti")
+                 .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint")
+                       .alias("orphan_rows")))
+    joined = base.crossJoin(fk)
+    n = F.col("n").cast("double")
+    return joined.select(F.explode(F.array(
+        F.struct(F.lit("row_count").alias("metric"), n.alias("value")),
+        F.struct(F.lit("shipdate_completeness").alias("metric"),
+                 (F.col("ship_ok").cast("double") / n).alias("value")),
+        F.struct(F.lit("pk_uniqueness").alias("metric"),
+                 (F.col("pk_distinct").cast("double") / n).alias("value")),
+        F.struct(F.lit("discount_range_compliance").alias("metric"),
+                 (F.col("disc_ok").cast("double") / n).alias("value")),
+        F.struct(F.lit("quantity_positive_compliance").alias("metric"),
+                 (F.col("qty_ok").cast("double") / n).alias("value")),
+        F.struct(F.lit("returnflag_domain_compliance").alias("metric"),
+                 (F.col("flag_ok").cast("double") / n).alias("value")),
+        F.struct(F.lit("orderkey_fk_containment").alias("metric"),
+                 (F.lit(1.0) - F.col("orphan_rows").cast("double") / n)
+                  .alias("value")))).alias("kv")).select("kv.*")

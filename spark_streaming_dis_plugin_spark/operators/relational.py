@@ -3137,3 +3137,110 @@ def hist_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("l_extendedprice").alias("lo"),
                  F.max("l_extendedprice").alias("hi")))
+
+
+@register(
+    "part_skyline_pareto",
+    oracle="""
+    SELECT r.p_partkey, r.p_retailprice, r.p_size
+    FROM part r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= r.p_retailprice
+        AND q.p_size <= r.p_size
+        AND (q.p_retailprice < r.p_retailprice OR q.p_size < r.p_size))
+    """,
+    tags=("relational", "skyline", "window", "pareto"))
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline (minimize price AND size): the parts no other
+    part strictly dominates. The oracle is the textbook NOT EXISTS
+    anti-join — O(n^2) and unrunnable at scale; the Spark plan is the
+    one-sorted-pass formulation that makes the skyline linear after a
+    sort over DISTINCT prices:
+
+      r is dominated  iff  (exists q: q.price <  r.price, q.size <= r.size)
+                       or  (exists q: q.price <= r.price, q.size <  r.size)
+
+    so two prefix minima over the per-price min-size relation decide
+    every row: ``prefix_strict`` = min size among strictly cheaper
+    price groups (rowsBetween unboundedPreceding, -1) and
+    ``prefix_incl`` = the same including the current group. Duplicate
+    points (equal price AND size) correctly co-survive — neither
+    STRICTLY dominates the other.
+
+    Scale shape: one groupBy(price) reduces n rows to d = |distinct
+    prices| (partial-agg'd map-side); the unpartitioned window runs
+    over that d-row relation only — d << n for any priced catalog, and
+    for d beyond one task the standard fix is range-partition by price
+    and carry each partition's running min as a 1-row boundary relation
+    (two passes, same math). The verdict relation (price -> two mins)
+    broadcasts back onto the base table, so the full fact table is
+    never sorted and never shuffled beyond the d-key agg.
+
+    Reference scope: delegated analytics over the record payload
+    (SURVEY.md S2b) — multi-criteria "best offers" selection.
+    """
+    (part,) = _t(spark, sf_dir, "part")
+    g = (part.groupBy("p_retailprice")
+             .agg(F.min("p_size").alias("gmin")))
+    w = Window.orderBy("p_retailprice")
+    g = g.select(
+        "p_retailprice",
+        F.min("gmin").over(
+            w.rowsBetween(Window.unboundedPreceding, -1))
+         .alias("prefix_strict"),
+        F.min("gmin").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+         .alias("prefix_incl"))
+    dominated = ((F.col("prefix_strict").isNotNull()
+                  & (F.col("prefix_strict") <= F.col("p_size")))
+                 | (F.col("prefix_incl") < F.col("p_size")))
+    return (part.join(F.broadcast(g), "p_retailprice")
+                .where(~dominated)
+                .select("p_partkey", "p_retailprice", "p_size"))
+
+
+_PIVOT_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_ALIAS = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@register(
+    "relational_pivot_quarterly",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(quarter FROM o_orderdate) AS qtr,
+           {", ".join(dsum_sql(f"CASE WHEN o_orderpriority = '{p}' "
+                               "THEN o_totalprice END", 2) + f" AS rev_{a}"
+                      for p, a in zip(_PIVOT_PRIOS, _PIVOT_ALIAS))}
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "pivot", "agg"))
+def relational_pivot_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: quarterly revenue crosstab, one column per order priority.
+    The pivot values are passed EXPLICITLY (``pivot(col, values)``), so
+    Catalyst skips the extra distinct-discovery job it otherwise runs
+    over the fact table — at 100 TB that discovery scan costs as much
+    as the query; a known, low-cardinality pivot domain should always
+    be declared. The crosstab then lowers to a (yr, qtr, priority)
+    pre-aggregate plus a pivotfirst reshape — both exchanges carry
+    partial-aggregated rows (<= |groups| x |values| tuples), never the
+    fact table. Revenue sums use the decimal-cast portable sum
+    so the crosstab is bit-identical to the oracle's CASE WHEN
+    formulation regardless of partitioning. Empty cells stay NULL on
+    both sides (SUM over an empty CASE subset).
+
+    Reference scope: delegated relational surface (SURVEY.md S2b).
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    piv = (orders
+           .select(F.year("o_orderdate").alias("yr"),
+                   F.quarter("o_orderdate").alias("qtr"),
+                   "o_orderpriority", "o_totalprice")
+           .groupBy("yr", "qtr")
+           .pivot("o_orderpriority", _PIVOT_PRIOS)
+           .agg(dsum("o_totalprice", 2)))
+    return piv.select(
+        "yr", "qtr",
+        *[F.col(f"`{p}`").alias(f"rev_{a}")
+          for p, a in zip(_PIVOT_PRIOS, _PIVOT_ALIAS)])

@@ -463,3 +463,42 @@ def test_phrase_search_zero_shuffle(spark, sf_dir):
     plan = _plan(spark, "text_phrase_search", sf_dir)
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_skyline_sorts_only_distinct_prices(spark, sf_dir):
+    """part_skyline_pareto: the verdict relation broadcasts back onto
+    the base table, and the only global sort (single-partition window)
+    runs over the DISTINCT-price aggregate — never the fact table."""
+    plan = _plan(spark, "part_skyline_pareto", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_pivot_is_one_hash_aggregate_no_discovery(spark, sf_dir):
+    """relational_pivot_quarterly: explicit pivot values mean no
+    distinct-discovery job and no join — just the (yr, qtr, priority)
+    pre-aggregate and the pivotfirst reshape, BOTH behind map-side
+    partials (the partial_ markers below), so each exchange carries
+    aggregated tuples only."""
+    plan = _plan(spark, "relational_pivot_quarterly", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert "partial_pivotfirst" in plan and "partial_sum" in plan
+
+
+def test_vad_single_doc_exchange(spark, sf_dir):
+    """audio_vad_segments: the island aggregate reuses the ordering
+    window's doc_id hash clustering (doc_id prefixes (doc_id, grp)) —
+    exactly ONE shuffle, and the binary payload never enters it."""
+    plan = _plan(spark, "audio_vad_segments", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_zscore_single_user_exchange(spark, sf_dir):
+    """events_anomaly_zscore: trailing moments + scoring + gate all ride
+    one user_id exchange; the sliding ROWS frame is running state, so
+    no self-join appears anywhere in the plan."""
+    plan = _plan(spark, "events_anomaly_zscore", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
