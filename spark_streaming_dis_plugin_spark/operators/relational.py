@@ -3244,3 +3244,213 @@ def relational_pivot_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yr", "qtr",
         *[F.col(f"`{p}`").alias(f"rev_{a}")
           for p, a in zip(_PIVOT_PRIOS, _PIVOT_ALIAS)])
+
+
+RFM_ANCHOR = "2001-09-01"   # scoring date: just past the data's horizon
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       DATE '{RFM_ANCHOR}') AS r,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             {dsum_sql('o_totalprice', 2)} AS m
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT [quantile_cont(r, 0.25), quantile_cont(r, 0.5),
+              quantile_cont(r, 0.75)] AS rb,
+             [quantile_cont(f, 0.25), quantile_cont(f, 0.5),
+              quantile_cont(f, 0.75)] AS fb,
+             [quantile_cont(m, 0.25), quantile_cont(m, 0.5),
+              quantile_cont(m, 0.75)] AS mb
+      FROM cust
+    )
+    SELECT o_custkey, CAST(r AS BIGINT) AS r, f, m,
+           CAST(3 - len(list_filter(rb, x -> r > x)) AS BIGINT) AS r_score,
+           CAST(len(list_filter(fb, x -> f > x)) AS BIGINT) AS f_score,
+           CAST(len(list_filter(mb, x -> m > x)) AS BIGINT) AS m_score
+    FROM cust, b
+    """,
+    tags=("relational", "rfm", "segmentation", "quantiles"))
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days from last order to the
+    {RFM_ANCHOR} scoring date), frequency (order count), monetary
+    (lifetime revenue), each scored into quartiles 0-3 (3 = best; the
+    recency scale inverts so recent buyers score high).
+
+    The quartile step reuses hist_price_equidepth's boundary-binning
+    pattern instead of a global ntile: ONE 1-row exact-percentile
+    aggregate over the customer relation, broadcast, bin = count of
+    boundaries strictly below the value — no single-partition window
+    over all customers, which is where the textbook ntile formulation
+    dies at 10^9 customers. Binning inputs are cross-engine exact:
+    r and f are integers and m is the portable decimal sum, so the
+    interpolated boundaries (int arithmetic with power-of-two weights,
+    exact in double) and every `x > b` compare are bit-identical.
+
+    Scale shape: canonical TWO-PASS (hist_price_equiwidth's shape) —
+    the customer aggregate is computed once to feed the 1-row boundary
+    percentile and once as the scored relation, each behind its own
+    map-side-partial custkey exchange; persist the aggregate to trade
+    memory for the second scan when the orders table dwarfs it. Swap
+    approx_percentile for the boundary pass when sketch-grade quartiles
+    suffice; scores are unchanged wherever the sketch edges agree.
+
+    Reference scope: delegated relational surface (SURVEY.md S2b) —
+    per-key scoring over the scanned order stream.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    cust = (orders.groupBy("o_custkey")
+            .agg(F.date_diff(F.lit(RFM_ANCHOR).cast("date"),
+                             F.max("o_orderdate").cast("date")).alias("r"),
+                 F.count(F.lit(1)).alias("f"),
+                 dsum("o_totalprice", 2).alias("m")))
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    b = cust.agg(F.percentile("r", qs).alias("rb"),
+                 F.percentile("f", qs).alias("fb"),
+                 F.percentile("m", qs).alias("mb"))
+    r, f, m = F.col("r"), F.col("f"), F.col("m")
+    nbelow = lambda bs, v: F.size(F.filter(F.col(bs), lambda x: v > x))  # noqa: E731
+    return (cust.crossJoin(F.broadcast(b))
+            .select("o_custkey", r.cast("bigint").alias("r"), "f", "m",
+                    (F.lit(3) - nbelow("rb", r)).cast("bigint")
+                     .alias("r_score"),
+                    nbelow("fb", f).cast("bigint").alias("f_score"),
+                    nbelow("mb", m).cast("bigint").alias("m_score")))
+
+
+RULES_MIN_SUPPORT = 3    # a pair must co-occur in >= this many baskets
+RULES_TOP_K = 100
+
+
+@register(
+    "basket_association_rules",
+    oracle=f"""
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+          FROM basket),
+    item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS supp_i
+             FROM basket GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS w,
+             CAST(COUNT(*) AS BIGINT) AS supp_uw
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {RULES_MIN_SUPPORT}
+    )
+    SELECT u, w, supp_uw,
+           CAST(supp_uw AS DOUBLE) / iu.supp_i AS conf_u_w,
+           CAST(supp_uw AS DOUBLE) * n.n_baskets
+             / (iu.supp_i * iw.supp_i) AS lift
+    FROM pair
+      JOIN item iu ON iu.l_partkey = pair.u
+      JOIN item iw ON iw.l_partkey = pair.w
+      CROSS JOIN n
+    ORDER BY lift DESC, u, w LIMIT {RULES_TOP_K}
+    """,
+    tags=("relational", "basket", "association-rules", "topk"))
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket ASSOCIATION RULES (the Apriori 2-itemset pass):
+    each order is a basket of distinct parts; pairs co-occurring in at
+    least {RULES_MIN_SUPPORT} baskets are scored with confidence
+    P(w|u) and lift P(u,w)/(P(u)P(w)), top-{RULES_TOP_K} by lift —
+    the "bought together" affinity primitive.
+
+    Scale shape: the pair generator is the basket SELF-JOIN KEYED ON
+    THE BASKET ID, so its fanout is sum(basket_size^2) — bounded by
+    the physical size of an order (~dozens), NOT by item popularity;
+    this is why basket-keyed co-occurrence scales where the
+    item-adjacency wedge join (sum(deg^2), hub-dominated) does not —
+    the same reshaping dedup uses posting lists for. Pair counts
+    partial-aggregate map-side before one (u, w) exchange; item
+    supports are a vocabulary-sized relation joined AFTER the
+    min-support filter has shrunk the pair set; the final top-k folds
+    through TakeOrderedAndProject (no global sort). Confidence and
+    lift are ratios of exact int64 supports evaluated in double —
+    bit-identical cross-engine, so no rounding absorber is needed in
+    the ORDER BY or the values.
+
+    Reference scope: delegated relational analytics (SURVEY.md S2b) —
+    co-occurrence scoring over the scanned stream, the retail twin of
+    text_pmi_cooccurrence's document-level PMI.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    n = basket.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    item = (basket.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("supp_i")))
+    a = basket.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("u"))
+    b = basket.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").alias("w"))
+    pair = (a.join(b, "ok").where(F.col("u") < F.col("w"))
+            .groupBy("u", "w").agg(F.count(F.lit(1)).alias("supp_uw"))
+            .where(F.col("supp_uw") >= RULES_MIN_SUPPORT))
+    iu = item.select(F.col("l_partkey").alias("u"),
+                     F.col("supp_i").alias("supp_u"))
+    iw = item.select(F.col("l_partkey").alias("w"),
+                     F.col("supp_i").alias("supp_w"))
+    supp = F.col("supp_uw").cast("double")
+    return (pair.join(iu, "u").join(iw, "w")
+            .crossJoin(F.broadcast(n))
+            .select("u", "w", "supp_uw",
+                    (supp / F.col("supp_u")).alias("conf_u_w"),
+                    (supp * F.col("n_baskets")
+                     / (F.col("supp_u") * F.col("supp_w"))).alias("lift"))
+            .orderBy(F.desc("lift"), "u", "w").limit(RULES_TOP_K))
+
+
+_UNPIVOT_STATUSES = ["O", "F", "P"]
+
+
+@register(
+    "relational_unpivot_long",
+    oracle=f"""
+    WITH wide AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             {", ".join(dsum_sql(f"CASE WHEN o_orderstatus = '{s}' "
+                                 "THEN o_totalprice END", 2)
+                        + f" AS rev_{s}" for s in _UNPIVOT_STATUSES)}
+      FROM orders GROUP BY 1
+    )
+    SELECT yr, status, rev FROM (
+      {" UNION ALL ".join(
+          f"SELECT yr, '{s}' AS status, rev_{s} AS rev FROM wide"
+          for s in _UNPIVOT_STATUSES)}
+    ) u WHERE rev IS NOT NULL
+    """,
+    tags=("relational", "unpivot", "reshape"))
+def relational_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt): the inverse reshape of
+    relational_pivot_quarterly, exercising DataFrame.unpivot / the SQL
+    stack() path — the step that turns a reporting crosstab back into
+    the tidy long relation joins and ML featurizers want. The wide
+    input here is built in-query (per-year revenue by order status)
+    so the row is self-contained; empty cells (NULL revenue) are
+    dropped after the melt, matching the long-form group-by the oracle
+    mirrors with UNION ALL.
+
+    Scale shape: unpivot is a zero-shuffle, row-local Expand — each
+    wide row emits |value columns| long rows inside the same stage; the
+    only exchange in the plan is the wide aggregate's own (partial-
+    agg'd, |years| keys). Decimal portable sums keep melted values
+    bit-identical to the oracle's conditional aggregates.
+
+    Reference scope: delegated relational surface (SURVEY.md S2b).
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    wide = (orders.groupBy(F.year("o_orderdate").alias("yr"))
+            .agg(*[dsum(F.when(F.col("o_orderstatus") == s,
+                               F.col("o_totalprice")), 2)
+                   .alias(f"rev_{s}") for s in _UNPIVOT_STATUSES]))
+    long = wide.unpivot(
+        ["yr"], [f"rev_{s}" for s in _UNPIVOT_STATUSES],
+        "status_col", "rev")
+    return (long.where(F.col("rev").isNotNull())
+            .select("yr",
+                    F.substring("status_col", 5, 1).alias("status"),
+                    "rev"))

@@ -1272,3 +1272,156 @@ def ann_ingest_oracle(n_probe: int) -> str:
     )
     WHERE rnk <= 3
     """
+
+
+# ----------------------------------------------------- MMR reranking
+
+MMR_QUERIES = 3     # queries: vec_id < 3
+MMR_POOL = 12       # relevance candidates entering the rerank
+MMR_K = 5           # diversified results returned per query
+# Literals written as 0.7e0 / 0.3e0 in SQL so DuckDB parses DOUBLE (a
+# plain 0.7 is DECIMAL there), matching Python's float bit-for-bit.
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in SQL: selection step k is a CTE that scores
+    every unselected candidate as lambda*rel - mu*max_sim(selected) via
+    a correlated MAX subquery and keeps the (score DESC, cand_id)
+    winner. Exact twin of the kernel's loop — same double literals,
+    same left-fold cosine, same tie-break."""
+    rel = cosine_sql("q.embedding", "c.embedding")
+    sql = [f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             c.embedding AS emb, {rel} AS rel
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < {MMR_QUERIES}
+    ), cand AS (
+      SELECT query_id, cand_id, emb, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, cand_id) AS rnk
+        FROM scored) t WHERE rnk <= {MMR_POOL}
+    ), sel1 AS (
+      SELECT query_id, cand_id, emb, rel, rel AS score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, cand_id) AS rn
+        FROM cand) t WHERE rn = 1
+    )"""]
+    for k in range(2, MMR_K + 1):
+        union = " UNION ALL ".join(
+            f"SELECT query_id, cand_id, emb FROM sel{j}"
+            for j in range(1, k))
+        sim = cosine_sql("c.emb", "s.emb")
+        sql.append(f""", selu{k - 1} AS ({union}),
+    sc{k} AS (
+      SELECT c.query_id, c.cand_id, c.emb, c.rel,
+             0.7e0 * c.rel - 0.3e0 * (
+               SELECT MAX({sim}) FROM selu{k - 1} s
+               WHERE s.query_id = c.query_id) AS score
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM selu{k - 1} z
+                        WHERE z.query_id = c.query_id
+                          AND z.cand_id = c.cand_id)
+    ), sel{k} AS (
+      SELECT query_id, cand_id, emb, rel, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, cand_id) AS rn
+        FROM sc{k}) t WHERE rn = 1
+    )""")
+    final = " UNION ALL ".join(
+        f"SELECT query_id, CAST({j} AS BIGINT) AS rank, cand_id, "
+        f"round(score, 6) + 0.0 AS score FROM sel{j}"
+        for j in range(1, MMR_K + 1))
+    return "".join(sql) + f"\n    SELECT * FROM ({final}) f"
+
+
+def _mmr_rerank_group(pdf):
+    """Greedy MMR over one query's candidate pool (pandas group). The
+    cosine here is the SAME left fold as functions/portable.dot — a
+    sequential double accumulation in element order (float32 -> double
+    casts and products are exact, so fold order is the only freedom,
+    and both engines use left-to-right) — which keeps every score and
+    therefore every selection bit-identical to the SQL oracle."""
+    import math
+
+    import pandas as pd
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    qid = int(pdf["query_id"].iloc[0])
+    cands = {}
+    for _, row in pdf.iterrows():
+        emb = row["emb"]
+        cands[int(row["cand_id"])] = (
+            float(row["rel"]), emb, math.sqrt(fold_dot(emb, emb)))
+    maxsim = {cid: None for cid in cands}
+    out = []
+    for rank in range(1, MMR_K + 1):
+        if not cands:
+            break
+        if rank == 1:
+            score = {cid: rel for cid, (rel, _, _) in cands.items()}
+        else:
+            score = {cid: MMR_LAMBDA * rel - MMR_MU * maxsim[cid]
+                     for cid, (rel, _, _) in cands.items()}
+        pick = min(score, key=lambda cid: (-score[cid], cid))
+        out.append((qid, rank, pick, round(score[pick], 6) + 0.0))
+        _, pe, pn = cands.pop(pick)
+        for cid, (_, ce, cn) in cands.items():
+            s = fold_dot(ce, pe) / (cn * pn)
+            maxsim[cid] = s if maxsim[cid] is None else max(maxsim[cid], s)
+    return pd.DataFrame(out, columns=["query_id", "rank", "cand_id",
+                                      "score"])
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "rerank", "mmr", "pandas-kernel"))
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking: per query, the top-
+    {MMR_POOL} cosine candidates are greedily re-ranked so each pick
+    maximizes lambda*relevance - mu*max-similarity-to-already-picked —
+    the standard diversity pass between retrieval and a RAG context
+    window (near-duplicate passages waste the budget relevance alone
+    would spend twice).
+
+    Split of labor is the production one: candidate GENERATION is pure
+    JVM DataFrame (broadcast query set, one corpus pass, window
+    group-limit — identical shape to sim_bruteforce_topk), and the
+    inherently sequential greedy selection runs in applyInPandas over
+    each query's pool — {MMR_POOL} rows per group, so the Python tier
+    touches O(queries * pool), never the corpus. The oracle unrolls the
+    same greedy loop as {MMR_K} SQL selection stages; scores stay
+    bit-identical because both sides use the portable left-fold cosine
+    and the same double literals, so even argmax TIES resolve the same
+    way (cand_id ascending).
+
+    Scale shape: corpus cost = one scan + group-limit (no global sort);
+    rerank cost is per-query constant. At 100 TB the pool would come
+    from the IVF path instead — the rerank stage is unchanged.
+
+    Reference scope: similarity-search north star (SURVEY.md S2c).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < MMR_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe")))
+    c = emb.select(F.col("vec_id").alias("cand_id"),
+                   F.col("embedding").alias("emb"))
+    rel = cosine(F.col("qe"), F.col("emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cand_id")
+    pool = (c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+            .select("query_id", "cand_id", "emb", rel.alias("rel"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= MMR_POOL)
+            .select("query_id", "cand_id", "emb", "rel"))
+    return pool.groupBy("query_id").applyInPandas(
+        lambda pdf: _mmr_rerank_group(pdf),
+        schema="query_id bigint, rank bigint, cand_id bigint, score double")

@@ -502,3 +502,34 @@ def test_zscore_single_user_exchange(spark, sf_dir):
     plan = _plan(spark, "events_anomaly_zscore", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_rfm_boundary_binning_no_global_window(spark, sf_dir):
+    """customer_rfm_segments: quartiles come from a broadcast 1-row
+    percentile aggregate, not a single-partition ntile window over all
+    customers — no Window at all in the plan."""
+    plan = _plan(spark, "customer_rfm_segments", sf_dir)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan   # the 1-row stats join
+    # two-pass: boundary pass + scoring pass, each one custkey exchange
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_basket_rules_topk_bounded_no_cartesian(spark, sf_dir):
+    """basket_association_rules: basket-keyed self-join (hash equi-join
+    on the order key), and the lift top-k folds through
+    TakeOrderedAndProject — the full pair set is never globally
+    sorted."""
+    plan = _plan(spark, "basket_association_rules", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_pool_via_group_limit_broadcast_queries(spark, sf_dir):
+    """sim_mmr_rerank: candidate generation is the bruteforce shape
+    (broadcast query set + window group-limit); only the tiny pool
+    reaches the Python rerank stage."""
+    plan = _plan(spark, "sim_mmr_rerank", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
