@@ -5040,3 +5040,106 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.date_format("ts", TS_FMT_SPARK).alias("ts"),
                     value.alias("value"),
                     (F.round(z, 9) + 0.0).alias("z")))
+
+
+_ZVALUE_LOG_CACHE: dict[str, str] = {}
+
+
+def _materialized_zvalue_log(spark: SparkSession, sf_dir: str):
+    """Single-partition strict event-time DisLog (the
+    _materialized_ordered_log shape) whose value is the event metric
+    snapped ONCE to DECIMAL(18,4) and rendered as its exact decimal
+    string — the wire format that lets downstream stateful consumers
+    (zscore_gate_tws) recover the bit-exact decimal, keyed by user."""
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog
+    from ..tables import load_events
+
+    spark.dataSource.register(DisDataSource)
+    if sf_dir not in _ZVALUE_LOG_CACHE:
+        root = scratch_dir("dis_zvaluelog_")
+        DisLog(root, "zvalue").create(1)
+        events = load_events(spark, sf_dir)
+        w = Window.orderBy("event_id")
+        env = events.select(
+            F.lit(0).cast("int").alias("partition"),
+            (F.row_number().over(w) - 1).cast("long").alias("offset"),
+            F.col("user_id").cast("string").alias("key"),
+            F.col("value").cast("decimal(18,4)").cast("string")
+             .alias("value"),
+            F.col("ts").alias("timestamp"))
+        (env.repartition(1, "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.format("dis")
+            .option("path", root).option("stream", "zvalue")
+            .option("segmentRows", "500")
+            .mode("append").save())
+        _ZVALUE_LOG_CACHE[sf_dir] = root
+    return DisLog(_ZVALUE_LOG_CACHE[sf_dir], "zvalue")
+
+
+@register(
+    "dis_anomaly_zscore_tws_streamed",
+    oracle=f"""
+    WITH env AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT)
+               AS off,
+             CAST(user_id AS VARCHAR) AS key,
+             CAST("value" AS DECIMAL(18,4)) AS v4
+      FROM events
+    ), w AS (
+      SELECT off, key, v4,
+             CAST(COUNT(v4) OVER tw AS DOUBLE) AS cnt,
+             CAST(CAST(SUM(CAST(v4 AS DECIMAL(27,4))) OVER tw AS VARCHAR)
+                  AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(v4 * v4 AS DECIMAL(27,8))) OVER tw
+                       AS VARCHAR) AS DOUBLE) AS s2
+      FROM env
+      WINDOW tw AS (PARTITION BY key ORDER BY off
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ), scored AS (
+      SELECT off, key, CAST(v4 AS DOUBLE) AS value,
+             (s2 - s1 * s1 / cnt) / (cnt - 1) AS var, cnt, s1
+      FROM w WHERE cnt >= 12
+    )
+    SELECT off AS offset, key, value,
+           round((value - s1 / cnt) / sqrt(var), 9) + 0.0 AS z
+    FROM scored
+    WHERE var > 1e-9
+      AND abs((value - s1 / cnt) / sqrt(var)) > 3.0
+    """,
+    tags=("connector", "streaming", "stateful", "tws", "anomaly",
+          "multibatch", "e2e"))
+def dis_anomaly_zscore_tws_streamed(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """STREAMING ANOMALY GATE on transformWithStateInPandas — the live
+    twin of events_anomaly_zscore, doing the monitoring job that row's
+    docstring promises: per-user trailing-20 moments kept as ListState,
+    each arriving record scored against strictly-prior state, only
+    |z| > 3 emitted. Drained rate-limited over >= 3 data batches
+    (RocksDB state provider), so per-key state demonstrably carries
+    scoring context across micro-batch boundaries: a record's baseline
+    routinely lives in EARLIER batches.
+
+    The log is the strict event-time single-partition envelope with the
+    metric snapped to DECIMAL(18,4) and shipped as its exact decimal
+    string (_materialized_zvalue_log), which makes the streamed scores
+    bit-identical to the batch SQL oracle over the same events — see
+    streaming/stateful.zscore_gate_tws for the exactness argument.
+
+    Reference scope: createDirectStream + per-key stateful processing
+    (SURVEY.md S2a #1/#26 family), the anomaly member of the TWS gates
+    next to dedup/near-dup/session-timers."""
+    from ..streaming.stateful import zscore_gate_tws
+
+    log = _materialized_zvalue_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    with _rocksdb_state(spark):
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .option("maxOffsetsPerTrigger", str(per))
+               .load())
+        final = _drain_multibatch(spark, zscore_gate_tws(sdf), "zgate",
+                                  output_mode="append")
+    return final.select("offset", "key", "value", "z")

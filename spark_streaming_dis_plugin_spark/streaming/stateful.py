@@ -14,6 +14,7 @@ watermark-driven eviction (use timeouts for keys that go quiet).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -497,5 +498,88 @@ def cdc_changes_tws(env: DataFrame) -> DataFrame:
             .transformWithStateInPandas(
                 statefulProcessor=_CdcProcessor(),
                 outputStructType=CDC_SCHEMA,
+                outputMode="Append",
+                timeMode="None"))
+
+
+# ------------------- streaming trailing z-score gate (anomalies) on TWS
+
+# Twin constants of operators/connector.events_anomaly_zscore — the batch
+# row is this gate's oracle, so the two must stay equal.
+ZSCORE_TWS_LOOKBACK = 20
+ZSCORE_TWS_MIN_OBS = 12
+ZSCORE_TWS_GATE = 3.0
+
+ZSCORE_OUT_SCHEMA = "offset bigint, key string, value double, z double"
+
+
+def zscore_gate_tws(env: DataFrame) -> DataFrame:
+    """Streaming ANOMALY GATE — the transformWithState twin the batch
+    events_anomaly_zscore docstring promises: per key, ListState holds
+    the trailing {LOOKBACK} observations as DECIMAL(18,4) strings; each
+    arriving record is scored against the moments of that state BEFORE
+    being appended (strictly-prior window, no self-leakage), and only
+    |z| > {GATE} rows are emitted.
+
+    Exactness: the state stores the decimal STRINGS the envelope
+    carries, the moments are Python ``Decimal`` sums (exact — values
+    are <= 18 digits, squares <= 26, inside the default 28-digit
+    context; production at wider domains raises getcontext().prec),
+    and ``float(Decimal)`` is correctly rounded — the same value as the
+    engines' DECIMAL->DOUBLE cast — so mean/var/z and every gate
+    compare are bit-identical to the batch row and its SQL oracle.
+    Within a batch the key's rows are sorted by offset; across batches
+    offset ranges are monotone, so the scored sequence equals the
+    log's total order regardless of shuffle interleaving.
+
+    100 TB posture: state is <= {LOOKBACK} small entries per ACTIVE
+    key (the trailing window, not the history), hash-partitioned by
+    the groupBy; per-record work is O(lookback). TTL the state for
+    keys that go quiet."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _ZScoreProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._win = handle.getListState("win", "v string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            from decimal import Decimal
+
+            st = [Decimal(r[0]) for r in self._win.get()]
+            batch = pd.concat(list(rows), ignore_index=True) \
+                if rows else pd.DataFrame()
+            out = []
+            if len(batch):
+                for _, row in batch.sort_values("offset").iterrows():
+                    v4 = Decimal(str(row["value"]))
+                    cnt = len(st)
+                    if cnt >= ZSCORE_TWS_MIN_OBS:
+                        cntd = float(cnt)
+                        s1 = float(sum(st))
+                        s2 = float(sum(v * v for v in st))
+                        var = (s2 - s1 * s1 / cntd) / (cntd - 1.0)
+                        if var > 1e-9:
+                            val = float(v4)
+                            z = (val - s1 / cntd) / math.sqrt(var)
+                            if abs(z) > ZSCORE_TWS_GATE:
+                                out.append((int(row["offset"]), key[0],
+                                            val, round(z, 9) + 0.0))
+                    st.append(v4)
+                    if len(st) > ZSCORE_TWS_LOOKBACK:
+                        st.pop(0)
+                self._win.put([(str(v),) for v in st])
+            if not out:
+                return iter(())
+            return iter([pd.DataFrame(
+                out, columns=["offset", "key", "value", "z"])])
+
+        def close(self) -> None:
+            pass
+
+    return (env.select("offset", "key", "value")
+            .groupBy("key")
+            .transformWithStateInPandas(
+                statefulProcessor=_ZScoreProcessor(),
+                outputStructType=ZSCORE_OUT_SCHEMA,
                 outputMode="Append",
                 timeMode="None"))
