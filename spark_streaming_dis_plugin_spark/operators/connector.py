@@ -5143,3 +5143,75 @@ def dis_anomaly_zscore_tws_streamed(spark: SparkSession,
         final = _drain_multibatch(spark, zscore_gate_tws(sdf), "zgate",
                                   output_mode="append")
     return final.select("offset", "key", "value", "z")
+
+
+BFS_SOURCE = 1     # BFS root: part key 1 (present at every SF)
+BFS_MAX_HOPS = 3
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pairs a JOIN pairs b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), adj AS (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ), bfs AS (
+      SELECT {BFS_SOURCE} AS node, 0 AS lvl
+      UNION
+      SELECT a.nbr, bfs.lvl + 1
+      FROM bfs JOIN adj a ON a.node = bfs.node
+      WHERE bfs.lvl < {BFS_MAX_HOPS}
+    )
+    SELECT node AS part_id, CAST(MIN(lvl) AS BIGINT) AS hops
+    FROM bfs GROUP BY 1
+    """,
+    tags=("connector", "graph", "bfs"))
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop levels from part {BFS_SOURCE} over the co-purchase graph,
+    bounded at {BFS_MAX_HOPS} hops — the reachability/radius primitive
+    (blast-radius queries, recommendation horizon, graph sampling for
+    GNN training).
+
+    The Spark plan is level-synchronous BFS: each round joins the
+    CURRENT FRONTIER (only) against the adjacency relation and anti-
+    joins the visited set, so a node is expanded exactly once and each
+    round is two keyed hash joins — never a growing recursive unrolling
+    of paths. That is the fundamental scale difference from the oracle's
+    recursive CTE, whose UNION working set enumerates (node, lvl) pairs:
+    path-free frontier expansion is why BFS on Spark survives graphs
+    where path enumeration explodes combinatorially. Frontiers persist
+    via localCheckpoint (the dedup_connected_components discipline) so
+    lineage stays flat across rounds.
+
+    Reference scope: delegated graph analytics (SURVEY.md S2b) next to
+    pagerank / triangles / link prediction.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_partkey").distinct()
+    a = pairs.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("u"))
+    b = pairs.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("v"))
+    edges = (a.join(b, "ok").where(F.col("u") < F.col("v"))
+             .select("u", "v").distinct())
+    adj = (edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+           .unionAll(edges.select(F.col("v").alias("node"),
+                                  F.col("u").alias("nbr"))))
+    visited = spark.createDataFrame([(BFS_SOURCE, 0)], "part_id long, hops int")
+    frontier = visited.select("part_id")
+    for lvl in range(1, BFS_MAX_HOPS + 1):
+        nxt = (frontier.join(adj, frontier.part_id == adj.node)
+               .select(F.col("nbr").alias("part_id")).distinct()
+               .join(visited.select("part_id"), "part_id", "left_anti")
+               .localCheckpoint(eager=True))
+        visited = visited.unionAll(
+            nxt.select("part_id", F.lit(lvl).alias("hops")))
+        frontier = nxt
+    return visited.select("part_id",
+                          F.col("hops").cast("bigint").alias("hops"))

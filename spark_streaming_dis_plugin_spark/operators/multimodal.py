@@ -660,3 +660,94 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.row_number().over(ws).cast("bigint").alias("seg_id"),
         "start_frame", "end_frame", "n_frames", "seg_energy")
+
+
+# --------------------------------------------- ViT-style tile extraction
+
+TILE_ROW_BYTES = 16      # interpret payload as a 16-byte-wide grid
+TILE_SIZE = 8            # 8x8 tiles (full tiles only, standard ViT crop)
+
+TILE_SCHEMA = ("doc_id bigint, ty bigint, tx bigint, byte_sum bigint, "
+               "byte_min bigint, byte_max bigint")
+
+
+def image_tile_kernel(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+    """Patch extraction over binary payloads: view each payload as a
+    TILE_ROW_BYTES-wide uint8 grid, crop to full TILE_SIZE bands, and
+    reduce every TILE_SIZE x TILE_SIZE tile to exact int64 stats with
+    one numpy reshape — the access pattern (not the pixels; see the
+    decode-stub caveat) of ViT patchification at scale."""
+    import numpy as np
+
+    w, t = TILE_ROW_BYTES, TILE_SIZE
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            nrows = len(arr) // w
+            bands = nrows // t
+            if bands == 0:
+                continue
+            grid = arr[: bands * t * w].reshape(bands * t, w)
+            for ty in range(bands):
+                for tx in range(w // t):
+                    tile = grid[ty * t:(ty + 1) * t,
+                                tx * t:(tx + 1) * t].astype(np.int64)
+                    rows.append((int(doc_id), ty, tx, int(tile.sum()),
+                                 int(tile.min()), int(tile.max())))
+        yield pd.DataFrame(rows, columns=["doc_id", "ty", "tx", "byte_sum",
+                                          "byte_min", "byte_max"])
+
+
+@register(
+    "multimodal_image_tiles",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, text,
+             ((length(text) // {TILE_ROW_BYTES}) // {TILE_SIZE})
+               * {TILE_SIZE} AS userows
+      FROM documents WHERE doc_id % 3 = 0
+    ), cells AS (
+      SELECT doc_id,
+             CAST((r - 1) // {TILE_SIZE} AS BIGINT) AS ty,
+             CAST((c - 1) // {TILE_SIZE} AS BIGINT) AS tx,
+             ascii(substr(text, (r - 1) * {TILE_ROW_BYTES} + c, 1)) AS b
+      FROM img,
+        LATERAL (SELECT unnest(range(1, userows + 1)) AS r),
+        LATERAL (SELECT unnest(range(1, {TILE_ROW_BYTES} + 1)) AS c)
+    )
+    SELECT doc_id, ty, tx,
+           CAST(SUM(b) AS BIGINT) AS byte_sum,
+           CAST(MIN(b) AS BIGINT) AS byte_min,
+           CAST(MAX(b) AS BIGINT) AS byte_max
+    FROM cells GROUP BY 1, 2, 3
+    """,
+    tags=("multimodal", "image", "tiles", "pandas-kernel"))
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style TILE/PATCH extraction: each image payload becomes a
+    grid of {TILE_SIZE}x{TILE_SIZE} tiles (full tiles only) with exact
+    per-tile int64 stats — the patchification step in front of any
+    vision-transformer training pipeline, exercised end-to-end on the
+    Spark side (Arrow batches in, one numpy reshape per artifact,
+    typed tile rows out via mapInPandas).
+
+    Same honesty split as the rest of the multimodal family: real
+    codecs aren't in this container, so the "image" is the payload's
+    raw byte grid (decode_stub documents the swap point); everything
+    downstream of decode — schema, batching, reshape, per-tile
+    reduction, output cardinality (rows per artifact scale with
+    payload AREA, not corpus rows) — is the production shape. The
+    oracle re-derives tiles arithmetically from the payload's source
+    bytes (ASCII caveat as multimodal_pcm_energy).
+
+    Scale shape: map-only, zero shuffles; the binary column dies at the
+    scan+map stage and only 6 small ints per tile leave it."""
+    art = (artifacts(spark, sf_dir)
+           .where(F.col("media_type") == "image/png")
+           .select("doc_id", "payload"))
+    para = spark.sparkContext.defaultParallelism
+    return art.repartition(para).mapInPandas(image_tile_kernel,
+                                             schema=TILE_SCHEMA)

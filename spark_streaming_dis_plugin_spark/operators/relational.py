@@ -3454,3 +3454,110 @@ def relational_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("yr",
                     F.substring("status_col", 5, 1).alias("status"),
                     "rev"))
+
+
+@register(
+    "orders_yoy_growth",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mon,
+             {dsum_sql('o_totalprice', 2)} AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT c.yr, c.mon, c.rev, p.rev AS rev_prev,
+           c.rev / p.rev - 1 AS yoy
+    FROM monthly c LEFT JOIN monthly p
+      ON p.yr = c.yr - 1 AND p.mon = c.mon
+    """,
+    tags=("relational", "timeseries", "yoy", "agg"))
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth. Deliberately a SELF-JOIN
+    on (yr-1, mon) rather than the textbook lag(rev, 12) window: the
+    positional lag silently misaligns the moment a month is absent
+    (sparse early history, markets with gaps), and it needs a
+    single-partition global-ordered window, while the keyed self-join
+    of the AGGREGATED series is gap-correct and stays a hash join over
+    a calendar-bounded relation (|months| rows — trivially
+    broadcastable at any corpus scale). Revenue is the portable decimal
+    sum, so both engines derive the identical doubles and the growth
+    ratio is bit-identical; months with no prior year stay NULL.
+
+    Reference scope: delegated relational analytics (SURVEY.md S2b).
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    monthly = (orders.groupBy(F.year("o_orderdate").alias("yr"),
+                              F.month("o_orderdate").alias("mon"))
+               .agg(dsum("o_totalprice", 2).alias("rev")))
+    prev = monthly.select((F.col("yr") + 1).alias("yr"),
+                          F.col("mon").alias("mon"),
+                          F.col("rev").alias("rev_prev"))
+    return (monthly.join(prev, ["yr", "mon"], "left")
+            .select("yr", "mon", "rev", "rev_prev",
+                    (F.col("rev") / F.col("rev_prev") - 1).alias("yoy")))
+
+
+@register(
+    "orders_backlog_sweepline",
+    oracle="""
+    WITH close AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS close_ts
+      FROM lineitem GROUP BY 1
+    ), iv AS (
+      SELECT date_trunc('day', o.o_orderdate) AS open_day,
+             date_trunc('day', c.close_ts) + INTERVAL 1 DAY AS close_day
+      FROM orders o JOIN close c ON c.l_orderkey = o.o_orderkey
+    ), deltas AS (
+      SELECT open_day AS day, 1 AS d FROM iv
+      UNION ALL SELECT close_day, -1 FROM iv
+    ), net AS (
+      SELECT day, CAST(SUM(d) AS BIGINT) AS net_change
+      FROM deltas GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, net_change,
+           CAST(SUM(net_change) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS open_orders
+    FROM net
+    """,
+    tags=("relational", "sweepline", "intervals", "window"))
+def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order BACKLOG over time by SWEEP LINE: each order is open from
+    its order date until its last lineitem ships; the open-order count
+    per change-day comes from +1/-1 boundary events and one running
+    sum — the difference-array formulation that replaces the naive
+    per-day x per-order interval-overlap join (O(days * orders)) with
+    O(orders) events, the classic trick for interval cardinality,
+    occupancy and concurrency analytics.
+
+    Scale shape: the close lookup is a keyed aggregate + join on
+    o_orderkey; boundary events partial-aggregate to <= 2 rows per
+    DISTINCT DAY before any sort, so the running-sum window runs over a
+    calendar-bounded relation (the same "window over the aggregate, not
+    the facts" discipline as orders_yoy_growth) — for unbounded time
+    domains, range-partition by day and carry per-partition totals as
+    a 1-row boundary relation (two passes, same math). Output days are
+    rendered as dates (pure NTZ date_trunc, timezone-free); counts are
+    exact int64.
+
+    Reference scope: delegated relational analytics (SURVEY.md S2b).
+    """
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    close = (li.groupBy("l_orderkey")
+             .agg(F.max("l_shipdate").alias("close_ts")))
+    iv = (orders.join(close, orders.o_orderkey == close.l_orderkey)
+          .select(F.date_trunc("DAY", "o_orderdate").alias("open_day"),
+                  (F.date_trunc("DAY", "close_ts")
+                   + F.expr("INTERVAL 1 DAY")).alias("close_day")))
+    deltas = (iv.select(F.col("open_day").alias("day"),
+                        F.lit(1).alias("d"))
+              .unionAll(iv.select(F.col("close_day").alias("day"),
+                                  F.lit(-1).alias("d"))))
+    net = (deltas.groupBy("day")
+           .agg(F.sum("d").cast("bigint").alias("net_change")))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return net.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "net_change",
+        F.sum("net_change").over(w).cast("bigint").alias("open_orders"))
