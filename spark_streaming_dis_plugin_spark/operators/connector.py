@@ -5215,3 +5215,65 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = nxt
     return visited.select("part_id",
                           F.col("hops").cast("bigint").alias("hops"))
+
+
+MEDIAN_LOOKBACK = 15    # trailing window width for the robust smoother
+
+
+@register(
+    "events_rolling_median",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CAST("value" AS DECIMAL(18,4)) AS v4
+      FROM events
+    )
+    SELECT event_id, user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts,
+           CAST(v4 AS DOUBLE) AS value,
+           CAST(cnt AS BIGINT) AS n_window, med
+    FROM (
+      SELECT *,
+             COUNT(v4) OVER tw AS cnt,
+             quantile_cont(CAST(v4 AS DOUBLE), 0.5) OVER tw AS med
+      FROM seq
+      WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN {MEDIAN_LOOKBACK} PRECEDING
+                             AND 1 PRECEDING)
+    ) t WHERE cnt >= 5
+    """,
+    tags=("connector", "timeseries", "robust-stats", "window"))
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window EXACT MEDIAN — the robust smoother next to
+    events_anomaly_zscore's moment gate: each event is paired with the
+    median of the user's previous {MEDIAN_LOOKBACK} observations
+    (strictly prior, >= 5 required), the baseline outlier-resistant
+    pipelines prefer when the metric has heavy tails the mean/std gate
+    chases.
+
+    Exactness: values are snapped once to DECIMAL(18,4) then cast to
+    double (exact), and the trailing multiset is IDENTICAL in both
+    engines, so the interpolated median — midpoint arithmetic on exact
+    doubles — is bit-identical; no rounding absorber needed.
+
+    Scale shape: one user_id exchange; the honest cost is the frame
+    itself — an exact sliding median re-sorts up to {MEDIAN_LOOKBACK}
+    values per row (O(w log w)), the price of exactness at fixed small
+    w. For wide windows swap approx_percentile (KLL sketch) or a
+    two-heap transformWithState twin with O(log w) updates.
+
+    Reference scope: delegated per-key sequence analytics
+    (SURVEY.md S2b).
+    """
+    events = load(spark, sf_dir, "events")
+    tw = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-MEDIAN_LOOKBACK, -1))
+    v4 = F.col("value").cast("decimal(18,4)")
+    seq = events.select("user_id", "event_id", "ts",
+                        v4.cast("double").alias("v"))
+    scored = seq.select(
+        "event_id", "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        F.col("v").alias("value"),
+        F.count("v").over(tw).cast("bigint").alias("n_window"),
+        F.percentile(F.col("v"), F.lit(0.5)).over(tw).alias("med"))
+    return scored.where(F.col("n_window") >= 5)

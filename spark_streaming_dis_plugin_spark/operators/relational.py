@@ -3561,3 +3561,59 @@ def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "net_change",
         F.sum("net_change").over(w).cast("bigint").alias("open_orders"))
+
+
+ERASURE_BAL = -900.0    # erasure list: customers below this balance
+
+
+@register(
+    "compliance_delete_cascade",
+    oracle=f"""
+    WITH erase AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < {ERASURE_BAL}
+    ), ords AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM erase)
+    )
+    SELECT 'customers' AS entity,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM erase) AS n_rows
+    UNION ALL
+    SELECT 'orders', (SELECT CAST(COUNT(*) AS BIGINT) FROM ords)
+    UNION ALL
+    SELECT 'lineitems',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM ords))
+    """,
+    tags=("relational", "compliance", "semi-join", "cascade"))
+def compliance_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure IMPACT AUDIT: given a deletion predicate on the
+    customer table, count every row the cascade would remove across the
+    FK chain customer -> orders -> lineitem — the dry-run report a
+    GDPR/CCPA delete job must produce before touching data (and the
+    same plan shape the delete itself uses, with the counts swapped for
+    anti-join rewrites).
+
+    Scale shape: the cascade is two LEFT SEMI joins flowing the KEY
+    RELATION downward — the erasure key set (small by construction)
+    broadcasts against orders, and the resulting order-key set hashes
+    against lineitem; nothing fact-sized moves upward, no row is
+    double-counted (semi-join = existence, immune to the fanout a plain
+    join would add to the counts). Counts are exact int64 scalars,
+    assembled with one tiny union.
+
+    Reference scope: delegated relational surface (SURVEY.md S2b).
+    """
+    cust, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    erase = (cust.where(F.col("c_acctbal") < ERASURE_BAL)
+             .select("c_custkey"))
+    ords = (orders.join(erase, orders.o_custkey == erase.c_custkey,
+                        "left_semi")
+            .select("o_orderkey"))
+    lis = li.join(ords, li.l_orderkey == ords.o_orderkey, "left_semi")
+    n_c = erase.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")) \
+        .select(F.lit("customers").alias("entity"), "n_rows")
+    n_o = ords.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")) \
+        .select(F.lit("orders").alias("entity"), "n_rows")
+    n_l = lis.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")) \
+        .select(F.lit("lineitems").alias("entity"), "n_rows")
+    return n_c.unionAll(n_o).unionAll(n_l)

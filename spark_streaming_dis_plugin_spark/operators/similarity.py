@@ -1425,3 +1425,54 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pool.groupBy("query_id").applyInPandas(
         lambda pdf: _mmr_rerank_group(pdf),
         schema="query_id bigint, rank bigint, cand_id bigint, score double")
+
+
+RADIUS_TAU = 0.3    # cosine radius for range search
+
+
+@register(
+    "sim_radius_search",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({cosine_sql('q.embedding', 'c.embedding')}, 4) + 0.0
+             AS cos
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+      AND {cosine_sql('q.embedding', 'c.embedding')} > {RADIUS_TAU}
+    """,
+    tags=("similarity", "ann", "radius"))
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS (range) similarity search: every corpus vector within
+    cosine > {RADIUS_TAU} of each query — the other half of the ANN
+    API surface next to top-k (dedup radii, "all sufficiently similar"
+    retrieval, recall-oriented candidate generation where k is
+    unknowable a priori).
+
+    Scale shape: identical scan discipline to sim_bruteforce_topk —
+    query set broadcast, ONE corpus pass, per-side norms hoisted before
+    the join — but the radius predicate needs NO window at all (top-k's
+    group-limit sort disappears; output is filter-selected, unbounded
+    per query by design). The threshold compare runs on the portable
+    left-fold cosine, bit-identical cross-engine, so membership at the
+    boundary cannot straddle; the IVF route (probe clusters whose
+    centroid distance admits the radius) swaps in unchanged at corpus
+    scale.
+
+    Reference scope: similarity-search north star (SURVEY.md S2c).
+    """
+    from ..functions.portable import dot, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = (emb.where(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe"),
+                 norm(F.col("embedding")).alias("qn")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("ce"),
+                   norm(F.col("embedding")).alias("cn"))
+    cos = dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    return (c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", cos.alias("cos"))
+            .where(F.col("cos") > RADIUS_TAU)
+            .select("query_id", "neighbor_id",
+                    (F.round("cos", 4) + 0.0).alias("cos")))
