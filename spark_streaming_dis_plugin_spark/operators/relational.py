@@ -3617,3 +3617,71 @@ def compliance_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_l = lis.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")) \
         .select(F.lit("lineitems").alias("entity"), "n_rows")
     return n_c.unionAll(n_o).unionAll(n_l)
+
+
+@register(
+    "customer_abc_pareto",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey, {dsum_sql('o_totalprice', 2)} AS rev
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT o_custkey, rev,
+             CAST(CAST(SUM(CAST(rev AS DECIMAL(27,2))) OVER
+                    (ORDER BY rev DESC, o_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS VARCHAR) AS DOUBLE) AS cum_rev,
+             CAST(CAST(SUM(CAST(rev AS DECIMAL(27,2))) OVER ()
+                  AS VARCHAR) AS DOUBLE) AS tot_rev
+      FROM cust
+    )
+    SELECT o_custkey, rev,
+           cum_rev / tot_rev AS cum_share,
+           CASE WHEN cum_rev / tot_rev <= 0.8 THEN 'A'
+                WHEN cum_rev / tot_rev <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+    tags=("relational", "pareto", "abc", "window"))
+def customer_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto (80-20) classification: customers sorted by lifetime
+    revenue, classified A/B/C by their CUMULATIVE share of total
+    revenue (<= 80%, <= 95%, rest) — the inventory/CRM prioritization
+    standard, and the distribution-skew report every domain-mix
+    sampler wants before rebalancing a corpus.
+
+    Exactness: per-customer revenue is the portable decimal sum; the
+    running and grand totals are DECIMAL window sums (order-independent
+    partials, deterministic (rev DESC, custkey) frame order) routed to
+    double through VARCHAR (the repo's DuckDB decimal-cast discipline),
+    so shares and class-boundary compares are bit-identical.
+
+    Scale shape: the window runs over the AGGREGATED customer relation,
+    not orders — but unlike the calendar-bounded series rows this
+    relation grows with the entity count, so the docstring's contract
+    is explicit: at 10^9 customers this exact formulation needs the
+    range-partition + per-partition-total carry (two passes), or bin
+    customers by revenue-decile boundaries first (boundary-binning
+    pattern) when class edges may be approximate. The single-partition
+    sort here is the honest small-entity plan, the same trade
+    window_ntile_lead documents.
+
+    Reference scope: delegated relational analytics (SURVEY.md S2b).
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    cust = (orders.groupBy("o_custkey")
+            .agg(dsum("o_totalprice", 2).alias("rev")))
+    run = (Window.orderBy(F.desc("rev"), "o_custkey")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy()
+    ranked = cust.select(
+        "o_custkey", "rev",
+        F.sum(F.col("rev").cast("decimal(27,2)")).over(run)
+         .cast("double").alias("cum_rev"),
+        F.sum(F.col("rev").cast("decimal(27,2)")).over(tot)
+         .cast("double").alias("tot_rev"))
+    share = F.col("cum_rev") / F.col("tot_rev")
+    return ranked.select(
+        "o_custkey", "rev", share.alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B")
+         .otherwise("C").alias("abc_class"))
