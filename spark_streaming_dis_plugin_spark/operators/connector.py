@@ -5241,7 +5241,8 @@ MEDIAN_LOOKBACK = 15    # trailing window width for the robust smoother
                              AND 1 PRECEDING)
     ) t WHERE cnt >= 5
     """,
-    tags=("connector", "timeseries", "robust-stats", "window"))
+    tags=("connector", "timeseries", "robust-stats", "window"),
+    bench=True)
 def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-window EXACT MEDIAN — the robust smoother next to
     events_anomaly_zscore's moment gate: each event is paired with the

@@ -614,7 +614,8 @@ def pcm_frame_energy_kernel(batches: Iterator[pd.DataFrame]
            start_frame, end_frame, n_frames, seg_energy
     FROM seg
     """,
-    tags=("multimodal", "audio", "vad", "islands", "pandas-kernel"))
+    tags=("multimodal", "audio", "vad", "islands", "pandas-kernel"),
+    bench=True)
 def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voice-activity-style segmentation over raw PCM16: frames whose
     energy clears a gate, merged into maximal consecutive runs

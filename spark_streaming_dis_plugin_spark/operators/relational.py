@@ -3352,7 +3352,8 @@ RULES_TOP_K = 100
       CROSS JOIN n
     ORDER BY lift DESC, u, w LIMIT {RULES_TOP_K}
     """,
-    tags=("relational", "basket", "association-rules", "topk"))
+    tags=("relational", "basket", "association-rules", "topk"),
+    bench=True)
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket ASSOCIATION RULES (the Apriori 2-itemset pass):
     each order is a basket of distinct parts; pairs co-occurring in at
