@@ -5278,3 +5278,127 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("v").over(tw).cast("bigint").alias("n_window"),
         F.percentile(F.col("v"), F.lit(0.5)).over(tw).alias("med"))
     return scored.where(F.col("n_window") >= 5)
+
+
+SESSION_NATIVE_GAP_MIN = 10
+
+
+@register(
+    "events_session_window_native",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_NATIVE_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), grp AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS sid
+      FROM seq
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts) + INTERVAL {SESSION_NATIVE_GAP_MIN} MINUTE,
+                    '{TS_FMT_DUCK}') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM grp GROUP BY user_id, sid
+    """,
+    tags=("connector", "sessionization", "session-window"))
+def events_session_window_native(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window operator — the
+    declarative form of the gaps-and-islands construction the dis
+    streaming rows build by hand, and the exact groupBy that upgrades
+    to a streaming watermarked session aggregation unchanged (its
+    reason to exist). Each user's events merge while gaps stay within
+    {SESSION_NATIVE_GAP_MIN} minutes; window end = last event + gap
+    (Spark's session_window contract, mirrored by the oracle's MAX(ts)
+    + gap). Pure NTZ interval arithmetic, timezone-free.
+
+    Scale shape: one user_id exchange; SessionWindowStateStore-style
+    merging happens inside the aggregate (sort-based session merge per
+    key), no self-join, no explode. The islands SQL the oracle runs is
+    what engines without a native operator must do — two window passes
+    plus an aggregate — so this row also documents the operator's
+    saving: half the window work, and streaming-ready semantics.
+
+    Reference scope: SURVEY.md S2b sessionization family
+    (dis_sessionization's batch-native twin).
+    """
+    events = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", f"{SESSION_NATIVE_GAP_MIN} minutes")
+    return (events.groupBy("user_id", sw)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .select("user_id",
+                    F.date_format("session_window.start", TS_FMT_SPARK)
+                     .alias("session_start"),
+                    F.date_format("session_window.end", TS_FMT_SPARK)
+                     .alias("session_end"),
+                    "n_events"))
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(date_diff('microsecond',
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id), ts) AS BIGINT)
+               AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us,
+           quantile_cont(gap_us, 0.5) AS p50_us,
+           quantile_cont(gap_us, 0.9) AS p90_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("connector", "timeseries", "interarrival", "statistics"))
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user INTER-ARRIVAL time profile: microsecond gaps between
+    consecutive events (lag over the (ts, event_id) sequence), reduced
+    to count/min/max/p50/p90 — the burstiness fingerprint behind rate
+    models, bot detection, and session-gap calibration (pick the
+    session window where the gap distribution knees).
+
+    Exactness: gaps are exact int64 microsecond differences of NTZ
+    timestamps (timezone-free), so the interpolated percentiles are
+    int arithmetic with power-of-two-free weights both engines
+    evaluate identically (same multiset, same (1-f)*a + f*b on exact
+    doubles).
+
+    Scale shape: one user_id exchange serves both the lag window and
+    the aggregate (same-key reuse, no second shuffle); per-key exact
+    percentiles buffer the user's OWN gaps only — swap
+    approx_percentile when per-key cardinality is unbounded.
+
+    Reference scope: delegated per-key sequence analytics
+    (SURVEY.md S2b).
+    """
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff on NTZ inputs is pure wall-clock arithmetic — the
+    # unix_micros(cast-to-LTZ) form would subtract SESSION-TZ epochs,
+    # which only happens to cancel while no DST edge sits inside a gap.
+    gaps = (events.select("user_id", "ts",
+                          F.lag("ts").over(w).alias("prev_ts"))
+            .where(F.col("prev_ts").isNotNull())
+            .select("user_id",
+                    F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                     .cast("bigint").alias("gap_us")))
+    return (gaps.groupBy("user_id")
+            .agg(F.count("gap_us").cast("bigint").alias("n_gaps"),
+                 F.min("gap_us").cast("bigint").alias("min_us"),
+                 F.max("gap_us").cast("bigint").alias("max_us"),
+                 F.percentile("gap_us", F.lit(0.5)).alias("p50_us"),
+                 F.percentile("gap_us", F.lit(0.9)).alias("p90_us")))
