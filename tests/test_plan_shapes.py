@@ -533,3 +533,51 @@ def test_mmr_pool_via_group_limit_broadcast_queries(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_session_window_native_single_exchange_no_join(spark, sf_dir):
+    """events_session_window_native: the native session merge is one
+    user_id-keyed aggregate — no self-join, no second window pass."""
+    plan = _plan(spark, "events_session_window_native", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_interarrival_window_and_agg_share_exchange(spark, sf_dir):
+    """events_interarrival_stats: the lag window and the per-user
+    aggregate ride the SAME user_id exchange."""
+    plan = _plan(spark, "events_interarrival_stats", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_sweepline_window_runs_over_aggregated_days(spark, sf_dir):
+    """orders_backlog_sweepline: the running sum's single-partition
+    window consumes the per-day aggregate (partial-agg'd), never the
+    fact rows — exactly one SinglePartition exchange, fed by a hash
+    aggregate over day."""
+    plan = _plan(spark, "orders_backlog_sweepline", sf_dir)
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_yoy_no_window_keyed_join_on_aggregate(spark, sf_dir):
+    """orders_yoy_growth: gap-correct keyed self-join of the monthly
+    aggregate — no positional-lag window anywhere."""
+    plan = _plan(spark, "orders_yoy_growth", sf_dir)
+    assert "Window" not in plan
+    assert "Join" in plan
+
+
+def test_bfs_lineage_truncated_to_materialized_frontiers(spark, sf_dir):
+    """graph_bfs_hops: each round's joins run EAGERLY behind a
+    localCheckpoint, so the returned plan is just the union of
+    materialized frontier scans — no join (and certainly no cartesian)
+    survives into the final lineage. That truncation is the claim: a
+    regression that dropped the checkpoints would re-nest 3 rounds of
+    joins into this plan."""
+    plan = _plan(spark, "graph_bfs_hops", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan            # rounds already materialized
+    assert "Scan ExistingRDD" in plan    # checkpointed frontiers
+    assert "Union" in plan
