@@ -3686,3 +3686,67 @@ def customer_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "rev", share.alias("cum_share"),
         F.when(share <= 0.8, "A").when(share <= 0.95, "B")
          .otherwise("C").alias("abc_class"))
+
+
+@register(
+    "relational_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+    ), latest AS (
+      SELECT o_custkey, o_totalprice FROM (
+        SELECT o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC,
+                                           o_orderkey DESC) AS rn
+        FROM orders) t WHERE rn = 1
+    )
+    SELECT COALESCE(t.c_custkey, s.o_custkey) AS custkey,
+           CASE WHEN s.o_custkey IS NOT NULL THEN s.o_totalprice
+                ELSE t.c_acctbal END AS balance,
+           CASE WHEN t.c_custkey IS NULL THEN 'inserted'
+                WHEN s.o_custkey IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS merge_action
+    FROM target t FULL OUTER JOIN latest s ON s.o_custkey = t.c_custkey
+    """,
+    tags=("relational", "merge", "upsert", "cdc"))
+def relational_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE / UPSERT semantics — the batch twin of
+    dis_upsert_view_streamed's incremental materialized view: a CDC
+    delta (each customer's LATEST order value) merges into a partial
+    balance snapshot with all three MERGE branches exercised naturally:
+    WHEN MATCHED -> update to the delta value, WHEN NOT MATCHED ->
+    insert, WHEN NOT MATCHED BY SOURCE -> carry unchanged; every output
+    row is tagged with its action (the audit column a production MERGE
+    writes to its commit log).
+
+    Scale shape: the delta reduces to one row per key BEFORE the merge
+    (window group-limit on the source, the same pre-aggregation that
+    bounds the streamed twin's per-batch work), then ONE full-outer
+    hash join on the key — the canonical lakehouse MERGE plan; with a
+    bucketed/partitioned target only the touched buckets rewrite
+    (dis_upsert_view_streamed materializes exactly that). Values carry
+    through untouched (no arithmetic), so cross-engine equality is
+    structural.
+
+    Reference scope: delegated relational surface (SURVEY.md S2b).
+    """
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    target = (cust.where(F.col("c_custkey") % 2 == 0)
+              .select("c_custkey", "c_acctbal"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    latest = (orders.select("o_custkey", "o_totalprice", "o_orderdate",
+                            "o_orderkey")
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1)
+              .select("o_custkey", "o_totalprice"))
+    j = target.join(latest, target.c_custkey == latest.o_custkey,
+                    "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("o_custkey").isNotNull(), F.col("o_totalprice"))
+         .otherwise(F.col("c_acctbal")).alias("balance"),
+        F.when(F.col("c_custkey").isNull(), "inserted")
+         .when(F.col("o_custkey").isNull(), "unchanged")
+         .otherwise("updated").alias("merge_action"))

@@ -1476,3 +1476,89 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("cos") > RADIUS_TAU)
             .select("query_id", "neighbor_id",
                     (F.round("cos", 4) + 0.0).alias("cos")))
+
+
+# ------------------------------------------- k-center coreset selection
+
+KCENTER_K = 5        # selected coreset size (incl. the seed)
+KCENTER_SEED = 0     # deterministic seed point: vec_id 0
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy k-center (farthest-point traversal) in SQL:
+    round k picks argmax over the corpus of min-L2^2-to-selected via a
+    correlated MIN subquery — same fold, same (d2 DESC, vec_id)
+    tie-break as the Spark loop."""
+    sql = [f"""
+    WITH sel0 AS (
+      SELECT CAST(0 AS BIGINT) AS rank, vec_id, embedding,
+             CAST(0.0 AS DOUBLE) AS d2
+      FROM embeddings WHERE vec_id = {KCENTER_SEED}
+    )"""]
+    for k in range(1, KCENTER_K):
+        union = " UNION ALL ".join(
+            f"SELECT vec_id, embedding FROM sel{j}" for j in range(k))
+        d2 = _l2sq_sql("e.embedding", "s.embedding")
+        sql.append(f""", selu{k} AS ({union}),
+    sc{k} AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT MIN({d2}) FROM selu{k} s) AS d2
+      FROM embeddings e
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM selu{k})
+    ), sel{k} AS (
+      SELECT CAST({k} AS BIGINT) AS rank, vec_id, embedding, d2
+      FROM sc{k} ORDER BY d2 DESC, vec_id LIMIT 1
+    )""")
+    final = " UNION ALL ".join(
+        f"SELECT rank, vec_id, round(d2, 6) + 0.0 AS d2 FROM sel{j}"
+        for j in range(KCENTER_K))
+    return "".join(sql) + f"\n    SELECT * FROM ({final}) f"
+
+
+@register(
+    "sample_coreset_kcenter",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "coreset", "kcenter", "sampling"))
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORESET SELECTION by greedy k-center (farthest-point traversal):
+    starting from a deterministic seed, each round adds the corpus
+    point FARTHEST (max-min L2^2) from everything selected so far —
+    the 2-approximation coverage heuristic behind diverse-subset
+    training-data selection and k-means++-style seeding.
+
+    Unlike sim_mmr_rerank (greedy over a per-query POOL in one pandas
+    group), each k-center round is a DISTRIBUTED full-corpus pass: the
+    <= k selected vectors ride into the scan as literals (a broadcast
+    by construction), min-distance folds per row JVM-side, and the
+    round's winner comes back through TakeOrderedAndProject(1) — one
+    driver-side collect of ONE ROW per round, the same blessed
+    iterative-fixpoint pattern as connected components' convergence
+    probe. Cost: k linear scans, no shuffle beyond the top-1 merge, no
+    k x corpus materialization. Scores/ties are bit-identical to the
+    unrolled SQL oracle via the portable left-fold distance (float32 ->
+    double casts exact; argmax ties break on vec_id).
+
+    Reference scope: LLM-pipeline sampling north star (SURVEY.md S2c),
+    the coverage-driven member next to the hash/temperature samplers.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    seed = emb.where(F.col("vec_id") == KCENTER_SEED) \
+              .select("vec_id", "embedding").collect()[0]
+    selected = [(0, int(seed["vec_id"]), 0.0)]
+    sel_vecs = [list(seed["embedding"])]
+    for k in range(1, KCENTER_K):
+        dist = F.least(*[
+            _l2sq(F.col("embedding"),
+                  F.array(*[F.lit(float(x)) for x in v]))
+            for v in sel_vecs]) if len(sel_vecs) > 1 else \
+            _l2sq(F.col("embedding"),
+                  F.array(*[F.lit(float(x)) for x in sel_vecs[0]]))
+        picked = (emb.where(~F.col("vec_id").isin(
+                      [vid for _, vid, _ in selected]))
+                  .select("vec_id", "embedding", dist.alias("d2"))
+                  .orderBy(F.desc("d2"), "vec_id").limit(1).collect()[0])
+        selected.append((k, int(picked["vec_id"]),
+                         round(float(picked["d2"]), 6) + 0.0))
+        sel_vecs.append(list(picked["embedding"]))
+    return spark.createDataFrame(
+        selected, "rank bigint, vec_id bigint, d2 double")

@@ -581,3 +581,13 @@ def test_bfs_lineage_truncated_to_materialized_frontiers(spark, sf_dir):
     assert "Join" not in plan            # rounds already materialized
     assert "Scan ExistingRDD" in plan    # checkpointed frontiers
     assert "Union" in plan
+
+
+def test_merge_upsert_delta_reduced_before_join(spark, sf_dir):
+    """relational_merge_upsert: the CDC delta collapses to one row per
+    key via a window group-limit BEFORE the single full-outer merge
+    join."""
+    plan = _plan(spark, "relational_merge_upsert", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "FullOuter" in plan
+    assert plan.count("Join") == 1
