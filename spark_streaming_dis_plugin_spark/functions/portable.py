@@ -156,6 +156,22 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
 
 
+def round_half_up(x: float, ndigits: int) -> float:
+    """Decimal HALF_UP rounding of a double — the exact semantics of
+    Spark's ``F.round`` on DOUBLE (``BigDecimal.valueOf(double)`` takes the
+    shortest decimal repr, then ``setScale(ndigits, HALF_UP)``). Python
+    kernels that emit rounded scores (MMR rerank, k-center, the TWS z-score
+    gate) use this instead of the built-in ``round()``: the built-in is
+    correctly-rounded half-EVEN on the binary double and can differ by one
+    ulp from the engines' rounding for values adjacent to a decimal
+    midpoint, breaking the F.round-vs-DuckDB-round pairing the engine-side
+    rows rely on (r8 ADVICE #3)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-ndigits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
 # ------------------------------------------------- exact float aggregation
 
 def dsum(col: Column | str, scale: int = 4) -> Column:

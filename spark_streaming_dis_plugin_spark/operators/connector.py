@@ -481,7 +481,7 @@ def dis_stream_stream_join_streamed(spark: SparkSession,
              CASE WHEN "timestamp" - LAG("timestamp") OVER (
                     PARTITION BY "key"
                     ORDER BY "timestamp", "partition", "offset")
-                  >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+                  > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
       FROM env
     ), sessions AS (
       SELECT "key", "timestamp",
@@ -505,11 +505,12 @@ def dis_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream and hash-matched against the gap/cumsum SQL formulation —
     the hardest stateful shape (variable-length, merging windows).
 
-    Boundary semantics: Spark merges an event into a session iff its
-    event time is STRICTLY within gap of the session's last event
-    ([start, last+gap) overlap), so the oracle's new-session predicate is
-    `>= gap`, unlike the `> gap` rule dis_sessionization defines for
-    itself on both sides."""
+    Boundary semantics (measured, both batch and streaming paths — r9,
+    pinned by tests/test_advice_r9.py): Spark's session MERGE coalesces
+    sessions whose start <= the previous session's end, so an event at
+    EXACTLY last+gap still merges; the oracle's new-session predicate
+    is therefore strict `> gap` (the r8-era `>=` here encoded the
+    opposite, fixture-masked, claim)."""
     from ..streaming.queries import session_counts
 
     log = _materialized_log(spark, sf_dir)
@@ -1670,7 +1671,7 @@ def dis_stream_static_join_streamed(spark: SparkSession,
              CASE WHEN "timestamp" - LAG("timestamp") OVER (
                     PARTITION BY "key"
                     ORDER BY "timestamp", "offset")
-                  >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+                  > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
       FROM env
     ),
     sess AS (
@@ -1706,9 +1707,9 @@ def dis_multibatch_session_streamed(spark: SparkSession,
     frontier needs modeling: a session is released once the watermark
     passes its window end (last event + gap); the trailing sessions
     stay in state and the oracle excludes them with the same predicate.
-    Boundary semantics as documented on dis_session_streamed: Spark
-    merges strictly-within-gap, so the oracle's new-session rule is
-    `>= gap`."""
+    Boundary semantics as documented on dis_session_streamed (measured
+    r9): exact-gap events MERGE, so the oracle's new-session rule is
+    strict `> gap`."""
     from ..streaming.queries import session_counts
 
     log = _materialized_ordered_log(spark, sf_dir)
@@ -3204,7 +3205,147 @@ def dis_cdc_feed_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~F.col("prev_value").eqNullSafe(F.col("value"))).alias("is_change"))
 
 
+@register(
+    "dis_tws_restart_streamed",
+    oracle=f"""
+    WITH env AS ({_ENV})
+    SELECT "key", "offset",
+           LAG("value") OVER (PARTITION BY "key"
+                              ORDER BY "offset") AS prev_value,
+           "value"
+    FROM env
+    """,
+    tags=("connector", "streaming", "stateful", "tws", "cdc", "restart",
+          "e2e"))
+def dis_tws_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState STATE across CHECKPOINT RESTART (r8 verdict #4
+    — every other stateful class had a kill/resume leg; TWS state, i.e.
+    the RocksDB provider plus the vendored-runtime staging, is precisely
+    where recovery is riskiest and had none). The CDC feed's per-key
+    ValueState (last value + offset) must survive a mid-drain kill: a
+    lost state entry would emit a NULL prev_value for the key's next
+    record after resume, a replayed batch must not duplicate feed rows
+    (the parquet sink's _spark_metadata dedupes), and a state entry
+    rolled back short would emit a stale prev_value — any of which
+    breaks the LAG oracle's hash. Three runs over ONE checkpoint + ONE
+    parquet sink (memory sinks cannot recover):
+
+    1. rate-limited availableNow — one clamped batch commits, checkpoint
+       parked mid-backlog with live ValueState for every key seen;
+    2. rate-limited processing-time run killed only after >= 1 further
+       data batch commits (>= 2 total before the final resume);
+    3. unthrottled drain to idle under the SAME RocksDB provider.
+    """
+    import shutil
+    import time as _time
+    import uuid
+
+    from ..streaming.drain import drain_available
+    from ..streaming.stateful import cdc_changes_tws
+
+    log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per_trigger = max(total // 6, 1)
+    out = scratch_dir("twsrestart_out_")
+    ckpt = scratch_dir("twsrestart_ckpt_")
+    name = f"twsrestart_{uuid.uuid4().hex[:8]}"
+
+    def start(trigger: dict, rate_limited: bool):
+        r = (spark.readStream.format("dis")
+             .option("path", log.root).option("stream", log.stream))
+        if rate_limited:
+            r = r.option("maxOffsetsPerTrigger", str(per_trigger))
+        return (cdc_changes_tws(r.load())
+                .writeStream.format("parquet")
+                .option("path", out)
+                .queryName(name).outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger).start())
+
+    q = None
+    try:
+        with _rocksdb_state(spark):
+            q = start({"availableNow": True}, rate_limited=True)
+            if not q.awaitTermination(120):
+                raise TimeoutError("tws-restart phase 1 did not terminate")
+            q = start({"processingTime": "0 seconds"}, rate_limited=True)
+            deadline = _time.monotonic() + 120
+            try:
+                while _time.monotonic() < deadline:
+                    if q.exception() is not None:
+                        raise q.exception()
+                    if any(p["numInputRows"] > 0
+                           for p in q.recentProgress):
+                        break
+                    _time.sleep(0.05)
+                else:
+                    raise TimeoutError("tws-restart phase 2: no progress")
+            finally:
+                q.stop()               # the mid-drain kill
+                q.awaitTermination(60)
+            q = start({"processingTime": "0 seconds"}, rate_limited=False)
+            drain_available(q, timeout_seconds=180)
+        final = spark.read.parquet(out)
+    finally:
+        try:
+            if q is not None and q.isActive:
+                q.stop()
+                q.awaitTermination(60)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return final.select("key", "offset", "prev_value", "value")
+
+
+# Default hash-bucket count for the incremental upsert view. A PARAMETER
+# (r8 verdict #6), not a law: at micro-batch scale 8 keeps the demo's
+# rewrite granularity visible, at 100 TB you provision thousands so a
+# batch rewrites only the few bucket directories its keys hash into.
 _UPSERT_BUCKETS = 8
+
+
+def upsert_view_batch(bdf: DataFrame, view: str,
+                      n_buckets: int = _UPSERT_BUCKETS) -> list[int]:
+    """Merge ONE micro-batch into the bucket-partitioned 'latest state
+    per key' view at ``view``; returns the touched bucket ids.
+
+    The production-shaped kernel behind dis_upsert_view_streamed,
+    factored out so the bucket count is a real parameter and the
+    touched-bucket pruning contract is pytest-pinned (untouched bucket
+    directories' files survive a commit byte-for-byte): per-batch work
+    is proportional to |touched buckets|, never the view. Merge is
+    max-by-offset and therefore idempotent under at-least-once replay.
+    """
+    from pyspark.errors import AnalysisException
+
+    bucket = F.pmod(F.xxhash64("key"), F.lit(n_buckets)).alias("bucket")
+    w = Window.partitionBy("key").orderBy(F.desc("offset"))
+    latest = (bdf.select("key", "value", "offset")
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1)
+              .select(bucket, "key",
+                      F.col("value").alias("last_value"),
+                      F.col("offset").alias("last_offset")))
+    # bounded driver-side collect: <= n_buckets small ints
+    buckets = [r["bucket"] for r in
+               latest.select("bucket").distinct().collect()]
+    try:
+        existing = (bdf.sparkSession.read.parquet(view)
+                    .where(F.col("bucket").isin(buckets)))
+        merged = existing.unionByName(latest)
+    except AnalysisException:          # first batch: no view yet
+        merged = latest
+    wv = Window.partitionBy("key").orderBy(F.desc("last_offset"))
+    out = (merged.withColumn("rn", F.row_number().over(wv))
+           .where(F.col("rn") == 1).drop("rn"))
+    # materialize BEFORE overwriting: the write targets the same path
+    # the merge reads (Spark rejects read-path overwrite, rightly).
+    # localCheckpoint is the micro-batch-scale stand-in for the
+    # staged-snapshot swap a table format (Delta/Iceberg) does here.
+    out = out.localCheckpoint()
+    (out.write.mode("overwrite").partitionBy("bucket")
+        .option("partitionOverwriteMode", "dynamic").parquet(view))
+    return sorted(buckets)
 
 
 @register(
@@ -3245,8 +3386,6 @@ def dis_upsert_view_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted so the view provably accreted incrementally."""
     import shutil
 
-    from pyspark.errors import AnalysisException
-
     from ..streaming.drain import drain_available
 
     log = _materialized_log(spark, sf_dir)
@@ -3255,34 +3394,9 @@ def dis_upsert_view_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = scratch_dir("upsert_view_")
     shutil.rmtree(view)       # read-side existence check needs it absent
     ckpt = scratch_dir("upsert_ckpt_")
-    bucket = F.pmod(F.xxhash64("key"), F.lit(_UPSERT_BUCKETS)).alias("bucket")
 
     def upsert(bdf, batch_id):
-        w = Window.partitionBy("key").orderBy(F.desc("offset"))
-        latest = (bdf.select("key", "value", "offset")
-                  .withColumn("rn", F.row_number().over(w))
-                  .where(F.col("rn") == 1)
-                  .select(bucket, "key",
-                          F.col("value").alias("last_value"),
-                          F.col("offset").alias("last_offset")))
-        buckets = [r["bucket"] for r in
-                   latest.select("bucket").distinct().collect()]
-        try:
-            existing = (bdf.sparkSession.read.parquet(view)
-                        .where(F.col("bucket").isin(buckets)))
-            merged = existing.unionByName(latest)
-        except AnalysisException:      # first batch: no view yet
-            merged = latest
-        wv = Window.partitionBy("key").orderBy(F.desc("last_offset"))
-        out = (merged.withColumn("rn", F.row_number().over(wv))
-               .where(F.col("rn") == 1).drop("rn"))
-        # materialize BEFORE overwriting: the write targets the same path
-        # the merge reads (Spark rejects read-path overwrite, rightly).
-        # localCheckpoint is the micro-batch-scale stand-in for the
-        # staged-snapshot swap a table format (Delta/Iceberg) does here.
-        out = out.localCheckpoint()
-        (out.write.mode("overwrite").partitionBy("bucket")
-            .option("partitionOverwriteMode", "dynamic").parquet(view))
+        upsert_view_batch(bdf, view, _UPSERT_BUCKETS)
 
     try:
         sdf = (spark.readStream.format("dis")
@@ -4723,6 +4837,99 @@ def dis_partition_add_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("ts_utc")))
 
 
+@register(
+    "dis_pattern_add_streamed",
+    oracle=f"""
+    SELECT stream, "partition", "offset", "key", "value",
+           strftime("timestamp", '{TS_FMT_DUCK}') AS ts_utc
+    FROM ({_ENV})
+    UNION ALL
+    SELECT 'events_aux' AS stream, 0 AS "partition",
+           CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT)
+             AS "offset",
+           CAST(user_id AS VARCHAR) AS "key",
+           props AS "value",
+           strftime(CAST(ts AS TIMESTAMP), '{TS_FMT_DUCK}') AS ts_utc
+    FROM events WHERE event_id % 7 = 0
+    """,
+    tags=("connector", "streaming", "subscribe-pattern", "e2e"))
+def dis_pattern_add_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SubscribePattern under the oracle gate (r8 verdict #2 —
+    ConsumerStrategy.scala:132-171's periodic re-match, streaming side):
+    a live query subscribed by REGEX ('events.*') is mid-consumption
+    when a brand-new matching stream is CREATED and filled; the
+    per-trigger re-match in DisPatternStreamReader.latestOffset() must
+    admit it at offset 0 and deliver every record of BOTH streams
+    exactly once — the batch union over the two streams is the oracle.
+    Two-phase protocol as in dis_partition_add_streamed: the query's
+    first progress event proves consumption started before the second
+    stream existed, so plan-time matching alone (the batch
+    DisMultiStreamReader's semantics, the r8 'partial') cannot pass."""
+    import shutil
+    import time as _time
+    import uuid
+
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog, create_log_from_events
+    from ..streaming.drain import drain_available
+    from ..tables import load_events
+
+    spark.dataSource.register(DisDataSource)
+    root = scratch_dir("dis_patlog_")
+    create_log_from_events(spark, f"{sf_dir}/events.parquet", root,
+                           segment_rows=2000)
+    name = f"pat_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir("pat_ckpt_")
+    sdf = (spark.readStream.format("dis")
+           .option("path", root).option("subscribePattern", "events.*")
+           .load())
+    q = (sdf.select("stream", "partition", "offset", "key", "value",
+                    "timestamp")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="0 seconds").start())
+    try:
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            if q.recentProgress:
+                break              # consumption underway pre-create
+            _time.sleep(0.05)
+        else:
+            raise TimeoutError("pattern gate: no initial progress")
+        DisLog(root, "events_aux").create(1)
+        events = load_events(spark, sf_dir)
+        w = Window.orderBy("event_id")
+        env = (events.where(F.col("event_id") % 7 == 0)
+               .select(F.lit(0).cast("int").alias("partition"),
+                       (F.row_number().over(w) - 1).cast("long")
+                       .alias("offset"),
+                       F.col("user_id").cast("string").alias("key"),
+                       F.col("props").alias("value"),
+                       F.col("ts").alias("timestamp")))
+        (env.repartition(1, "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.format("dis")
+            .option("path", root).option("stream", "events_aux")
+            .option("segmentRows", "2000")
+            .mode("append").save())
+        drain_available(q, timeout_seconds=180)
+    finally:
+        try:
+            if q.isActive:
+                q.stop()
+                q.awaitTermination(30)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.table(name)
+            .select("stream", "partition", "offset", "key", "value",
+                    F.date_format("timestamp", TS_FMT_SPARK)
+                    .alias("ts_utc")))
+
+
 # ------------------------------------------------ per-key OLS trend
 
 @register(
@@ -4943,16 +5150,162 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "value", "ts", "event_id")
              .withColumn("rn", F.row_number().over(wd))
              .where(F.col("rn") == 1)
-             .select("user_id", "day", "value"))
+             # obs marks JOIN-ROW EXISTENCE (the oracle's d.rn IS NOT
+             # NULL), not value non-nullness: an observed day whose
+             # latest event carries a NULL value is still observed
+             # (r8 ADVICE #4)
+             .select("user_id", "day", "value", F.lit(1).alias("obs")))
     wf = (Window.partitionBy("user_id").orderBy("day")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (grid.join(daily, ["user_id", "day"], "left")
             .select("user_id",
                     F.date_format("day", "yyyy-MM-dd").alias("day"),
-                    F.col("value").isNotNull().cast("bigint")
+                    F.coalesce("obs", F.lit(0)).cast("bigint")
                      .alias("observed"),
                     F.last("value", ignorenulls=True).over(wf)
                      .alias("filled_value")))
+
+
+TRIM_DIV = 20   # trim/winsorize k = n div 20 (5%) from each tail
+
+
+@register(
+    "stats_trimmed_winsorized",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type, CAST("value" AS DECIMAL(18,4)) AS v4, event_id
+      FROM events
+    ), r AS (
+      SELECT event_type, v4,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY v4, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM seq
+    ), kept AS (
+      SELECT event_type, v4, n, n // {TRIM_DIV} AS k
+      FROM r WHERE rn > n // {TRIM_DIV} AND rn <= n - n // {TRIM_DIV}
+    ), agg AS (
+      SELECT event_type, MAX(n) AS n, MAX(k) AS k,
+             COUNT(*) AS n_kept,
+             SUM(CAST(v4 AS DECIMAL(27,4))) AS s,
+             MIN(v4) AS lo, MAX(v4) AS hi
+      FROM kept GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_total,
+           CAST(k AS BIGINT) AS k_each_tail,
+           CAST(CAST(s AS VARCHAR) AS DOUBLE) / n_kept AS trimmed_mean,
+           CAST(CAST(s + k * CAST(lo AS DECIMAL(18,4))
+                       + k * CAST(hi AS DECIMAL(18,4)) AS VARCHAR)
+                AS DOUBLE) / n AS winsorized_mean,
+           CAST(lo AS DOUBLE) AS winsor_lo,
+           CAST(hi AS DOUBLE) AS winsor_hi
+    FROM agg
+    """,
+    tags=("connector", "statistics", "robust-stats"))
+def stats_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST LOCATION estimates per event_type: the 5%-TRIMMED mean
+    (drop k = n div {TRIM_DIV} rows from each tail) and the WINSORIZED
+    mean (clamp those tails to the surviving boundary values) — the
+    outlier-resistant means a metrics pipeline reports next to the raw
+    average when heavy tails would otherwise let a few rows move it.
+
+    Exactness: tail membership is pure integer rank logic (row_number
+    over the deterministic (value-as-decimal, event_id) order; k = n
+    integer-div {TRIM_DIV} — no float percentile boundary to disagree
+    on), sums are exact decimals, and the winsorized total is decimal
+    arithmetic (s + k*lo + k*hi) routed to double through the VARCHAR
+    cast discipline, so both means are bit-identical cross-engine.
+
+    Scale shape: one event_type exchange for the rank window; the
+    aggregate reuses the same partitioning. Ranking within a group is
+    the honest cost of EXACT trimming (same class as the exact-median
+    rows); at extreme group cardinalities swap approx boundaries
+    (quantile sketch) and keep the same clamp arithmetic.
+
+    Reference scope: delegated relational analytics (SURVEY.md S2b),
+    the robust-stats member next to events_anomaly_mad."""
+    events = load(spark, sf_dir, "events")
+    v4 = F.col("value").cast("decimal(18,4)")
+    w = Window.partitionBy("event_type").orderBy("v4", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = (events.select("event_type", v4.alias("v4"), "event_id")
+         .withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(wn))
+         .withColumn("k", F.expr(f"n div {TRIM_DIV}")))
+    kept = r.where((F.col("rn") > F.col("k"))
+                   & (F.col("rn") <= F.col("n") - F.col("k")))
+    agg = (kept.groupBy("event_type")
+           .agg(F.max("n").alias("n"), F.max("k").alias("k"),
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum(F.col("v4").cast("decimal(27,4)")).alias("s"),
+                F.min("v4").alias("lo"), F.max("v4").alias("hi")))
+    wtot = (F.col("s")
+            + F.col("k") * F.col("lo").cast("decimal(18,4)")
+            + F.col("k") * F.col("hi").cast("decimal(18,4)"))
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("k").cast("bigint").alias("k_each_tail"),
+        (F.col("s").cast("double") / F.col("n_kept")).alias("trimmed_mean"),
+        (wtot.cast("double") / F.col("n")).alias("winsorized_mean"),
+        F.col("lo").cast("double").alias("winsor_lo"),
+        F.col("hi").cast("double").alias("winsor_hi"))
+
+
+@register(
+    "events_seasonal_profile",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, dayofweek(ts) AS dow,
+             CAST("value" AS DECIMAL(18,4)) AS v4
+      FROM events
+    ), agg AS (
+      SELECT event_type, dow, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(v4 AS DECIMAL(27,4))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*) AS mean_value
+      FROM base GROUP BY event_type, dow
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(n AS BIGINT) AS n,
+           mean_value,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY event_type) AS share
+    FROM agg
+    """,
+    tags=("connector", "timeseries", "seasonality"))
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAY-OF-WEEK SEASONAL PROFILE per event_type: event count, exact
+    mean value, and each weekday's share of the type's volume — the
+    seasonal decomposition's first factor (a weekly profile divides out
+    before any trend/anomaly model looks at a business metric; the
+    share column is the seasonality index itself).
+
+    Portability: dow is Sunday=0..Saturday=6 in BOTH engines (Spark's
+    dayofweek() is 1-based Sunday, shifted by 1 to match DuckDB's);
+    NTZ timestamps keep the weekday timezone-free. Means are the
+    decimal-sum/count discipline; shares are bigint-ratio doubles.
+
+    Scale shape: one (event_type, dow) hash aggregate (partial+final);
+    the share window runs over the AGGREGATED relation — at most
+    7 x |event types| rows, constant-bounded. Nothing entity-scaled is
+    windowed (the abc_pareto lesson applied at design time).
+
+    Reference scope: delegated relational analytics (SURVEY.md S2b)."""
+    events = load(spark, sf_dir, "events")
+    v4 = F.col("value").cast("decimal(18,4)")
+    agg = (events.select("event_type",
+                         (F.dayofweek("ts") - 1).alias("dow"),
+                         v4.alias("v4"))
+           .groupBy("event_type", "dow")
+           .agg(F.count(F.lit(1)).alias("n"),
+                (F.sum(F.col("v4").cast("decimal(27,4)")).cast("double")
+                 / F.count(F.lit(1))).alias("mean_value")))
+    wt = Window.partitionBy("event_type")
+    return agg.select(
+        "event_type", F.col("dow").cast("bigint").alias("dow"),
+        F.col("n").cast("bigint").alias("n"), "mean_value",
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias("share"))
 
 
 ZSCORE_LOOKBACK = 20   # trailing events in the baseline window
@@ -5287,7 +5640,12 @@ SESSION_NATIVE_GAP_MIN = 10
     "events_session_window_native",
     oracle=f"""
     WITH seq AS (
-      SELECT user_id, ts,
+      -- strict > is CORRECT at the exact-gap boundary: Spark's session
+      -- merge coalesces sessions with start <= previous end, so an event
+      -- at exactly last_ts + gap (its window starting where the previous
+      -- one ends) still MERGES — pinned empirically by
+      -- tests/test_advice_r9.py::test_session_window_exact_gap_boundary
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id)
                        > INTERVAL {SESSION_NATIVE_GAP_MIN} MINUTE
@@ -5296,8 +5654,10 @@ SESSION_NATIVE_GAP_MIN = 10
                   THEN 1 ELSE 0 END AS is_new
       FROM events
     ), grp AS (
+      -- the running sum must follow the SAME (ts, event_id) order that
+      -- computed is_new, or duplicate timestamps could misgroup
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND CURRENT ROW) AS sid
       FROM seq

@@ -522,10 +522,13 @@ def zscore_gate_tws(env: DataFrame) -> DataFrame:
     |z| > {GATE} rows are emitted.
 
     Exactness: the state stores the decimal STRINGS the envelope
-    carries, the moments are Python ``Decimal`` sums (exact — values
-    are <= 18 digits, squares <= 26, inside the default 28-digit
-    context; production at wider domains raises getcontext().prec),
-    and ``float(Decimal)`` is correctly rounded — the same value as the
+    carries, the moments are Python ``Decimal`` sums computed under an
+    explicit 40-digit context (DECIMAL(18,4) carries up to 18
+    significant digits, so v*v can reach 36 and a 20-term sum 38 —
+    the default 28-digit context would silently round those; note the
+    batch ORACLE's DECIMAL(27,8) square cast bounds ITS exact domain
+    to |v| < ~3*10^9, the fixture's values are <= 560.21), and
+    ``float(Decimal)`` is correctly rounded — the same value as the
     engines' DECIMAL->DOUBLE cast — so mean/var/z and every gate
     compare are bit-identical to the batch row and its SQL oracle.
     Within a batch the key's rows are sorted by offset; across batches
@@ -543,8 +546,14 @@ def zscore_gate_tws(env: DataFrame) -> DataFrame:
             self._win = handle.getListState("win", "v string")
 
         def handleInputRows(self, key, rows, timerValues):
-            from decimal import Decimal
+            from decimal import Decimal, getcontext
 
+            from ..functions.portable import round_half_up
+
+            # 40 digits: v*v of a DECIMAL(18,4) reaches 36 significant
+            # digits and the 20-term window sum 38 — the default 28-digit
+            # context would round them silently (r8 ADVICE #2).
+            getcontext().prec = 40
             st = [Decimal(r[0]) for r in self._win.get()]
             batch = pd.concat(list(rows), ignore_index=True) \
                 if rows else pd.DataFrame()
@@ -563,7 +572,7 @@ def zscore_gate_tws(env: DataFrame) -> DataFrame:
                             z = (val - s1 / cntd) / math.sqrt(var)
                             if abs(z) > ZSCORE_TWS_GATE:
                                 out.append((int(row["offset"]), key[0],
-                                            val, round(z, 9) + 0.0))
+                                            val, round_half_up(z, 9) + 0.0))
                     st.append(v4)
                     if len(st) > ZSCORE_TWS_LOOKBACK:
                         st.pop(0)

@@ -591,3 +591,42 @@ def test_merge_upsert_delta_reduced_before_join(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "FullOuter" in plan
     assert plan.count("Join") == 1
+
+
+def test_abc_pareto_no_entity_scaled_single_partition_window(spark, sf_dir):
+    """customer_abc_pareto (r8 verdict #1): the running-revenue sum over
+    the entity-scaled customer relation must be the two-pass range-
+    partition + boundary-carry plan — its window partitions by the
+    physical range-bucket id behind a hashpartitioning Exchange, never a
+    single-task global sort. The only SinglePartition exchange allowed
+    feeds the N-row per-partition-totals window (N = partition count, a
+    constant), whose subtree scans the checkpointed bucket relation, not
+    the customer aggregate."""
+    plan = _plan(spark, "customer_abc_pareto", sf_dir)
+    lines = plan.splitlines()
+    big_window = [i for i, ln in enumerate(lines)
+                  if "Window" in ln and "o_custkey" in ln
+                  and "WindowGroupLimit" not in ln]
+    assert big_window, plan
+    for i in big_window:
+        # first Exchange beneath the entity-scaled window is its input
+        # partitioning: must be hash(pid), not SinglePartition
+        below = next(ln for ln in lines[i + 1:] if "Exchange" in ln)
+        assert "hashpartitioning(pid" in below, plan
+        assert "SinglePartition" not in below, plan
+    # the range-bucketed relation is checkpoint-pinned (both branches
+    # must see one partitioning) and the carries side broadcasts back
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_single_corpus_scan_in_final_plan(spark, sf_dir):
+    """text_heavy_hitters (r8 verdict #3): pass 1 emits candidates AND
+    the per-partition token totals from ONE mapInArrow scan (checkpoint-
+    pinned), so the final plan scans the token relation exactly once
+    more (the exact-count pass) — two corpus scans total, the
+    algorithm's minimum. Three parquet scans here would mean the fused
+    global-N regressed to its own pass."""
+    plan = _plan(spark, "text_heavy_hitters", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Scan ExistingRDD" in plan     # checkpointed pass-1 output
