@@ -187,3 +187,90 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.date_format("ts", TS_FMT).alias("purchase_ts"),
                     F.coalesce(F.date_format("next_click_ts", TS_FMT),
                                F.lit("never")).alias("next_click_ts")))
+
+
+ASOF_NEAREST_ORACLE = """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+      SELECT user_id, ts, event_id, event_type,
+             MAX(click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back,
+             MIN(click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd
+      FROM tagged
+    ), scored AS (
+      SELECT event_id, ts, back, fwd,
+             date_diff('microsecond', back, ts) AS d_back,
+             date_diff('microsecond', ts, fwd) AS d_fwd
+      FROM carried WHERE event_type = 'purchase'
+    )
+    SELECT event_id AS purchase_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           CASE
+             WHEN back IS NULL AND fwd IS NULL THEN 'never'
+             WHEN fwd IS NULL OR (back IS NOT NULL AND d_back <= d_fwd)
+               THEN strftime(back, '%Y-%m-%d %H:%M:%S.%f')
+             ELSE strftime(fwd, '%Y-%m-%d %H:%M:%S.%f')
+           END AS nearest_click_ts,
+           CASE
+             WHEN back IS NULL AND fwd IS NULL THEN 'never'
+             WHEN fwd IS NULL OR (back IS NOT NULL AND d_back <= d_fwd)
+               THEN 'backward'
+             ELSE 'forward'
+           END AS direction
+    FROM scored
+"""
+
+
+@register("asof_join_nearest", oracle=ASOF_NEAREST_ORACLE,
+          tags=("asof", "join", "window", "nearest"))
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join — the third member completing the
+    as-of family (backward = asof_join_window, forward =
+    asof_join_forward): each purchase pairs with whichever click is
+    CLOSER in time, behind or ahead, ties resolving backward (pandas
+    merge_asof direction='nearest' semantics, which the pandas variant
+    exposes but the pure-DataFrame path previously didn't).
+
+    Construction: ONE sort per key serves BOTH carries — the backward
+    candidate is a running MAX(click_ts) over the preceding frame, the
+    forward candidate a running MIN over the following frame, and the
+    winner is an exact int64 microsecond-distance compare
+    (timestampdiff on NTZ wall-clocks; timezone-free, no epoch
+    subtraction). Same single user_id shuffle as the other two
+    variants — nearest costs one extra window FUNCTION, not an extra
+    exchange, and no per-group materialization.
+
+    Reference scope: custom time-series operators (SURVEY.md S2c)."""
+    events = load(spark, sf_dir, "events")
+    both = events.where(F.col("event_type").isin("click", "purchase"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    wb = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    carried = (both.select("user_id", "ts", "event_id", "event_type",
+                           click_ts.alias("click_ts"))
+               .withColumn("back", F.max("click_ts").over(wb))
+               .withColumn("fwd", F.min("click_ts").over(wf))
+               .where(F.col("event_type") == "purchase"))
+    scored = carried.select(
+        "event_id", "ts", "back", "fwd",
+        F.expr("timestampdiff(MICROSECOND, back, ts)").alias("d_back"),
+        F.expr("timestampdiff(MICROSECOND, ts, fwd)").alias("d_fwd"))
+    backward_wins = (F.col("fwd").isNull()
+                     | (F.col("back").isNotNull()
+                        & (F.col("d_back") <= F.col("d_fwd"))))
+    never = F.col("back").isNull() & F.col("fwd").isNull()
+    return scored.select(
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", TS_FMT).alias("purchase_ts"),
+        F.when(never, "never")
+         .when(backward_wins, F.date_format("back", TS_FMT))
+         .otherwise(F.date_format("fwd", TS_FMT)).alias("nearest_click_ts"),
+        F.when(never, "never")
+         .when(backward_wins, "backward")
+         .otherwise("forward").alias("direction"))

@@ -4478,6 +4478,75 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "temporal_point_in_time_join",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type AS attr_value, ts,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events WHERE event_id % 50 = 0
+    ), probes AS (
+      SELECT event_id, user_id, ts
+      FROM events
+      WHERE event_type = 'purchase' AND event_id % 50 != 0
+    )
+    SELECT p.event_id AS probe_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS probe_ts,
+           COALESCE(c.attr_value, 'unknown') AS attr_at_probe
+    FROM probes p LEFT JOIN changes c
+      ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND (c.next_ts IS NULL OR p.ts < c.next_ts)
+    """,
+    tags=("connector", "warehouse", "temporal", "point-in-time", "asof"))
+def temporal_point_in_time_join(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME JOIN against the SCD2 history — the feature-store
+    correctness primitive (training labels must see each feature's
+    value AS OF the example's timestamp, never a later leak): every
+    probe event (purchases off the change stream) resolves the
+    attribute interval in effect at its timestamp; probes before any
+    change read 'unknown'.
+
+    The DECLARATIVE form is an interval join (valid_from <= t <
+    valid_to — the oracle runs exactly that), but the scale plan here
+    is the AS-OF CARRY: union the change rows and probe rows, ONE sort
+    per user on (ts, change-before-probe, event_id), carry the last
+    change's attribute forward onto every probe — a single user_id
+    exchange, no inequality join (which Catalyst can only execute as a
+    broadcast-nested-loop or a banded rewrite), no interval
+    materialization. Same-timestamp edges: a change sorts BEFORE a
+    probe at the identical ts (the probe sees the new value, matching
+    valid_from <= t), and the LAST of several same-ts changes wins
+    (matching the empty-interval exclusion in the declarative form).
+
+    Reference scope: custom temporal operators (SURVEY.md S2c) — the
+    consumption half of events_scd2_intervals' construction half."""
+    events = load(spark, sf_dir, "events")
+    changes = (events.where(F.col("event_id") % 50 == 0)
+               .select("user_id", "ts", "event_id",
+                       F.lit(0).alias("src"),
+                       F.col("event_type").alias("attr_value")))
+    probes = (events.where((F.col("event_type") == "purchase")
+                           & (F.col("event_id") % 50 != 0))
+              .select("user_id", "ts", "event_id",
+                      F.lit(1).alias("src"),
+                      F.lit(None).cast("string").alias("attr_value")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "src", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = (changes.unionByName(probes)
+               .withColumn("attr_at_probe",
+                           F.last("attr_value", ignorenulls=True).over(w)))
+    return (carried.where(F.col("src") == 1)
+            .select(F.col("event_id").alias("probe_id"),
+                    "user_id",
+                    F.date_format("ts", TS_FMT_SPARK).alias("probe_ts"),
+                    F.coalesce("attr_at_probe", F.lit("unknown"))
+                    .alias("attr_at_probe")))
+
+
+@register(
     "dis_maintenance_streamed",
     oracle=f"""
     SELECT word, COUNT(*) AS n
@@ -5164,6 +5233,114 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("observed"),
                     F.last("value", ignorenulls=True).over(wf)
                      .alias("filled_value")))
+
+
+CUSUM_H_FRAC = 0.5   # alarm threshold = this fraction of the user's range
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, list("value" ORDER BY ts, event_id) AS vals,
+             CAST(CAST(SUM(CAST(CAST("value" AS DECIMAL(18,4))
+                                AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS mu,
+             COUNT(*) AS n,
+             MAX("value") AS vmax, MIN("value") AS vmin
+      FROM events GROUP BY user_id
+    ), folded AS (
+      SELECT user_id, n, vmax, vmin,
+        -- field ORDER is load-bearing: DuckDB evaluates struct-literal
+        -- fields sequentially with acc visible MUTATED to later fields,
+        -- so the max-excursion registers (mp, mn) must be declared
+        -- BEFORE the running sums (sp, sn) they read pre-update
+        -- (measured r9; the carrier for x is the first field, x.mp)
+        list_reduce(
+          list_prepend(
+            {{'mp': CAST(0.0 AS DOUBLE), 'mn': CAST(0.0 AS DOUBLE),
+               'sp': CAST(0.0 AS DOUBLE), 'sn': CAST(0.0 AS DOUBLE)}},
+            list_transform(vals, x ->
+              {{'mp': CAST(x AS DOUBLE), 'mn': CAST(0.0 AS DOUBLE),
+                'sp': CAST(0.0 AS DOUBLE), 'sn': CAST(0.0 AS DOUBLE)}})),
+          (acc, x) -> {{
+            'mp': greatest(acc.mp,
+                           greatest(CAST(0.0 AS DOUBLE),
+                                    acc.sp + (x.mp - mu))),
+            'mn': least(acc.mn,
+                        least(CAST(0.0 AS DOUBLE),
+                              acc.sn + (x.mp - mu))),
+            'sp': greatest(CAST(0.0 AS DOUBLE), acc.sp + (x.mp - mu)),
+            'sn': least(CAST(0.0 AS DOUBLE), acc.sn + (x.mp - mu))
+          }}) AS st
+      FROM seq
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(st.mp, 9) + 0.0 AS cusum_pos,
+           round(-st.mn, 9) + 0.0 AS cusum_neg,
+           st.mp > {CUSUM_H_FRAC} * (vmax - vmin)
+             OR -st.mn > {CUSUM_H_FRAC} * (vmax - vmin) AS alarm
+    FROM folded
+    """,
+    tags=("connector", "timeseries", "changepoint", "recursive"))
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGE-POINT detection per user: fold the user's event
+    sequence accumulating two-sided cumulative sums of deviations from
+    the user's mean — S+ = max(0, S+ + (x - mu)), S- = min(0, S- +
+    (x - mu)) — and report the maximum excursions plus an alarm when
+    either exceeds {CUSUM_H_FRAC} x the user's value range (the Page
+    test, the classic drift detector a metrics pipeline runs where the
+    z-score gate would miss slow level shifts that never spike).
+
+    Like EWMA this is an order-DEPENDENT recursion no window function
+    expresses: implemented as the repo's sorted-array fold (collect,
+    array_sort by (ts, event_id), sequential F.aggregate with a STRUCT
+    accumulator — 4 running registers per step). Both engines fold the
+    identical sequence with identical IEEE ops from the identical
+    decimal-exact mean, so excursions are bit-identical (round(9) is
+    the established F.round/DuckDB pairing, not an epsilon absorber).
+
+    Scale shape: one user_id exchange; per-user state is the event
+    array (the EWMA bound); the fold is O(n) with O(1) registers —
+    the streaming twin would carry (sp, sn, mp, mn, count, sum) in
+    per-key state exactly like zscore_gate_tws carries its window.
+
+    Reference scope: delegated per-key sequence analytics
+    (SURVEY.md S2b), the drift member next to anomaly z-score/MAD."""
+    events = load(spark, sf_dir, "events")
+    v4 = F.col("value").cast("decimal(18,4)")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"])
+    seq = (events.groupBy("user_id")
+           .agg(vals.alias("vals"),
+                (F.sum(v4.cast("decimal(27,4)")).cast("double")
+                 / F.count(F.lit(1))).alias("mu"),
+                F.count(F.lit(1)).alias("n"),
+                F.max("value").alias("vmax"),
+                F.min("value").alias("vmin")))
+    mu = F.col("mu")
+    zero = F.lit(0.0)
+
+    def step(acc, x):
+        sp2 = F.greatest(zero, acc.sp + (x - mu))
+        sn2 = F.least(zero, acc.sn + (x - mu))
+        return F.struct(sp2.alias("sp"), sn2.alias("sn"),
+                        F.greatest(acc.mp, sp2).alias("mp"),
+                        F.least(acc.mn, sn2).alias("mn"))
+
+    st = F.aggregate(
+        F.col("vals"),
+        F.struct(zero.alias("sp"), zero.alias("sn"),
+                 zero.alias("mp"), zero.alias("mn")),
+        step)
+    h = F.lit(CUSUM_H_FRAC) * (F.col("vmax") - F.col("vmin"))
+    return (seq.withColumn("st", st)
+            .select("user_id", F.col("n").cast("bigint").alias("n_events"),
+                    (F.round(F.col("st.mp"), 9) + 0.0).alias("cusum_pos"),
+                    (F.round(-F.col("st.mn"), 9) + 0.0).alias("cusum_neg"),
+                    ((F.col("st.mp") > h) | (-F.col("st.mn") > h))
+                    .alias("alarm")))
 
 
 TRIM_DIV = 20   # trim/winsorize k = n div 20 (5%) from each tail

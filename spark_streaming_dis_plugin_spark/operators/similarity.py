@@ -1711,7 +1711,8 @@ def _rrf_oracle() -> str:
 @register(
     "sim_hybrid_rrf",
     oracle=_rrf_oracle(),
-    tags=("similarity", "hybrid", "rrf", "retrieval"))
+    tags=("similarity", "hybrid", "rrf", "retrieval"),
+    bench=True)
 def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID RETRIEVAL via Reciprocal Rank Fusion: each query document
     ranks the corpus twice — DENSE (embedding cosine) and LEXICAL

@@ -1031,3 +1031,218 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pmi.alias("pmi"))
             .orderBy(F.col("pmi").desc(), "ta", "tb")
             .limit(PMI_TOP_K))
+
+
+# ------------------------------------------------ RAKE keyword extraction
+
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
+    "with", "as", "by", "at", "it", "this", "that", "be", "are", "was",
+    "from", "not", "but", "we", "you", "they", "has", "have", "had",
+)
+RAKE_TOP_K = 3     # keyword phrases per document
+
+
+def _rake_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    toks = tokens_sql("text")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok,
+             CASE WHEN toks[i] IN ({stop}) THEN 1 ELSE 0 END AS is_stop
+      FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+    ), grp AS (
+      SELECT doc_id, pos, tok, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM pos
+    ), words AS (
+      SELECT doc_id, phrase_id, pos, tok FROM grp WHERE is_stop = 0
+    ), plen AS (
+      SELECT doc_id, phrase_id, COUNT(*) AS plen
+      FROM words GROUP BY doc_id, phrase_id
+    ), wstat AS (
+      SELECT w.doc_id, w.tok,
+             COUNT(*) AS freq,
+             CAST(SUM(p.plen) AS BIGINT) AS degree
+      FROM words w JOIN plen p USING (doc_id, phrase_id)
+      GROUP BY w.doc_id, w.tok
+    ), scored_words AS (
+      SELECT w.doc_id, w.phrase_id, w.pos,
+             CAST(s.degree AS DOUBLE) / s.freq AS wscore
+      FROM words w JOIN wstat s ON s.doc_id = w.doc_id AND s.tok = w.tok
+    ), phrases AS (
+      SELECT w.doc_id, w.phrase_id,
+             string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(sw.wscore ORDER BY sw.pos)),
+               (acc, x) -> acc + x) AS score
+      FROM words w JOIN scored_words sw
+        ON sw.doc_id = w.doc_id AND sw.phrase_id = w.phrase_id
+           AND sw.pos = w.pos
+      GROUP BY w.doc_id, w.phrase_id
+    ), dedup AS (
+      SELECT doc_id, phrase, MAX(score) AS score
+      FROM phrases GROUP BY doc_id, phrase
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase,
+           round(score, 6) + 0.0 AS score
+    FROM (
+      SELECT doc_id, phrase, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, phrase) AS rank
+      FROM dedup
+    ) WHERE rank <= {RAKE_TOP_K}
+    """
+
+
+@register(
+    "text_keyword_rake",
+    oracle=_rake_oracle(),
+    tags=("text", "keywords", "rake"), bench=True)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYWORD EXTRACTION by RAKE (Rapid Automatic Keyword Extraction):
+    candidate phrases are maximal stopword-free token runs; each word
+    scores degree/frequency within the document (degree = total length
+    of phrases it appears in — favors words that live in long
+    multi-word phrases); a phrase scores the sum of its words' scores;
+    the top {RAKE_TOP_K} phrases per document come back ranked. The
+    classic model-free keyword tagger a corpus pipeline runs for search
+    facets, dataset cards, and topic drill-downs.
+
+    Construction is gaps-and-islands: position-exploded tokens, a
+    per-document running sum of stopword flags as the phrase id (the
+    sessionization trick applied to text), then pure integer
+    frequency/degree aggregates. The one float reduction — a phrase's
+    word-score sum — is an ORDERED fold over (pos)-sorted scores
+    (F.aggregate / list_reduce), because double addition is not
+    associative and a groupBy SUM would be partition-order dependent;
+    identical fold order makes both engines bit-identical before the
+    shared round(6). Duplicate phrase texts within a document collapse
+    to their max score (MAX over identical doubles is order-safe).
+
+    Scale shape: every window and aggregate is doc_id-partitioned (a
+    document's tokens co-locate once and every stage reuses that
+    partitioning); the only corpus-wide op is the final per-doc top-k
+    group-limit. Nothing global, nothing entity-scaled windowed.
+
+    Reference scope: text-analysis north star (SURVEY.md S2c), the
+    keyword member next to tf-idf/bm25/PMI.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (docs.select("doc_id",
+                        F.posexplode(tokens("text"))
+                        .alias("pos0", "tok"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok",
+                    F.col("tok").isin(*RAKE_STOPWORDS).cast("int")
+                    .alias("is_stop")))
+    wp = (Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grp = toks.withColumn("phrase_id", F.sum("is_stop").over(wp))
+    words = grp.where(F.col("is_stop") == 0) \
+        .select("doc_id", "phrase_id", "pos", "tok")
+    plen = (words.groupBy("doc_id", "phrase_id")
+            .agg(F.count(F.lit(1)).alias("plen")))
+    wstat = (words.join(plen, ["doc_id", "phrase_id"])
+             .groupBy("doc_id", "tok")
+             .agg(F.count(F.lit(1)).alias("freq"),
+                  F.sum("plen").cast("bigint").alias("degree")))
+    scored = (words.join(wstat, ["doc_id", "tok"])
+              .select("doc_id", "phrase_id", "pos", "tok",
+                      (F.col("degree").cast("double") / F.col("freq"))
+                      .alias("wscore")))
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "tok", "wscore")))
+    phrases = (scored.groupBy("doc_id", "phrase_id")
+               .agg(ordered.alias("ws"))
+               .select("doc_id",
+                       F.array_join(F.transform("ws", lambda s: s["tok"]),
+                                    " ").alias("phrase"),
+                       F.aggregate(F.transform("ws", lambda s: s["wscore"]),
+                                   F.lit(0.0),
+                                   lambda acc, x: acc + x).alias("score")))
+    dedup = (phrases.groupBy("doc_id", "phrase")
+             .agg(F.max("score").alias("score")))
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("score"), "phrase")
+    return (dedup.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= RAKE_TOP_K)
+            .select("doc_id", F.col("rank").cast("bigint").alias("rank"),
+                    "phrase", (F.round("score", 6) + 0.0).alias("score")))
+
+
+# ------------------------------------------------ vocabulary coverage curve
+
+VOCAB_KS = (100, 1000, 5000)   # candidate vocabulary sizes
+
+
+def _vocab_coverage_oracle() -> str:
+    toks = tokens_sql("text")
+    legs = " UNION ALL ".join(f"""
+      SELECT {k} AS vocab_size,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                SELECT term FROM cnts ORDER BY cnt DESC, term LIMIT {k}))
+               AS n_vocab_terms,
+             (SELECT CAST(SUM(cnt) AS BIGINT) FROM (
+                SELECT cnt FROM cnts ORDER BY cnt DESC, term LIMIT {k}))
+               AS covered_tokens""" for k in VOCAB_KS)
+    return f"""
+    WITH toks AS (
+      SELECT unnest({toks}) AS term FROM documents
+    ), cnts AS (
+      SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM cnts
+    ), legs AS ({legs})
+    SELECT l.vocab_size, l.n_vocab_terms, l.covered_tokens,
+           t.n AS total_tokens, t.n_distinct AS distinct_terms,
+           CAST(l.covered_tokens AS DOUBLE) / t.n AS coverage
+    FROM legs l, tot t
+    """
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=_vocab_coverage_oracle(),
+    tags=("text", "vocabulary", "tokenizer"))
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE curve: for candidate vocabulary sizes
+    {VOCAB_KS}, what fraction of all token OCCURRENCES the top-K most
+    frequent terms cover — the first number a tokenizer/vocab design
+    reads (where the Zipf curve's knee sits decides vocab size, OOV
+    rate, and how much long-tail text a fixed vocab throws away).
+
+    Scale shape: term counts are one hash aggregate; each K's covered
+    mass comes from a TakeOrderedAndProject top-K over the AGGREGATED
+    vocab relation (deterministic (cnt DESC, term) order) — never a
+    global rank window over the vocabulary (the abc_pareto rule: at
+    web scale the vocab relation is itself huge); K legs are
+    independent tiny jobs unioned with the corpus totals broadcast on.
+
+    Exactness: pure integer counts; the coverage ratio is one
+    bigint/bigint double division in both engines.
+
+    Reference scope: text-analysis north star (SURVEY.md S2c), the
+    tokenizer-design member next to token_stats/heavy_hitters."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("term"))
+    cnts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnts.agg(F.sum("cnt").cast("bigint").alias("total_tokens"),
+                   F.count(F.lit(1)).cast("bigint").alias("distinct_terms"))
+    legs = None
+    for k in VOCAB_KS:
+        top = (cnts.orderBy(F.desc("cnt"), "term").limit(k)
+               .agg(F.count(F.lit(1)).cast("bigint")
+                    .alias("n_vocab_terms"),
+                    F.sum("cnt").cast("bigint").alias("covered_tokens"))
+               .select(F.lit(k).alias("vocab_size"),
+                       "n_vocab_terms", "covered_tokens"))
+        legs = top if legs is None else legs.unionAll(top)
+    return (legs.crossJoin(F.broadcast(tot))
+            .select("vocab_size", "n_vocab_terms", "covered_tokens",
+                    "total_tokens", "distinct_terms",
+                    (F.col("covered_tokens").cast("double")
+                     / F.col("total_tokens")).alias("coverage")))

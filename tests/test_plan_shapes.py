@@ -630,3 +630,25 @@ def test_heavy_hitters_single_corpus_scan_in_final_plan(spark, sf_dir):
     plan = _plan(spark, "text_heavy_hitters", sf_dir)
     assert plan.count("Scan parquet") == 1, plan
     assert "Scan ExistingRDD" in plan     # checkpointed pass-1 output
+
+
+def test_point_in_time_join_is_carry_not_inequality_join(spark, sf_dir):
+    """temporal_point_in_time_join: the scale plan is the union+window
+    as-of carry — ONE user_id exchange, no join operator at all (the
+    declarative interval form would plan a BroadcastNestedLoopJoin,
+    which dies at fact scale)."""
+    plan = _plan(spark, "temporal_point_in_time_join", sf_dir)
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_broadcasts_queries_single_corpus_pass(spark, sf_dir):
+    """sim_hybrid_rrf: the query set broadcasts; both rankings and the
+    fusion run off ONE corpus-side join (no self-join of the corpus,
+    no cartesian)."""
+    plan = _plan(spark, "sim_hybrid_rrf", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the three row_number windows all partition by query_id
+    assert plan.count("Window") >= 2
