@@ -5235,6 +5235,103 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("filled_value")))
 
 
+HOLT_ALPHA = 0.3   # level smoothing
+HOLT_BETA = 0.1    # trend smoothing
+HOLT_HORIZON = 5   # steps ahead for the forecast column
+
+
+@register(
+    "events_double_exponential",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, list("value" ORDER BY ts, event_id) AS vals,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id
+    ), folded AS (
+      SELECT user_id, n,
+        -- ARRAY accumulator, not a struct: DuckDB 1.0 evaluates struct-
+        -- literal lambda fields with the accumulator VISIBLY MUTATED
+        -- from the second application on (measured r9, see
+        -- events_changepoint_cusum's field-order note), while list-
+        -- literal elements evaluate functionally at every application
+        -- — and Holt's two registers each need both OLD values, which
+        -- no field order can satisfy under mixed semantics
+        list_reduce(
+          list_prepend(
+            [CAST(vals[1] AS DOUBLE),
+             CAST(vals[2] - vals[1] AS DOUBLE)]::DOUBLE[],
+            list_transform(vals[3:], x ->
+              [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]::DOUBLE[])),
+          (acc, x) -> [
+            {HOLT_ALPHA} * x[1] + {1 - HOLT_ALPHA} * (acc[1] + acc[2]),
+            {HOLT_BETA} * (({HOLT_ALPHA} * x[1]
+                 + {1 - HOLT_ALPHA} * (acc[1] + acc[2])) - acc[1])
+              + {1 - HOLT_BETA} * acc[2]
+          ]::DOUBLE[]) AS st
+      FROM seq WHERE n >= 2
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(st[1], 9) + 0.0 AS level,
+           round(st[2], 9) + 0.0 AS trend,
+           round(st[1] + {HOLT_HORIZON} * st[2], 9) + 0.0
+             AS forecast_h{HOLT_HORIZON}
+    FROM folded
+    """,
+    tags=("connector", "timeseries", "forecast", "recursive"))
+def events_double_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT DOUBLE-EXPONENTIAL SMOOTHING per user — the trend-aware
+    upgrade of events_ewma: level l_t = a*x_t + (1-a)*(l + b), trend
+    b_t = g*(l_t - l) + (1-g)*b, initialized l=x_1, b=x_2-x_1, plus the
+    {HOLT_HORIZON}-step linear forecast l + h*b — the minimal
+    forecasting baseline every capacity/demand model is benchmarked
+    against before anything learned replaces it.
+
+    Order-dependent recursion with TWO registers -> the struct-
+    accumulator sorted-array fold (the CUSUM machinery): both engines
+    fold the identical (ts, event_id)-sorted sequence with identical
+    IEEE ops (the level update appears inline in the trend field; the
+    oracle declares the trend field FIRST because DuckDB evaluates
+    struct-literal fields sequentially with the accumulator mutated —
+    the measured r9 quirk). round(9) is the F.round/DuckDB pairing.
+
+    Scale shape: one user_id exchange; per-key state = the value
+    array (the EWMA bound); the streaming twin carries (l, b) in
+    per-key ValueState at O(1) per record.
+
+    Reference scope: delegated per-key sequence analytics
+    (SURVEY.md S2b), the forecasting member next to EWMA/OLS/CUSUM."""
+    events = load(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"])
+    seq = (events.groupBy("user_id")
+           .agg(vals.alias("vals"), F.count(F.lit(1)).alias("n"))
+           .where(F.col("n") >= 2))
+    a, b1 = F.lit(HOLT_ALPHA), F.lit(1 - HOLT_ALPHA)
+    g, g1 = F.lit(HOLT_BETA), F.lit(1 - HOLT_BETA)
+
+    def step(acc, x):
+        new_l = a * x + b1 * (acc.l + acc.b)
+        return F.struct(
+            new_l.alias("l"),
+            (g * (new_l - acc.l) + g1 * acc.b).alias("b"))
+
+    init = F.struct(
+        F.get(F.col("vals"), 0).cast("double").alias("l"),
+        (F.get(F.col("vals"), 1) - F.get(F.col("vals"), 0))
+        .cast("double").alias("b"))
+    rest = F.slice(F.col("vals"), 3,
+                   F.greatest(F.size("vals") - 2, F.lit(0)))
+    st = F.aggregate(rest, init, step)
+    return (seq.withColumn("st", st)
+            .select("user_id", F.col("n").cast("bigint").alias("n_events"),
+                    (F.round(F.col("st.l"), 9) + 0.0).alias("level"),
+                    (F.round(F.col("st.b"), 9) + 0.0).alias("trend"),
+                    (F.round(F.col("st.l")
+                             + F.lit(HOLT_HORIZON) * F.col("st.b"), 9)
+                     + 0.0).alias(f"forecast_h{HOLT_HORIZON}")))
+
+
 CUSUM_H_FRAC = 0.5   # alarm threshold = this fraction of the user's range
 
 
@@ -5251,35 +5348,34 @@ CUSUM_H_FRAC = 0.5   # alarm threshold = this fraction of the user's range
       FROM events GROUP BY user_id
     ), folded AS (
       SELECT user_id, n, vmax, vmin,
-        -- field ORDER is load-bearing: DuckDB evaluates struct-literal
-        -- fields sequentially with acc visible MUTATED to later fields,
-        -- so the max-excursion registers (mp, mn) must be declared
-        -- BEFORE the running sums (sp, sn) they read pre-update
-        -- (measured r9; the carrier for x is the first field, x.mp)
+        -- ARRAY accumulator [sp, sn, mp, mn], not a struct: DuckDB 1.0
+        -- evaluates struct-literal lambda fields with the accumulator
+        -- visibly mutated from the second fold application on (measured
+        -- r9 — a later field reading an earlier field's pre-update
+        -- value silently reads the NEW one), while list-literal
+        -- elements evaluate functionally at every application
         list_reduce(
           list_prepend(
-            {{'mp': CAST(0.0 AS DOUBLE), 'mn': CAST(0.0 AS DOUBLE),
-               'sp': CAST(0.0 AS DOUBLE), 'sn': CAST(0.0 AS DOUBLE)}},
+            [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]::DOUBLE[],
             list_transform(vals, x ->
-              {{'mp': CAST(x AS DOUBLE), 'mn': CAST(0.0 AS DOUBLE),
-                'sp': CAST(0.0 AS DOUBLE), 'sn': CAST(0.0 AS DOUBLE)}})),
-          (acc, x) -> {{
-            'mp': greatest(acc.mp,
-                           greatest(CAST(0.0 AS DOUBLE),
-                                    acc.sp + (x.mp - mu))),
-            'mn': least(acc.mn,
-                        least(CAST(0.0 AS DOUBLE),
-                              acc.sn + (x.mp - mu))),
-            'sp': greatest(CAST(0.0 AS DOUBLE), acc.sp + (x.mp - mu)),
-            'sn': least(CAST(0.0 AS DOUBLE), acc.sn + (x.mp - mu))
-          }}) AS st
+              [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE),
+               CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]::DOUBLE[])),
+          (acc, x) -> [
+            greatest(CAST(0.0 AS DOUBLE), acc[1] + (x[1] - mu)),
+            least(CAST(0.0 AS DOUBLE), acc[2] + (x[1] - mu)),
+            greatest(acc[3],
+                     greatest(CAST(0.0 AS DOUBLE), acc[1] + (x[1] - mu))),
+            least(acc[4],
+                  least(CAST(0.0 AS DOUBLE), acc[2] + (x[1] - mu)))
+          ]::DOUBLE[]) AS st
       FROM seq
     )
     SELECT user_id, CAST(n AS BIGINT) AS n_events,
-           round(st.mp, 9) + 0.0 AS cusum_pos,
-           round(-st.mn, 9) + 0.0 AS cusum_neg,
-           st.mp > {CUSUM_H_FRAC} * (vmax - vmin)
-             OR -st.mn > {CUSUM_H_FRAC} * (vmax - vmin) AS alarm
+           round(st[3], 9) + 0.0 AS cusum_pos,
+           round(-st[4], 9) + 0.0 AS cusum_neg,
+           st[3] > {CUSUM_H_FRAC} * (vmax - vmin)
+             OR -st[4] > {CUSUM_H_FRAC} * (vmax - vmin) AS alarm
     FROM folded
     """,
     tags=("connector", "timeseries", "changepoint", "recursive"))

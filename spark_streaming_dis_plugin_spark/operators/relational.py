@@ -3714,6 +3714,78 @@ def customer_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "part_xyz_variability",
+    oracle="""
+    WITH monthly AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+             SUM(CAST(l_quantity AS DECIMAL(27,2))) AS q
+      FROM lineitem GROUP BY 1, 2
+    ), m2 AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_months,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(q * q AS DECIMAL(38,4))) AS VARCHAR)
+                  AS DOUBLE) AS s2
+      FROM monthly GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_months,
+           round(s1 / nd, 6) + 0.0 AS mean_qty,
+           round(sqrt((s2 - s1 * s1 / nd) / (nd - 1)) / (s1 / nd), 6)
+             + 0.0 AS cv,
+           CASE WHEN sqrt((s2 - s1 * s1 / nd) / (nd - 1)) / (s1 / nd)
+                     < 0.5 THEN 'X'
+                WHEN sqrt((s2 - s1 * s1 / nd) / (nd - 1)) / (s1 / nd)
+                     < 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM m2 WHERE n_months >= 3 AND s1 > 0
+    """,
+    tags=("relational", "xyz", "variability", "inventory"))
+def part_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ DEMAND-VARIABILITY classification — the companion axis to
+    customer_abc_pareto's value axis (together the classic ABC/XYZ
+    inventory grid): per part, the coefficient of variation of MONTHLY
+    shipped quantity classes demand as X (steady, CV < 0.5), Y
+    (fluctuating, < 1.0) or Z (erratic) — steady movers get automated
+    replenishment, erratic ones safety stock and human review.
+
+    Exactness: monthly quantities are exact decimal sums; the CV comes
+    from the two raw moments, each an exact decimal routed to double
+    through the VARCHAR cast (q*q stays inside DECIMAL(38,4)); the
+    sample-variance closed form diverges cross-engine only in final-op
+    association, absorbed by the shared round(6) before the class
+    compare (class boundaries 0.5/1.0 sit far from any fixture CV).
+
+    Scale shape: two hash aggregates — (part, month) then part — the
+    second reusing the first's partial locality; per-part state is two
+    scalars. Nothing windowed, nothing entity-scaled sorted; the same
+    plan at 10^9 parts.
+
+    Reference scope: delegated relational analytics (SURVEY.md S2b),
+    the variability member completing the ABC segmentation family."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    monthly = (li.groupBy("l_partkey",
+                          F.date_trunc("month", "l_shipdate").alias("m"))
+               .agg(F.sum(F.col("l_quantity").cast("decimal(27,2)"))
+                    .alias("q")))
+    m2 = (monthly.groupBy("l_partkey")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_months"),
+               F.count(F.lit(1)).cast("double").alias("nd"),
+               F.sum("q").cast("double").alias("s1"),
+               F.sum((F.col("q") * F.col("q")).cast("decimal(38,4)"))
+               .cast("double").alias("s2")))
+    mean = F.col("s1") / F.col("nd")
+    cv = (F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("nd"))
+                 / (F.col("nd") - 1)) / mean)
+    return (m2.where((F.col("n_months") >= 3) & (F.col("s1") > 0))
+            .select("l_partkey", "n_months",
+                    (F.round(mean, 6) + 0.0).alias("mean_qty"),
+                    (F.round(cv, 6) + 0.0).alias("cv"),
+                    F.when(cv < 0.5, "X").when(cv < 1.0, "Y")
+                    .otherwise("Z").alias("xyz_class")))
+
+
+@register(
     "orders_cohort_ltv",
     oracle=f"""
     WITH firsts AS (

@@ -1246,3 +1246,80 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "total_tokens", "distinct_terms",
                     (F.col("covered_tokens").cast("double")
                      / F.col("total_tokens")).alias("coverage")))
+
+
+# ------------------------------------------------ corpus mix entropy
+
+@register(
+    "corpus_mix_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ), t AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM c GROUP BY lang
+    ), shares AS (
+      SELECT c.lang, t.tot, t.n_sources,
+             list(CAST(c.n AS DOUBLE) / t.tot ORDER BY c.source) AS ps
+      FROM c JOIN t USING (lang)
+      GROUP BY c.lang, t.tot, t.n_sources
+    )
+    SELECT lang, tot AS n_docs, n_sources,
+           round(-list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(ps, p -> p * ln(p))),
+               (acc, x) -> acc + x), 6) + 0.0 AS entropy,
+           CASE WHEN n_sources > 1 THEN
+             round(-list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                              list_transform(ps, p -> p * ln(p))),
+                 (acc, x) -> acc + x) / ln(CAST(n_sources AS DOUBLE)), 6)
+               + 0.0
+           ELSE 0.0 END AS norm_entropy
+    FROM shares
+    """,
+    tags=("text", "entropy", "domain-mix"))
+def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-MIX ENTROPY per language: the Shannon entropy of each
+    language's source distribution, plus the [0,1]-normalized form
+    (entropy / ln(#sources)) — the one-number diversity check a
+    domain-mix sampler reads before and after rebalancing (a
+    low-entropy language is dominated by one crawl source; training on
+    it overfits that source's artifacts).
+
+    Exactness: shares are bigint-ratio doubles; -sum(p ln p) is an
+    ORDERED fold over source-sorted shares (the EWMA discipline —
+    groupBy SUM of float terms is partition-order-dependent), with
+    round(6) absorbing the last-ulp libm ln() difference between
+    engines (the bigram-LM/PMI precedent).
+
+    Scale shape: two tiny hash aggregates; the fold runs over at most
+    #sources elements per language — the relation in play after the
+    first aggregate is (languages x sources), constant-bounded.
+
+    Reference scope: text-analysis north star (SURVEY.md S2c), the
+    diversity member next to sample_domain_mix."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.groupBy("lang").agg(F.sum("n").cast("bigint").alias("tot"),
+                              F.count(F.lit(1)).cast("bigint")
+                              .alias("n_sources"))
+    shares = (c.join(t, "lang")
+              .groupBy("lang", "tot", "n_sources")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("source", "n"))),
+                  lambda s: s["n"].cast("double") / F.col("tot"))
+                  .alias("ps")))
+    ent = -F.aggregate(
+        F.transform("ps", lambda p: p * F.log(p)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return shares.select(
+        "lang", F.col("tot").alias("n_docs"), "n_sources",
+        (F.round(ent, 6) + 0.0).alias("entropy"),
+        F.when(F.col("n_sources") > 1,
+               F.round(ent / F.log(F.col("n_sources").cast("double")), 6)
+               + 0.0)
+        .otherwise(F.lit(0.0)).alias("norm_entropy"))

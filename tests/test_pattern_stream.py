@@ -1,0 +1,86 @@
+"""DisPatternStreamReader unit tests (r8 verdict #2): per-trigger regex
+re-match, earliest-start admission of new streams, composite-key rate
+split, and the post-restart floor guard — the planner logic under the
+dis_pattern_add_streamed e2e gate, driven directly without an engine.
+"""
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+    DisPatternStreamReader,
+)
+from spark_streaming_dis_plugin_spark.sources.dis_log import DisLog
+
+
+def _mk_log(root, stream, n_parts, rows_per_part):
+    log = DisLog(str(root), stream).create(n_parts)
+    batch = []
+    for p in range(n_parts):
+        for i in range(rows_per_part):
+            batch.append((p, f"k{i}", f"v{i}",
+                          1_700_000_000_000_000 + i))
+    log.append(pd.DataFrame({
+        "partition": [r[0] for r in batch],
+        "key": [r[1] for r in batch],
+        "value": [r[2] for r in batch],
+        "timestamp": pd.to_datetime([r[3] for r in batch], unit="us"),
+    }))
+    return log
+
+
+def test_new_matching_stream_admitted_at_earliest(tmp_path):
+    _mk_log(tmp_path, "logs_a", 2, 5)
+    r = DisPatternStreamReader(str(tmp_path), "logs_.*", {})
+    first = r.initialOffset()
+    assert first == {"logs_a/0": 0, "logs_a/1": 0}
+    ends = r.latestOffset()
+    assert ends == {"logs_a/0": 5, "logs_a/1": 5}
+    # a stream created mid-job is admitted at its EARLIEST offset
+    _mk_log(tmp_path, "logs_b", 1, 3)
+    ends2 = r.latestOffset()
+    assert ends2 == {"logs_a/0": 5, "logs_a/1": 5, "logs_b/0": 3}
+    # a non-matching stream is never admitted
+    _mk_log(tmp_path, "other", 1, 2)
+    assert "other/0" not in r.latestOffset()
+
+
+def test_rate_budget_splits_across_streams_by_lag(tmp_path):
+    _mk_log(tmp_path, "s_one", 1, 30)
+    _mk_log(tmp_path, "s_two", 1, 10)
+    r = DisPatternStreamReader(str(tmp_path), "s_.*",
+                               {"maxoffsetspertrigger": "8"})
+    r.initialOffset()
+    ends = r.latestOffset()
+    # lag-proportional: 30:10 lag -> 6:2 of the 8-record budget
+    assert ends == {"s_one/0": 6, "s_two/0": 2}
+    ends2 = r.latestOffset()
+    assert ends2["s_one/0"] > 6 and ends2["s_two/0"] > 2
+
+
+def test_partitions_respect_floor_after_restart(tmp_path):
+    _mk_log(tmp_path, "p_x", 1, 10)
+    r = DisPatternStreamReader(str(tmp_path), "p_.*", {})
+    r.initialOffset()
+    # engine committed through 7 in a previous incarnation
+    r.commit({"p_x/0": 7})
+    # a stale plan claiming start 3 is clamped up to the floor
+    parts = r.partitions({"p_x/0": 3}, {"p_x/0": 10})
+    assert len(parts) == 1
+    assert parts[0].from_offset == 7 and parts[0].until_offset == 10
+    # fully-stale plan (until < floor) becomes the empty placeholder
+    parts2 = r.partitions({"p_x/0": 3}, {"p_x/0": 5})
+    assert parts2[0].from_offset == parts2[0].until_offset
+
+
+def test_zero_width_resync_not_taken_as_floor(tmp_path):
+    """The restart resync call partitions(x, x) must NOT raise the
+    floor (same advance-evidence rule as the single-stream reader):
+    the genuine replay of [5, 10) that follows must not be clamped."""
+    _mk_log(tmp_path, "q_x", 1, 10)
+    r = DisPatternStreamReader(str(tmp_path), "q_.*", {})
+    r.initialOffset()
+    r.partitions({"q_x/0": 10}, {"q_x/0": 10})   # zero-width resync
+    parts = r.partitions({"q_x/0": 5}, {"q_x/0": 10})
+    assert parts[0].from_offset == 5 and parts[0].until_offset == 10
