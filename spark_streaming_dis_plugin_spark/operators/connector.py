@@ -4190,19 +4190,22 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     or an exact count — no interpolation, no epsilon; |v - median| and
     the 3x threshold are the same IEEE ops in both engines.
 
-    Scale shape: two window passes sharing the event_type partitioning
-    (|event_type| groups — reuse one Exchange), then a broadcast-sized
-    (type, median, mad) relation joins back for the outlier scan. At
-    100 TB the exact median needs the per-group sort; swap in the
+    Scale shape (upgraded r9): each discrete median selects by GLOBAL
+    within-group rank computed with the two-pass range-partition +
+    prefix-count carry (_two_pass_rank) — event_type has ~5 values, so
+    the previous event_type-partitioned window was 5 group-sized
+    single-task sorts at 10^9 rows (the abc_pareto trap; now no window
+    partition is ever group-sized). The broadcast-sized (type, median,
+    mad) relation then joins back for the outlier scan. Swap in the
     approx-quantile sketch (approx_aggregates) when rank error is
     acceptable."""
     events = load(spark, sf_dir, "events")
 
     def disc_median(df, val_col, out_name):
-        w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
-        wn = Window.partitionBy("event_type")
-        return (df.withColumn("rn", F.row_number().over(w))
-                .withColumn("n", F.count(F.lit(1)).over(wn))
+        ranked = _two_pass_rank(
+            spark, df.select("event_type", val_col, "event_id"),
+            ["event_type"], [val_col, "event_id"])
+        return (ranked
                 .where(F.col("rn") == F.ceil(F.col("n") / 2.0)
                        .cast("bigint"))
                 .select("event_type", F.col(val_col).alias(out_name)))
@@ -5439,6 +5442,39 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("alarm")))
 
 
+def _two_pass_rank(spark: SparkSession, df: DataFrame,
+                   group_cols: list, order_cols: list) -> DataFrame:
+    """Global within-group row_number WITHOUT group-sized single-task
+    sorts — the abc_pareto two-pass generalized to ranks, for groups
+    with tiny cardinality (event_type has ~5 values; a window
+    partitioned by the group alone is 5 group-sized sorts at 10^9
+    rows). Range-partition on (group, order) so each physical
+    partition holds a contiguous rank slice, rank locally per
+    (group, partition-id) — one hash exchange, every window partition
+    ~1/N of a group — then add each partition's prefix-count carry
+    within its group (an N x groups tiny relation, broadcast back).
+    localCheckpoint pins ONE sampling of the range boundaries for the
+    rank and carry branches. Returns df + (rn, n) per group."""
+    nb = spark.sparkContext.defaultParallelism
+    bucketed = (df.repartitionByRange(nb, *group_cols, *order_cols)
+                .withColumn("pid", F.spark_partition_id())
+                .localCheckpoint())
+    wl = Window.partitionBy(*group_cols, "pid").orderBy(*order_cols)
+    local = bucketed.withColumn("lrn", F.row_number().over(wl))
+    pcnt = (bucketed.groupBy(*group_cols, "pid")
+            .agg(F.count(F.lit(1)).alias("pc")))
+    wc = (Window.partitionBy(*group_cols).orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = Window.partitionBy(*group_cols)
+    carries = pcnt.select(
+        *group_cols, "pid",
+        (F.sum("pc").over(wc) - F.col("pc")).alias("carry"),
+        F.sum("pc").over(wn).alias("n"))
+    return (local.join(F.broadcast(carries), [*group_cols, "pid"])
+            .withColumn("rn", F.col("lrn") + F.col("carry"))
+            .drop("lrn", "carry", "pid"))
+
+
 TRIM_DIV = 20   # trim/winsorize k = n div 20 (5%) from each tail
 
 
@@ -5490,22 +5526,28 @@ def stats_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (s + k*lo + k*hi) routed to double through the VARCHAR
     cast discipline, so both means are bit-identical cross-engine.
 
-    Scale shape: one event_type exchange for the rank window; the
-    aggregate reuses the same partitioning. Ranking within a group is
-    the honest cost of EXACT trimming (same class as the exact-median
-    rows); at extreme group cardinalities swap approx boundaries
-    (quantile sketch) and keep the same clamp arithmetic.
+    Scale shape: event_type has ~5 values, so a rank window partitioned
+    by the group alone would be 5 group-sized single-task sorts — the
+    exact trap the abc_pareto rewrite closed. The global-within-group
+    rank is therefore the TWO-PASS form: range-partition rows by
+    (event_type, v4, event_id) so each physical partition holds a
+    contiguous rank slice of one-or-more groups, rank locally per
+    (event_type, partition-id) — one hash exchange, every window
+    partition ~1/N of a group — and add back each partition's
+    prefix-count carry within its group (an N x groups tiny relation,
+    broadcast). The bucketed relation is localCheckpoint-pinned so the
+    rank and carry branches see one sampling of the range boundaries.
+    At extreme group cardinalities swap approx boundaries (quantile
+    sketch) and keep the same clamp arithmetic.
 
     Reference scope: delegated relational analytics (SURVEY.md S2b),
     the robust-stats member next to events_anomaly_mad."""
     events = load(spark, sf_dir, "events")
     v4 = F.col("value").cast("decimal(18,4)")
-    w = Window.partitionBy("event_type").orderBy("v4", "event_id")
-    wn = Window.partitionBy("event_type")
-    r = (events.select("event_type", v4.alias("v4"), "event_id")
-         .withColumn("rn", F.row_number().over(w))
-         .withColumn("n", F.count(F.lit(1)).over(wn))
-         .withColumn("k", F.expr(f"n div {TRIM_DIV}")))
+    r = _two_pass_rank(
+        spark, events.select("event_type", v4.alias("v4"), "event_id"),
+        ["event_type"], ["v4", "event_id"]) \
+        .withColumn("k", F.expr(f"n div {TRIM_DIV}"))
     kept = r.where((F.col("rn") > F.col("k"))
                    & (F.col("rn") <= F.col("n") - F.col("k")))
     agg = (kept.groupBy("event_type")

@@ -2226,9 +2226,14 @@ def mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     values; continuous percentile interpolates where quantile_disc
     selects). mode = highest count, smallest value wins ties; discrete
     median = the ceil(n/2)-th value in (value, orderkey, linenumber)
-    order. Both are two window passes sharing one Exchange per grouping —
-    and being explicit, they are portable to ANY engine, which is the
-    production value of pinning tie-breaks."""
+    order. Mode ranks the AGGREGATED counts relation (tiny); the median
+    rank runs over the fact table whose group key has 3 values, so it
+    uses the two-pass range-partition + carry rank (_two_pass_rank,
+    upgraded r9 — the previous returnflag-partitioned window was 3
+    fact-sized single-task sorts). Being explicit, both are portable to
+    ANY engine, which is the production value of pinning tie-breaks."""
+    from .connector import _two_pass_rank
+
     (li,) = _t(spark, sf_dir, "lineitem")
     counts = (li.groupBy("l_returnflag", "l_linenumber")
               .agg(F.count(F.lit(1)).alias("c")))
@@ -2238,15 +2243,12 @@ def mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .where(F.col("rn") == 1)
                  .select("l_returnflag",
                          F.col("l_linenumber").alias("mode_line")))
-    wmed = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber")
-    wcnt = (Window.partitionBy("l_returnflag")
-            .rowsBetween(Window.unboundedPreceding,
-                         Window.unboundedFollowing))
-    med = (li.select("l_returnflag", "l_quantity", "l_orderkey",
-                     "l_linenumber")
-           .withColumn("rn", F.row_number().over(wmed))
-           .withColumn("n", F.count(F.lit(1)).over(wcnt))
+    ranked = _two_pass_rank(
+        spark,
+        li.select("l_returnflag", "l_quantity", "l_orderkey",
+                  "l_linenumber"),
+        ["l_returnflag"], ["l_quantity", "l_orderkey", "l_linenumber"])
+    med = (ranked
            .where(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
            .select("l_returnflag",
                    F.col("l_quantity").cast("double").alias("median_disc")))

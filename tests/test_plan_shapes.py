@@ -652,3 +652,20 @@ def test_hybrid_rrf_broadcasts_queries_single_corpus_pass(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # the three row_number windows all partition by query_id
     assert plan.count("Window") >= 2
+
+
+def test_group_ranks_never_group_sized_windows(spark, sf_dir):
+    """stats_trimmed_winsorized and events_anomaly_mad rank within
+    event_type (~5 values) via the two-pass range-partition + carry —
+    every row_number window must partition by (event_type, pid), never
+    by the group alone (which would be 5 group-sized single-task sorts
+    at 10^9 rows — the abc_pareto trap)."""
+    for name in ("stats_trimmed_winsorized", "events_anomaly_mad"):
+        plan = _plan(spark, name, sf_dir)
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Window" not in ln or "row_number" not in ln:
+                continue
+            assert "pid#" in ln, (name, ln)   # rank windows carry pid
+        # checkpoint barrier for the shared range partitioning
+        assert "Scan ExistingRDD" in plan, name
