@@ -5813,6 +5813,76 @@ def dis_anomaly_zscore_tws_streamed(spark: SparkSession,
     return final.select("offset", "key", "value", "z")
 
 
+@register(
+    "dis_holt_tws_streamed",
+    oracle=f"""
+    WITH seq AS (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             list(CAST(CAST("value" AS DECIMAL(18,4)) AS DOUBLE)
+                  ORDER BY event_id) AS vals,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id
+    ), folded AS (
+      SELECT key, n,
+        list_reduce(
+          list_prepend(
+            [CAST(vals[1] AS DOUBLE),
+             CAST(vals[2] - vals[1] AS DOUBLE)]::DOUBLE[],
+            list_transform(vals[3:], x ->
+              [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]::DOUBLE[])),
+          (acc, x) -> [
+            {HOLT_ALPHA} * x[1] + {1 - HOLT_ALPHA} * (acc[1] + acc[2]),
+            {HOLT_BETA} * (({HOLT_ALPHA} * x[1]
+                 + {1 - HOLT_ALPHA} * (acc[1] + acc[2])) - acc[1])
+              + {1 - HOLT_BETA} * acc[2]
+          ]::DOUBLE[]) AS st
+      FROM seq WHERE n >= 2
+    )
+    SELECT key, CAST(n AS BIGINT) AS n_events,
+           round(st[1], 9) + 0.0 AS level,
+           round(st[2], 9) + 0.0 AS trend
+    FROM folded
+    """,
+    tags=("connector", "streaming", "stateful", "tws", "forecast",
+          "multibatch", "e2e"))
+def dis_holt_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HOLT SMOOTHER on transformWithStateInPandas — the live
+    twin of events_double_exponential, completing the per-key analytics
+    TWS family (totals, timers, anomaly, CDC, dedup, now forecasting):
+    per-user (level, trend) registers advance in ValueState as records
+    arrive on the rate-limited decimal-exact zvalue log, each batch
+    emitting the key's CURRENT smoothed state; after >= 3 data batches
+    drain, each key's final row (max n_events, the
+    dis_state_totals_tws selection) must hash-match the batch fold
+    oracle — which pins that the two O(1) state registers carried
+    EXACTLY across micro-batch boundaries (a lost or replayed batch
+    shifts every subsequent level/trend, and the strict offset order
+    inside batches is the fold order).
+
+    Exactness per streaming/stateful.holt_gate_tws: decimal-string wire
+    format, float(Decimal) = the engines' exact DECIMAL->DOUBLE cast at
+    this value domain, identical IEEE update ops and literals, round(9)
+    on the final comparison only."""
+    from ..streaming.stateful import holt_gate_tws
+
+    log = _materialized_zvalue_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    with _rocksdb_state(spark):
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .option("maxOffsetsPerTrigger", str(per))
+               .load())
+        drained = _drain_multibatch(spark, holt_gate_tws(sdf), "holtgate",
+                                    output_mode="update")
+    w = Window.partitionBy("key").orderBy(F.desc("n_events"))
+    return (drained.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("key", "n_events",
+                    (F.round("level", 9) + 0.0).alias("level"),
+                    (F.round("trend", 9) + 0.0).alias("trend")))
+
+
 BFS_SOURCE = 1     # BFS root: part key 1 (present at every SF)
 BFS_MAX_HOPS = 3
 

@@ -3715,6 +3715,99 @@ def customer_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise("C").alias("abc_class"))
 
 
+DRIFT_SPLIT_YEAR = 1996   # snapshots: orders before vs from this year
+
+
+@register(
+    "quality_stats_drift",
+    oracle=f"""
+    WITH old AS (SELECT * FROM orders
+                 WHERE year(o_orderdate) < {DRIFT_SPLIT_YEAR}),
+    new AS (SELECT * FROM orders
+            WHERE year(o_orderdate) >= {DRIFT_SPLIT_YEAR}),
+    leg_price AS (
+      SELECT 'o_totalprice' AS column_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM old) AS n_old,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM new) AS n_new,
+             (SELECT CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE)
+                     / COUNT(*) FROM old) AS null_rate_old,
+             (SELECT CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE)
+                     / COUNT(*) FROM new) AS null_rate_new,
+             (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                     AS VARCHAR) AS DOUBLE) / COUNT(o_totalprice)
+              FROM old) AS mean_old,
+             (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                     AS VARCHAR) AS DOUBLE) / COUNT(o_totalprice)
+              FROM new) AS mean_new,
+             (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+              FROM old) AS n_distinct_old,
+             (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+              FROM new) AS n_distinct_new
+    )
+    SELECT column_name, n_old, n_new, null_rate_old, null_rate_new,
+           round(mean_old, 6) + 0.0 AS mean_old,
+           round(mean_new, 6) + 0.0 AS mean_new,
+           round((mean_new - mean_old) / mean_old, 6) + 0.0
+             AS mean_shift,
+           n_distinct_old, n_distinct_new,
+           n_distinct_old != n_distinct_new AS category_drift
+    FROM leg_price
+    """,
+    tags=("relational", "quality", "drift", "monitoring"))
+def quality_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DRIFT REPORT — the pipeline-monitoring audit next to
+    quality_audit_constraints: split the orders relation into an old
+    and a new snapshot (before / from {DRIFT_SPLIT_YEAR}) and compare
+    the profile a data-quality monitor watches: row counts, null
+    rates, the exact decimal mean of the numeric column with its
+    relative shift, and the categorical column's distinct-cardinality
+    change (a new enum value in production is the classic silent
+    schema drift). One row per monitored column, flags inline — the
+    table a scheduler diffs before letting a training-data refresh
+    promote.
+
+    Exactness: counts/distincts are integers; means are decimal sums
+    over each snapshot routed through the VARCHAR cast; the shift is
+    the same double ratio in both engines under shared round(6).
+
+    Scale shape: each snapshot profile is ONE pass of hash aggregates
+    (no joins between facts; the old/new relations never co-shuffle);
+    distinct counts are exact here — swap HLL (approx_aggregates) when
+    the monitored column is high-cardinality. The report relation is
+    O(columns).
+
+    Reference scope: delegated relational quality surface
+    (SURVEY.md S2b), the drift member next to audit_constraints and
+    the dataset card."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    old = orders.where(F.year("o_orderdate") < DRIFT_SPLIT_YEAR)
+    new = orders.where(F.year("o_orderdate") >= DRIFT_SPLIT_YEAR)
+
+    def profile(df, tag):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}"),
+            ((F.count(F.lit(1)) - F.count("o_totalprice"))
+             .cast("double") / F.count(F.lit(1)))
+            .alias(f"null_rate_{tag}"),
+            (F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+             .cast("double") / F.count("o_totalprice"))
+            .alias(f"mean_{tag}"),
+            F.countDistinct("o_orderpriority").cast("bigint")
+            .alias(f"n_distinct_{tag}"))
+
+    j = profile(old, "old").crossJoin(F.broadcast(profile(new, "new")))
+    shift = (F.col("mean_new") - F.col("mean_old")) / F.col("mean_old")
+    return j.select(
+        F.lit("o_totalprice").alias("column_name"),
+        "n_old", "n_new", "null_rate_old", "null_rate_new",
+        (F.round("mean_old", 6) + 0.0).alias("mean_old"),
+        (F.round("mean_new", 6) + 0.0).alias("mean_new"),
+        (F.round(shift, 6) + 0.0).alias("mean_shift"),
+        "n_distinct_old", "n_distinct_new",
+        (F.col("n_distinct_old") != F.col("n_distinct_new"))
+        .alias("category_drift"))
+
+
 @register(
     "part_xyz_variability",
     oracle="""

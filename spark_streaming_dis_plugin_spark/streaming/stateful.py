@@ -592,3 +592,84 @@ def zscore_gate_tws(env: DataFrame) -> DataFrame:
                 outputStructType=ZSCORE_OUT_SCHEMA,
                 outputMode="Append",
                 timeMode="None"))
+
+
+# --------------------- streaming Holt double-exponential gate on TWS
+
+# Twin constants of operators/connector.events_double_exponential — the
+# batch row's fold is this gate's oracle, so the two must stay equal.
+HOLT_TWS_ALPHA = 0.3
+HOLT_TWS_BETA = 0.1
+
+HOLT_OUT_SCHEMA = "key string, n_events bigint, level double, trend double"
+
+
+def holt_gate_tws(env: DataFrame) -> DataFrame:
+    """Streaming HOLT double-exponential smoother — the transformWithState
+    twin of events_double_exponential: per key, ValueState carries the
+    (level, trend, count, first-value) registers; every arriving record
+    advances them in offset order and the CURRENT smoothed state emits
+    each batch (update-style; the caller keeps each key's max-count row,
+    the dis_state_totals_tws selection pattern).
+
+    Exactness: values arrive as the zvalue log's exact DECIMAL(18,4)
+    strings; ``float(Decimal(s))`` is correctly rounded — the engines'
+    DECIMAL->DOUBLE cast (unscaled ints here are far below 2^53, where
+    DuckDB's divide-based cast is also exact) — and the update uses the
+    identical IEEE ops and literals as the batch fold, so (level, trend)
+    equal the batch oracle's fold bit-for-bit at every prefix.
+    Initialization mirrors the batch row: l = x1, b = x2 - x1, steps
+    from x3; keys are only emitted once n >= 2 (the batch WHERE).
+
+    100 TB posture: O(1) state per ACTIVE key (four scalars), no
+    history; per-record work is O(1). TTL the state for keys that go
+    quiet."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    a, a1 = HOLT_TWS_ALPHA, 1 - HOLT_TWS_ALPHA
+    g, g1 = HOLT_TWS_BETA, 1 - HOLT_TWS_BETA
+
+    class _HoltProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._st = handle.getValueState(
+                "holt", "l double, b double, n bigint, x1 double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            from decimal import Decimal
+
+            if self._st.exists():
+                l, b, n, x1 = self._st.get()
+            else:
+                l, b, n, x1 = 0.0, 0.0, 0, 0.0
+            batch = pd.concat(list(rows), ignore_index=True) \
+                if rows else pd.DataFrame()
+            if not len(batch):
+                return iter(())
+            for _, row in batch.sort_values("offset").iterrows():
+                v = float(Decimal(str(row["value"])))
+                n += 1
+                if n == 1:
+                    x1 = v
+                elif n == 2:
+                    l, b = x1, v - x1
+                else:
+                    new_l = a * v + a1 * (l + b)
+                    b = g * (new_l - l) + g1 * b
+                    l = new_l
+            self._st.update((l, b, n, x1))
+            if n < 2:
+                return iter(())
+            return iter([pd.DataFrame(
+                [(key[0], int(n), l, b)],
+                columns=["key", "n_events", "level", "trend"])])
+
+        def close(self) -> None:
+            pass
+
+    return (env.select("key", "offset", "value")
+            .groupBy("key")
+            .transformWithStateInPandas(
+                statefulProcessor=_HoltProcessor(),
+                outputStructType=HOLT_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))
