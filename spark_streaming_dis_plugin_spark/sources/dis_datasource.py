@@ -692,8 +692,19 @@ class DisPatternStreamReader(DataSourceStreamReader):
                 latest[k] = o
                 if k not in current:
                     # newly matched stream (or new partition): the
-                    # periodic re-match admits it at its earliest offset
-                    current[k] = earliest.get(p, 0)
+                    # periodic re-match admits it at its earliest offset.
+                    # Record the admission point as the key's FLOOR too:
+                    # Spark's start dict in the next partitions() call is
+                    # the PREVIOUS batch's end, which lacks the new key, so
+                    # frm would fall back to 0 — for a retention-trimmed
+                    # log (earliest > 0) that is a spurious failOnDataLoss
+                    # error (or a silent divergence from the admission
+                    # point with failOnDataLoss=false), and the lag-based
+                    # budget (lag measured from earliest) would be blown
+                    # by a read that starts at 0.
+                    adm = earliest.get(p, 0)
+                    current[k] = adm
+                    self._floor[k] = max(self._floor.get(k, 0), adm)
         allowed = None
         if self.max_per_trigger:
             lags = {k: max(latest[k] - current.get(k, 0), 0)

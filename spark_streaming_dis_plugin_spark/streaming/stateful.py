@@ -546,36 +546,41 @@ def zscore_gate_tws(env: DataFrame) -> DataFrame:
             self._win = handle.getListState("win", "v string")
 
         def handleInputRows(self, key, rows, timerValues):
-            from decimal import Decimal, getcontext
+            from decimal import Decimal, localcontext
 
             from ..functions.portable import round_half_up
 
             # 40 digits: v*v of a DECIMAL(18,4) reaches 36 significant
             # digits and the 20-term window sum 38 — the default 28-digit
-            # context would round them silently (r8 ADVICE #2).
-            getcontext().prec = 40
+            # context would round them silently (r8 ADVICE #2). Scoped
+            # with localcontext so the widened precision never leaks into
+            # other Decimal users on the same worker thread (other TWS
+            # processors, round_half_up callers — r9 ADVICE #2).
             st = [Decimal(r[0]) for r in self._win.get()]
             batch = pd.concat(list(rows), ignore_index=True) \
                 if rows else pd.DataFrame()
             out = []
             if len(batch):
-                for _, row in batch.sort_values("offset").iterrows():
-                    v4 = Decimal(str(row["value"]))
-                    cnt = len(st)
-                    if cnt >= ZSCORE_TWS_MIN_OBS:
-                        cntd = float(cnt)
-                        s1 = float(sum(st))
-                        s2 = float(sum(v * v for v in st))
-                        var = (s2 - s1 * s1 / cntd) / (cntd - 1.0)
-                        if var > 1e-9:
-                            val = float(v4)
-                            z = (val - s1 / cntd) / math.sqrt(var)
-                            if abs(z) > ZSCORE_TWS_GATE:
-                                out.append((int(row["offset"]), key[0],
-                                            val, round_half_up(z, 9) + 0.0))
-                    st.append(v4)
-                    if len(st) > ZSCORE_TWS_LOOKBACK:
-                        st.pop(0)
+                with localcontext() as ctx:
+                    ctx.prec = 40
+                    for _, row in batch.sort_values("offset").iterrows():
+                        v4 = Decimal(str(row["value"]))
+                        cnt = len(st)
+                        if cnt >= ZSCORE_TWS_MIN_OBS:
+                            cntd = float(cnt)
+                            s1 = float(sum(st))
+                            s2 = float(sum(v * v for v in st))
+                            var = (s2 - s1 * s1 / cntd) / (cntd - 1.0)
+                            if var > 1e-9:
+                                val = float(v4)
+                                z = (val - s1 / cntd) / math.sqrt(var)
+                                if abs(z) > ZSCORE_TWS_GATE:
+                                    out.append(
+                                        (int(row["offset"]), key[0],
+                                         val, round_half_up(z, 9) + 0.0))
+                        st.append(v4)
+                        if len(st) > ZSCORE_TWS_LOOKBACK:
+                            st.pop(0)
                 self._win.put([(str(v),) for v in st])
             if not out:
                 return iter(())

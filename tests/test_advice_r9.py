@@ -55,7 +55,8 @@ def test_session_window_exact_gap_boundary(spark, tmp_path):
     start <= previous end), and duplicate (user_id, ts) pairs must not
     misgroup the oracle's running sum."""
     rows = [
-        # user 1: second event at exactly +10min -> two sessions
+        # user 1: second event at exactly +10min -> ONE session
+        # (exact-gap events MERGE: session start <= previous end)
         (0, _ts("2024-01-01 00:00:00"), 1, "a", 1.0, "{}"),
         (1, _ts("2024-01-01 00:10:00"), 1, "a", 1.0, "{}"),
         # user 2: +9:59.999999 -> one session

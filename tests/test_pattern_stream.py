@@ -84,3 +84,42 @@ def test_zero_width_resync_not_taken_as_floor(tmp_path):
     r.partitions({"q_x/0": 10}, {"q_x/0": 10})   # zero-width resync
     parts = r.partitions({"q_x/0": 5}, {"q_x/0": 10})
     assert parts[0].from_offset == 5 and parts[0].until_offset == 10
+
+
+def test_new_stream_with_trimmed_log_admitted_at_earliest(tmp_path):
+    """r9 ADVICE #1: a stream created mid-job whose log is RETENTION-
+    TRIMMED (earliest offset > 0) must be read from its admission point.
+    latestOffset() records the admission offset as the key's floor, so
+    partitions() — whose start dict (the previous batch's end) lacks the
+    new key — clamps frm up to earliest instead of falling back to 0,
+    which would raise a spurious failOnDataLoss error."""
+    from spark_streaming_dis_plugin_spark.sources.dis_log import (
+        expire_before,
+    )
+
+    _mk_log(tmp_path, "t_base", 1, 5)
+    r = DisPatternStreamReader(str(tmp_path), "t_.*", {})
+    r.initialOffset()
+    ends1 = r.latestOffset()
+    assert ends1 == {"t_base/0": 5}
+    r.commit(ends1)
+
+    # stream created mid-job: two segments, first one expired -> earliest 5
+    log = _mk_log(tmp_path, "t_new", 1, 5)
+    log.append(pd.DataFrame({
+        "partition": [0] * 5,
+        "key": [f"k{i}" for i in range(5, 10)],
+        "value": [f"v{i}" for i in range(5, 10)],
+        "timestamp": pd.to_datetime(
+            [1_700_000_000_000_000 + i for i in range(5, 10)], unit="us"),
+    }))
+    expire_before(log, {0: 5})
+    assert log.earliest_offsets() == {0: 5}
+
+    ends2 = r.latestOffset()
+    assert ends2["t_new/0"] == 10
+    # Spark hands partitions() the PREVIOUS end as start — no t_new key.
+    parts = r.partitions(dict(ends1), ends2)
+    by_stream = {(p.stream, p.partition): p for p in parts}
+    newp = by_stream[("t_new", 0)]
+    assert newp.from_offset == 5 and newp.until_offset == 10
