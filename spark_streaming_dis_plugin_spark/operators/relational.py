@@ -2218,7 +2218,7 @@ def grouping_id_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m.l_returnflag AS returnflag, m.mode_line, d.median_disc
     FROM mode_pick m JOIN med d ON m.l_returnflag = d.l_returnflag
     """,
-    tags=("relational", "agg", "statistical"))
+    tags=("relational", "agg", "statistical"), bench=True)
 def mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mode and discrete median, derived explicitly instead
     of via the engines' mode()/quantile builtins — whose TIE-BREAKING is
@@ -3645,7 +3645,7 @@ def compliance_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'C' END AS abc_class
     FROM ranked
     """,
-    tags=("relational", "pareto", "abc", "window"))
+    tags=("relational", "pareto", "abc", "window"), bench=True)
 def customer_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto (80-20) classification: customers sorted by lifetime
     revenue, classified A/B/C by their CUMULATIVE share of total

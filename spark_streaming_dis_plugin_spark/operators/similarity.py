@@ -1778,3 +1778,346 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round("score", 9) + 0.0).alias("rrf_score"),
                     F.col("ra").cast("bigint").alias("rank_cosine"),
                     F.col("rb").cast("bigint").alias("rank_jaccard")))
+
+
+# --------------------------- hybrid retrieval, INDEXED paths (r9 verdict #2)
+
+HYB_QTERM_MINLEN = 6   # query terms: distinct doc tokens at least this long
+HYB_QTERMS_K = 3       # lexicographically-first K such tokens per query doc
+HYB_DENSE_K = 3        # dense list length (the IVF/brute-force top-3 contract)
+
+
+def _hybrid_lex_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k candidate list for DERIVED queries: each query doc
+    (doc_id < N_QUERIES, the IVF query set) contributes its
+    {HYB_QTERMS_K} lexicographically-first distinct tokens of length >=
+    {HYB_QTERM_MINLEN} as search terms — a deterministic stand-in for
+    the user query string, shared verbatim with the oracle (sorted
+    selection, not first-occurrence, because DuckDB's list_distinct
+    does not preserve order). Returns (query_id, cand_id, rb) with the
+    query doc itself excluded — the dense side's self-exclusion mirror.
+
+    Scale shape = text_bm25_search: one (doc_id, term) shuffle with
+    map-side combine, query terms broadcast onto the postings before
+    df/dl joins, top-k as a window group-limit over the scored
+    relation."""
+    from ..functions.portable import tokens
+    from .text import BM25_B, BM25_K1, BM25_TOP_K
+
+    docs = load(spark, sf_dir, "documents")
+    para = spark.sparkContext.defaultParallelism
+    tks = tokens("text")
+    toks = (docs.repartition(para)
+            .select("doc_id", F.explode(tks).alias("term")))
+    dl = docs.select("doc_id", F.size(tks).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    qt = F.slice(
+        F.array_sort(F.filter(
+            F.array_distinct(tks),
+            lambda t: F.length(t) >= HYB_QTERM_MINLEN)),
+        1, HYB_QTERMS_K)
+    queries = (docs.where(F.col("doc_id") < N_QUERIES)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.explode(qt).alias("term")))
+    tf = (toks.join(F.broadcast(queries.select("term").distinct()), "term")
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (tf.join(F.broadcast(queries), "term")
+               .join(F.broadcast(dfreq), "term")
+               .join(dl, "doc_id")
+               .crossJoin(F.broadcast(stats))
+               .select(
+                   "query_id", "doc_id",
+                   (F.log(F.lit(1.0)
+                          + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                          / (F.col("df") + F.lit(0.5)))
+                    * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                    / (F.col("tf") + F.lit(BM25_K1)
+                       * (F.lit(1.0 - BM25_B)
+                          + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")))
+                    ).alias("c")))
+    scored = (contrib.where(F.col("doc_id") != F.col("query_id"))
+              .groupBy("query_id", "doc_id")
+              .agg((F.round(F.sum("c"), 6) + F.lit(0.0)).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (scored.withColumn("rb", F.row_number().over(w))
+            .where(F.col("rb") <= BM25_TOP_K)
+            .select("query_id", F.col("doc_id").alias("cand_id"), "rb"))
+
+
+def _rrf_fuse_lists(dense: DataFrame, lex: DataFrame) -> DataFrame:
+    """RRF over two (query_id, cand_id, rank) CANDIDATE LISTS — unlike
+    sim_hybrid_rrf's full-corpus twin ranking, a candidate here may
+    appear in only one list, so the fusion is a full-outer join and
+    each missing modality contributes 0 (the standard list-based RRF).
+    Returns fused rows with (ra, rb, score, rank), rank <= RRF_TOPK."""
+    d = dense.select("query_id", "cand_id", "ra")
+    l = lex.select("query_id", "cand_id", "rb")
+    j = d.join(l, ["query_id", "cand_id"], "full_outer")
+    score = (F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("ra")),
+                        F.lit(0.0))
+             + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("rb")),
+                          F.lit(0.0)))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("score"), "cand_id")
+    return (j.withColumn("score", score)
+            .withColumn("rank", F.row_number().over(wf))
+            .where(F.col("rank") <= RRF_TOPK))
+
+
+def _hybrid_lex_cte() -> str:
+    """DuckDB CTE block (names prefixed h*) replicating
+    _hybrid_lex_list — BM25 over the derived query terms."""
+    from ..functions.portable import tokens_sql
+    from .text import BM25_B, BM25_K1, BM25_TOP_K
+
+    return f"""
+    dtoks AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
+    htoks AS (SELECT doc_id, unnest(tk) AS term FROM dtoks),
+    hdl AS (SELECT doc_id, len(tk) AS dl FROM dtoks),
+    hstats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+               FROM hdl),
+    hqterms AS (
+      SELECT doc_id AS query_id,
+             unnest(list_sort(list_filter(list_distinct(tk),
+                    t -> len(t) >= {HYB_QTERM_MINLEN}))[1:{HYB_QTERMS_K}])
+               AS term
+      FROM dtoks WHERE doc_id < {N_QUERIES}),
+    htf AS (SELECT doc_id, term, COUNT(*) AS tf FROM htoks
+            WHERE term IN (SELECT DISTINCT term FROM hqterms)
+            GROUP BY 1, 2),
+    hdf AS (SELECT term, COUNT(*) AS df FROM htf GROUP BY term),
+    hcontrib AS (
+      SELECT qr.query_id, htf.doc_id,
+             ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (htf.tf * ({BM25_K1} + 1.0))
+               / (htf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * hdl.dl / s.avgdl)) AS c
+      FROM hqterms qr
+        JOIN htf USING (term) JOIN hdf d USING (term)
+        JOIN hdl ON hdl.doc_id = htf.doc_id
+        CROSS JOIN hstats s),
+    hlexscored AS (
+      SELECT query_id, doc_id AS cand_id, round(SUM(c), 6) + 0.0 AS score
+      FROM hcontrib WHERE doc_id != query_id GROUP BY 1, 2),
+    hlex AS (
+      SELECT query_id, cand_id, rb FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, cand_id) AS rb
+        FROM hlexscored) WHERE rb <= {BM25_TOP_K})"""
+
+
+def _fusion_sql(dense_cte: str) -> str:
+    """List-based RRF fusion of ``dense_cte`` (query_id, cand_id, ra)
+    with hlex — the SQL twin of _rrf_fuse_lists (full-outer, missing
+    modality contributes 0.0, same literal shapes)."""
+    return f"""
+      SELECT query_id, cand_id, ra, rb,
+             COALESCE(1.0 / ({RRF_C} + ra), 0.0)
+               + COALESCE(1.0 / ({RRF_C} + rb), 0.0) AS score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY COALESCE(1.0 / ({RRF_C} + ra), 0.0)
+                      + COALESCE(1.0 / ({RRF_C} + rb), 0.0) DESC,
+                        cand_id) AS rank
+      FROM (
+        SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+               COALESCE(d.cand_id, l.cand_id) AS cand_id, d.ra, l.rb
+        FROM {dense_cte} d FULL OUTER JOIN hlex l
+          ON d.query_id = l.query_id AND d.cand_id = l.cand_id)"""
+
+
+def _rrf_indexed_oracle() -> str:
+    return f"""
+    WITH {_hybrid_lex_cte()},
+    hdense AS (SELECT query_id, neighbor_id AS cand_id, rnk AS ra
+               FROM ({_ivf_nprobe_oracle(n_probe=1)}))
+    SELECT query_id, cand_id, CAST(rank AS BIGINT) AS rank,
+           round(score, 9) + 0.0 AS rrf_score,
+           CAST(ra AS BIGINT) AS rank_dense,
+           CAST(rb AS BIGINT) AS rank_lexical
+    FROM ({_fusion_sql('hdense')}) WHERE rank <= {RRF_TOPK}
+    """
+
+
+@register(
+    "sim_hybrid_rrf_indexed",
+    oracle=_rrf_indexed_oracle(),
+    tags=("similarity", "hybrid", "rrf", "retrieval", "indexed"),
+    bench=True)
+def sim_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END INDEXED hybrid retrieval (r9 verdict #2): the RRF
+    fusion fed by the repo's ACTUAL index paths instead of brute-force
+    twin rankings — the dense list is the prebuilt-IVF search
+    (sim_ivf_topk's exact plan: stored centroids picked at query time,
+    only the probed cluster scored) and the lexical list is the BM25
+    postings path (text_bm25_search's plan over terms derived from the
+    query doc). This is the production RAG shape sim_hybrid_rrf's
+    docstring promises: RRF consumes (doc, rank) pairs, so at 100 TB
+    neither ranking scans the corpus.
+
+    List-based fusion semantics: candidates may appear in only one
+    list (IVF top-{HYB_DENSE_K}, BM25 top-5), so the fuse is a
+    FULL-OUTER join and a missing modality contributes 0 — rank_dense/
+    rank_lexical are NULL for one-sided candidates by design.
+
+    Exactness: IVF ranks ride the proven _ivf_nprobe_oracle geometry;
+    BM25 ranks ride the text_bm25_search formula ranking on the
+    6dp-rounded score; the fused score adds the same two doubles in the
+    same order (COALESCE(x, 0.0) per side) under the round(9) output
+    pairing. Query terms are a SORTED selection (lexicographically
+    first {HYB_QTERMS_K} distinct tokens >= {HYB_QTERM_MINLEN} chars)
+    because DuckDB's list_distinct does not preserve order.
+
+    Reference scope: similarity-search north star (SURVEY.md S2c) —
+    the indexed composition of the ivf + bm25 families."""
+    dense = (_ivf_search_prebuilt(spark, sf_dir, n_probe=1)
+             .select("query_id", F.col("neighbor_id").alias("cand_id"),
+                     F.col("rnk").alias("ra")))
+    fused = _rrf_fuse_lists(dense, _hybrid_lex_list(spark, sf_dir))
+    return fused.select(
+        "query_id", "cand_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        (F.round("score", 9) + 0.0).alias("rrf_score"),
+        F.col("ra").cast("bigint").alias("rank_dense"),
+        F.col("rb").cast("bigint").alias("rank_lexical"))
+
+
+def _rrf_indexed_recall_oracle() -> str:
+    return f"""
+    WITH {_hybrid_lex_cte()},
+    hdense AS (SELECT query_id, neighbor_id AS cand_id, rnk AS ra
+               FROM ({_ivf_nprobe_oracle(n_probe=1)})),
+    xdense AS (SELECT query_id, neighbor_id AS cand_id, rnk AS ra
+               FROM ({_BF_ORACLE}) WHERE rnk <= {HYB_DENSE_K}),
+    fi AS (SELECT query_id, cand_id FROM ({_fusion_sql('hdense')})
+           WHERE rank <= {RRF_TOPK}),
+    fx AS (SELECT query_id, cand_id FROM ({_fusion_sql('xdense')})
+           WHERE rank <= {RRF_TOPK})
+    SELECT x.query_id,
+           CAST(COUNT(*) FILTER (WHERE i.cand_id IS NOT NULL) AS BIGINT)
+             AS hits,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM fx x LEFT JOIN fi i
+      ON x.query_id = i.query_id AND x.cand_id = i.cand_id
+    GROUP BY 1
+    """
+
+
+@register(
+    "sim_hybrid_rrf_indexed_recall",
+    oracle=_rrf_indexed_recall_oracle(),
+    tags=("similarity", "hybrid", "rrf", "recall"))
+def sim_hybrid_rrf_indexed_recall(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """FUSION ACCURACY CONTRACT (the sim_ivf_recall pattern): per-query
+    overlap@{RRF_TOPK} of the INDEXED fusion (IVF dense list) against
+    the EXACT fusion (brute-force dense top-{HYB_DENSE_K}, identical
+    lexical list — BM25 over query-term postings is already exact, so
+    the dense ranker is the only approximation). hits/k as exact
+    integers under the oracle gate — at 100 TB this is the monitoring
+    query that tells you whether the IVF probe budget is costing
+    retrieval quality after fusion."""
+    lex = _hybrid_lex_list(spark, sf_dir)
+    densei = (_ivf_search_prebuilt(spark, sf_dir, n_probe=1)
+              .select("query_id", F.col("neighbor_id").alias("cand_id"),
+                      F.col("rnk").alias("ra")))
+    densex = (sim_bruteforce_topk(spark, sf_dir)
+              .where(F.col("rnk") <= HYB_DENSE_K)
+              .select("query_id", F.col("neighbor_id").alias("cand_id"),
+                      F.col("rnk").alias("ra")))
+    fi = (_rrf_fuse_lists(densei, lex)
+          .select("query_id", "cand_id", F.lit(1).alias("h")))
+    fx = _rrf_fuse_lists(densex, lex).select("query_id", "cand_id")
+    return (fx.join(fi, ["query_id", "cand_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("h"), F.lit(0)))
+                 .cast("bigint").alias("hits"),
+                 F.count(F.lit(1)).alias("k")))
+
+
+def ann_retrain_oracle(n_probe: int) -> str:
+    """DuckDB twin of POST-RETRAIN search: the ann_ingest_oracle pipeline
+    (one Lloyd step over the base split, full-corpus assignment — the
+    post-ingest index) extended by exactly the repair ivf_maybe_retrain
+    performs: cent2 = decimal-exact per-cluster means of the CURRENT
+    (post-ingest) members, assign2 = full reassignment, then the
+    standard n_probe search over the retrained geometry. Oracle equality
+    IS the retrain contract — post-retrain serving == an index rebuilt
+    by the same means+reassign step (test_ivf_retrain pins the same
+    equality batch-side)."""
+    dims = ", ".join(f"{_dim_avg_sql(i + 1)} AS d{i}" for i in range(DIM))
+    cent_array = "[" + ", ".join(f"d{i}" for i in range(DIM)) + "]"
+    d2 = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+          "list_transform(range(1, {dim} + 1), "
+          "i -> (CAST(v.embedding[i] AS DOUBLE) - c.ce[i]) "
+          "* (CAST(v.embedding[i] AS DOUBLE) - c.ce[i]))), "
+          "(acc, x) -> acc + x)").format(dim=DIM)
+    return f"""
+    WITH base AS (
+      SELECT * FROM embeddings WHERE NOT {ANN_INGEST_STREAM_PRED_SQL}
+    ),
+    cent0 AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM base WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign0 AS (
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2}, c.centroid_id) AS rnk
+        FROM base v CROSS JOIN cent0 c
+      ) WHERE rnk = 1
+    ),
+    cent1 AS (
+      SELECT cluster AS centroid_id, {cent_array} AS ce FROM (
+        SELECT a.cluster, {dims}
+        FROM assign0 a JOIN base v ON a.vec_id = v.vec_id
+        GROUP BY a.cluster
+      )
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id AS cluster FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {d2}, c.centroid_id) AS rnk
+        FROM embeddings v CROSS JOIN cent1 c
+      ) WHERE rnk = 1
+    ),
+    cent2 AS (
+      SELECT cluster AS centroid_id, {cent_array} AS ce FROM (
+        SELECT a.cluster, {dims}
+        FROM assign a JOIN embeddings v ON a.vec_id = v.vec_id
+        GROUP BY a.cluster
+      )
+    ),
+    ranked2 AS (
+      SELECT v.vec_id, c.centroid_id,
+             ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                ORDER BY {d2}, c.centroid_id) AS rnk
+      FROM embeddings v CROSS JOIN cent2 c
+    ),
+    assign2 AS (
+      SELECT vec_id, centroid_id AS cluster FROM ranked2 WHERE rnk = 1
+    ),
+    probes2 AS (
+      SELECT vec_id AS query_id, centroid_id AS probe
+      FROM ranked2 WHERE rnk <= {n_probe} AND vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {cosine_sql('q.embedding', 'v.embedding')} AS cos
+      FROM probes2 p
+        JOIN assign2 a ON a.cluster = p.probe AND a.vec_id != p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings v ON v.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """

@@ -123,3 +123,41 @@ def test_new_stream_with_trimmed_log_admitted_at_earliest(tmp_path):
     by_stream = {(p.stream, p.partition): p for p in parts}
     newp = by_stream[("t_new", 0)]
     assert newp.from_offset == 5 and newp.until_offset == 10
+
+
+def test_revoked_stream_dropped_from_plan(tmp_path):
+    """r9 verdict #4 (planner leg): a matched stream DELETED mid-job —
+    the streaming twin of the reference's re-subscription drop path
+    (DirectDISInputDStream.scala:185-220 revokes assignments that stop
+    matching) — must disappear from the next latestOffset() frontier,
+    and partitions() handed a START that still carries the revoked key
+    must neither fail nor plan ghost partitions for it, while the
+    surviving stream keeps advancing."""
+    import shutil
+
+    _mk_log(tmp_path, "r_keep", 1, 10)
+    _mk_log(tmp_path, "r_gone", 1, 4)
+    r = DisPatternStreamReader(str(tmp_path), "r_.*", {})
+    r.initialOffset()
+    ends1 = r.latestOffset()
+    assert ends1 == {"r_keep/0": 10, "r_gone/0": 4}
+    parts1 = r.partitions({"r_keep/0": 0, "r_gone/0": 0}, ends1)
+    assert {(p.stream, p.from_offset, p.until_offset) for p in parts1} == \
+        {("r_keep", 0, 10), ("r_gone", 0, 4)}
+    r.commit(ends1)
+
+    # retire the fully-consumed stream, then keep feeding the survivor
+    shutil.rmtree(tmp_path / "r_gone")
+    log = DisLog(str(tmp_path), "r_keep")
+    log.append(pd.DataFrame({
+        "partition": [0] * 3,
+        "key": ["a", "b", "c"],
+        "value": ["x", "y", "z"],
+        "timestamp": pd.to_datetime(
+            [1_700_000_000_000_000 + i for i in range(3)], unit="us"),
+    }))
+    ends2 = r.latestOffset()
+    assert ends2 == {"r_keep/0": 13}          # revoked key gone
+    parts2 = r.partitions(dict(ends1), ends2)  # start still has r_gone
+    planned = {(p.stream, p.from_offset, p.until_offset) for p in parts2}
+    assert planned == {("r_keep", 10, 13)}    # no ghost partitions
