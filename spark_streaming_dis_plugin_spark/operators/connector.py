@@ -6572,6 +6572,88 @@ def dis_holt_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round("trend", 9) + 0.0).alias("trend")))
 
 
+@register(
+    "dis_cusum_tws_streamed",
+    oracle="""
+    WITH seq AS (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             list(CAST(CAST("value" AS DECIMAL(18,4)) AS DOUBLE)
+                  ORDER BY event_id) AS vals,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id
+    ), folded AS (
+      SELECT key, n,
+        -- ARRAY accumulator [cnt, sum, sp, sn, mp, mn] (the measured
+        -- DuckDB struct-mutation quirk); the RUNNING-mean online form:
+        -- d = x - (sum + x)/(cnt + 1), repeated subexpressions are the
+        -- same IEEE value
+        list_reduce(
+          list_prepend(
+            [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[],
+            list_transform(vals, x ->
+              [x, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[])),
+          (acc, x) -> [
+            acc[1] + 1.0,
+            acc[2] + x[1],
+            greatest(0.0, acc[3]
+                     + (x[1] - (acc[2] + x[1]) / (acc[1] + 1.0))),
+            least(0.0, acc[4]
+                  + (x[1] - (acc[2] + x[1]) / (acc[1] + 1.0))),
+            greatest(acc[5],
+                     greatest(0.0, acc[3]
+                              + (x[1] - (acc[2] + x[1])
+                                 / (acc[1] + 1.0)))),
+            least(acc[6],
+                  least(0.0, acc[4]
+                        + (x[1] - (acc[2] + x[1]) / (acc[1] + 1.0))))
+          ]::DOUBLE[]) AS st
+      FROM seq
+    )
+    SELECT key, CAST(n AS BIGINT) AS n_events,
+           round(st[5], 9) + 0.0 AS cusum_pos,
+           round(-st[6], 9) + 0.0 AS cusum_neg
+    FROM folded
+    """,
+    tags=("connector", "streaming", "stateful", "tws", "changepoint",
+          "multibatch", "e2e"))
+def dis_cusum_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CUSUM on transformWithStateInPandas — the live twin of
+    events_changepoint_cusum, closing the drift slot in the TWS family
+    (totals, timers, z-score, CDC, dedup, Holt): per-user (count, sum,
+    S+, S-, maxS+, minS-) registers advance in ValueState as records
+    arrive on the rate-limited decimal-exact zvalue log, scoring each
+    value against the RUNNING mean (the online Page-test form — a
+    stream cannot know the batch row's whole-series mean); each batch
+    emits the key's current excursions, and after >= 3 data batches
+    drain, each key's final row (max n_events) must hash-match the
+    sequential-fold oracle — which pins that all six registers carried
+    EXACTLY across micro-batch boundaries and that within-batch offset
+    order is the fold order.
+
+    Exactness per streaming/stateful.cusum_gate_tws: decimal-string
+    wire format, float(Decimal) = the exact DECIMAL->DOUBLE cast,
+    identical IEEE update ops (max/min exact; only + and / round),
+    round(9)+0.0 on the final comparison only."""
+    from ..streaming.stateful import cusum_gate_tws
+
+    log = _materialized_zvalue_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    with _rocksdb_state(spark):
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .option("maxOffsetsPerTrigger", str(per))
+               .load())
+        drained = _drain_multibatch(spark, cusum_gate_tws(sdf), "cusumgate",
+                                    output_mode="update")
+    w = Window.partitionBy("key").orderBy(F.desc("n_events"))
+    return (drained.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("key", "n_events",
+                    (F.round("mp", 9) + 0.0).alias("cusum_pos"),
+                    (F.round(-F.col("mn"), 9) + 0.0).alias("cusum_neg")))
+
+
 BFS_SOURCE = 1     # BFS root: part key 1 (present at every SF)
 BFS_MAX_HOPS = 3
 

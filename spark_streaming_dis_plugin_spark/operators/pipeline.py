@@ -1154,3 +1154,83 @@ def quality_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit("orderkey_fk_containment").alias("metric"),
                  (F.lit(1.0) - F.col("orphan_rows").cast("double") / n)
                   .alias("value")))).alias("kv")).select("kv.*")
+
+
+def _leakage_safe_oracle() -> str:
+    from .dedup import _jaccard_pairs_ctes
+
+    comp_hash = portable_hash_sql(
+        "'gsplit:' || CAST(component AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE {_jaccard_pairs_ctes()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(label) AS component FROM reach
+             GROUP BY doc_id),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT CASE WHEN h % 100 < 80 THEN 'train'
+                WHEN h % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT n_chars, component, {comp_hash} AS h
+          FROM labeled)
+    GROUP BY 1
+    """
+
+
+@register(
+    "split_leakage_safe",
+    oracle=_leakage_safe_oracle(),
+    tags=("pipeline", "split", "dedup", "leakage"))
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: near-duplicate documents must
+    land in the SAME split — hashing raw doc_ids (split_train_val_test)
+    puts one copy of a template family in train and another in test,
+    and the eval leaks. Assignment is therefore a function of the
+    near-dup GROUP: connected components over the Jaccard similarity
+    graph (the dedup_connected_components kernel), singletons keeping
+    their own id as the component, then the salted 80/10/10 hash gate
+    applied to the COMPONENT label. Per split: docs, distinct
+    components, chars. No component can span splits by construction —
+    the split is a pure function of the component — so the declared
+    relation is the audit you run to size the leak-safe splits.
+
+    Scale shape: the pair graph is the banded/posting self-join (never
+    all-pairs), min-label propagation converges in diameter iterations
+    with localCheckpoint lineage truncation, the docs join is one
+    shuffle on doc_id, and the gate itself is row-local. The salt
+    ('gsplit:') decorrelates from every other hash decision."""
+    from .dedup import _jaccard_pairs, _min_label_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(docs).select("doc_a", "doc_b")
+    comp = (_min_label_components(pairs)
+            .select("doc_id", F.col("label").alias("component")))
+    labeled = (docs.select("doc_id", "n_chars")
+               .join(comp, "doc_id", "left")
+               .select("n_chars",
+                       F.coalesce("component", "doc_id").alias("component")))
+    h = portable_hash(F.concat(F.lit("gsplit:"),
+                               F.col("component").cast("string"))) % 100
+    split = (F.when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+    return (labeled.select(split.alias("split"), "n_chars", "component")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("component").cast("bigint")
+                 .alias("n_components"),
+                 F.sum("n_chars").alias("total_chars")))

@@ -2121,3 +2121,123 @@ def ann_retrain_oracle(n_probe: int) -> str:
     )
     WHERE rnk <= 3
     """
+
+
+# ------------------------------- dominant component via power iteration
+
+EIG_V0 = 0.125        # start vector: 1/sqrt(DIM) = 1/8, exact in binary
+EIG_ITERS = 2         # fixed iteration count (deterministic, like Lloyd)
+
+
+def _power_iteration_oracle() -> str:
+    """DuckDB twin: {EIG_ITERS} chained CTE blocks, each one pass of
+    v <- normalize(A^T (A v)) with the decimal-snap discipline (see the
+    Spark docstring for the exactness argument)."""
+    score = (f"CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+             f"list_transform(range(1, {DIM} + 1), "
+             f"i -> CAST(v.embedding[i] AS DOUBLE) * u.varr[i])), "
+             f"(acc, x) -> acc + x) AS DECIMAL(20,8))")
+    sums = ", ".join(
+        f"CAST(CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) "
+        f"AS DECIMAL(12,6)) * dd) AS VARCHAR) AS DOUBLE) AS d{i}"
+        for i in range(DIM))
+    arr = "[" + ", ".join(f"d{i}" for i in range(DIM)) + "]"
+    norm = ("sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(arr, x -> x * x)), (acc, x) -> acc + x))")
+    return f"""
+    WITH v0 AS (
+      SELECT list_transform(range(1, {DIM} + 1),
+                            i -> CAST({EIG_V0} AS DOUBLE)) AS varr
+    ),
+    s1 AS (
+      SELECT v.embedding, {score} AS dd
+      FROM embeddings v CROSS JOIN v0 u
+    ),
+    a1 AS (SELECT {sums} FROM s1),
+    n1 AS (SELECT arr, {norm} AS nrm FROM (SELECT {arr} AS arr FROM a1)),
+    u1 AS (SELECT list_transform(arr, x -> x / nrm) AS varr FROM n1),
+    s2 AS (
+      SELECT v.embedding, {score} AS dd
+      FROM embeddings v CROSS JOIN u1 u
+    ),
+    a2 AS (SELECT {sums} FROM s2),
+    n2 AS (SELECT arr, {norm} AS nrm FROM (SELECT {arr} AS arr FROM a2))
+    SELECT CAST(i AS BIGINT) AS dim,
+           round(arr[i] / nrm, 9) + 0.0 AS loading,
+           round(nrm, 6) + 0.0 AS eigval
+    FROM n2 CROSS JOIN (SELECT unnest(range(1, {DIM} + 1)) AS i)
+    """
+
+
+def _power_iteration_once(emb: DataFrame, vdf: DataFrame) -> DataFrame:
+    """One power-iteration pass: (1-row varr relation) ->
+    normalize(A^T (A varr)) as a new 1-row (varr, nrm) relation. The
+    vector rides a BROADCAST RELATION, not inlined literals (the
+    k-center r8 lesson), so plan size is constant in DIM."""
+    d = F.aggregate(
+        F.zip_with(F.col("e"), F.col("varr"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (emb.crossJoin(F.broadcast(vdf))
+              .select("e", d.cast("decimal(20,8)").alias("dd")))
+    sums = [
+        F.sum(F.element_at("e", i + 1).cast("decimal(12,6)")
+              * F.col("dd")).cast("double").alias(f"d{i}")
+        for i in range(DIM)]
+    agg = scored.agg(*sums)
+    arr = F.array(*[F.col(f"d{i}") for i in range(DIM)])
+    nrm = F.sqrt(F.aggregate(F.transform(arr, lambda x: x * x),
+                             F.lit(0.0), lambda acc, x: acc + x))
+    return agg.select(
+        F.transform(arr, lambda x: x / nrm).alias("varr"),
+        nrm.alias("nrm"))
+
+
+@register(
+    "embedding_power_iteration",
+    oracle=_power_iteration_oracle(),
+    tags=("similarity", "embedding", "linear-algebra", "iterative"))
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMINANT PRINCIPAL DIRECTION of the (uncentered) embedding matrix
+    by POWER ITERATION — v <- normalize(A^T (A v)) from the exact
+    1/sqrt({DIM}) start, {EIG_ITERS} fixed iterations (the Lloyd
+    discipline: deterministic step count, no data-dependent stopping) —
+    the first step of embedding whitening / spectral diagnostics a
+    training-data pipeline runs before trusting cosine geometry.
+    Returns the 64 loadings plus the dominant-eigenvalue estimate
+    (||A^T A v|| of the final unit v). For centered PCA subtract the
+    per-dim decimal-exact means first (the Lloyd centroid machinery).
+
+    Exactness across engines: each iteration computes the per-row
+    score d = sum_i e_i*v_i as an index-ordered double fold
+    (bit-deterministic), SNAPS it to DECIMAL(20,8) (double->decimal
+    casts cannot tie: a binary double exactly halfway between two
+    k-digit decimals would need a 5^k factor in its denominator —
+    impossible — so both engines round to the same nearest decimal;
+    parity additionally verified on 4k random doubles), and
+    accumulates A^T-side sums as EXACT decimal products
+    (DECIMAL(12,6)-snapped e_i times dd, summed order-independently),
+    routed to double via the VARCHAR cast. Normalization is a 1-row
+    index-ordered fold. So the only row-order-dependent operation in
+    the whole pipeline is inside exact decimal arithmetic.
+
+    Scale shape: per iteration ONE corpus pass — the {DIM}-vector is a
+    broadcast 1-row relation, the A^T sums are one partial+final
+    aggregate of {DIM} decimal columns; no driver collect, no shuffle
+    beyond the aggregate. At 100 TB this is the textbook distributed
+    matvec; more components = deflate and repeat.
+
+    Reference scope: similarity-search north star (SURVEY.md S2c) —
+    the spectral member of the embedding family (quantize, random
+    projection, matryoshka, k-center, now PCA)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    v = spark.range(1).select(
+        F.array_repeat(F.lit(EIG_V0), DIM).alias("varr"))
+    for _ in range(EIG_ITERS - 1):
+        v = _power_iteration_once(emb, v).select("varr")
+    final = _power_iteration_once(emb, v)
+    return (final.select("nrm", F.posexplode("varr")
+                         .alias("pos", "loading"))
+            .select((F.col("pos") + 1).cast("bigint").alias("dim"),
+                    (F.round("loading", 9) + 0.0).alias("loading"),
+                    (F.round("nrm", 6) + 0.0).alias("eigval")))

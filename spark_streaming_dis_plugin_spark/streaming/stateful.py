@@ -678,3 +678,76 @@ def holt_gate_tws(env: DataFrame) -> DataFrame:
                 outputStructType=HOLT_OUT_SCHEMA,
                 outputMode="Update",
                 timeMode="None"))
+
+
+# --------------------- streaming CUSUM change-point gate on TWS
+
+CUSUM_OUT_SCHEMA = "key string, n_events bigint, mp double, mn double"
+
+
+def cusum_gate_tws(env: DataFrame) -> DataFrame:
+    """Streaming CUSUM (Page test) — the transformWithState twin of
+    events_changepoint_cusum, completing the per-key TWS analytics
+    family (totals, timers, z-score, CDC, dedup, Holt, now drift):
+    per key, ValueState carries (count, sum, S+, S-, max S+, min S-);
+    every arriving record advances them in offset order against the
+    RUNNING mean (the online form — the batch row's fixed whole-series
+    mean does not exist mid-stream), and the current excursions emit
+    each batch (update-style; callers keep each key's max-count row).
+
+    Exactness: values arrive as the zvalue log's exact DECIMAL(18,4)
+    strings; float(Decimal(s)) is the engines' exact DECIMAL->DOUBLE
+    cast at this domain; every update is plain double IEEE ops in
+    offset order, so the oracle's sequential list_reduce with the
+    identical expression shapes matches bit-for-bit at every prefix
+    (max/least are exact — only + and / round; -0.0 cannot escape:
+    outputs are round(9)+0.0-normalized).
+
+    100 TB posture: O(1) state per ACTIVE key (six scalars), no
+    history; per-record work is O(1). TTL the state for keys that go
+    quiet."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _CusumProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._st = handle.getValueState(
+                "cusum", "cnt double, s double, sp double, sn double, "
+                         "mp double, mn double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            from decimal import Decimal
+
+            if self._st.exists():
+                cnt, s, sp, sn, mp, mn = self._st.get()
+            else:
+                cnt, s, sp, sn, mp, mn = 0.0, 0.0, 0.0, 0.0, 0.0, 0.0
+            batch = pd.concat(list(rows), ignore_index=True) \
+                if rows else pd.DataFrame()
+            if not len(batch):
+                return iter(())
+            for _, row in batch.sort_values("offset").iterrows():
+                v = float(Decimal(str(row["value"])))
+                cnt = cnt + 1.0
+                s = s + v
+                d = v - s / cnt
+                sp = max(0.0, sp + d)
+                sn = min(0.0, sn + d)
+                mp = max(mp, sp)
+                mn = min(mn, sn)
+            self._st.update((cnt, s, sp, sn, mp, mn))
+            # mp >= 0, mn <= 0 raw registers; the declared row
+            # formats cusum_pos/cusum_neg with round(9)+0.0
+            return iter([pd.DataFrame(
+                [(key[0], int(cnt), mp, mn)],
+                columns=["key", "n_events", "mp", "mn"])])
+
+        def close(self) -> None:
+            pass
+
+    return (env.select("key", "offset", "value")
+            .groupBy("key")
+            .transformWithStateInPandas(
+                statefulProcessor=_CusumProcessor(),
+                outputStructType=CUSUM_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))
