@@ -2223,11 +2223,12 @@ def dis_subscribe_pattern_multi(spark: SparkSession,
 def events_ewma_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BOUNDED-STATE EWMA: the per-user fold windowed by calendar day, so
     per-key state is one day's history instead of the user's entire
-    lifetime — the scale-safe form of :func:`events_ewma` (whose docstring
-    names exactly this windowing as the unbounded-history fix). At 100 TB
-    a hot key's daily slice is bounded by its daily event rate; the global
-    fold stays registered alongside as the oracle anchor for the exact
-    whole-history recursion.
+    lifetime. Since r10, :func:`events_ewma` itself is chunk-bounded
+    (the segmented associative fold), so this row's distinct value is
+    the SEMANTIC windowing — a per-day smoother reset, the form a
+    dashboard actually plots — rather than being the only bounded
+    variant. The per-(user, day) array bound here is the daily event
+    rate.
 
     Same exact cross-engine arithmetic: both engines fold the identical
     (ts, event_id)-sorted sequence with identical IEEE ops — no epsilon."""
@@ -5967,6 +5968,126 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(mp, 9) + 0.0).alias("cusum_pos"),
                     (F.round(-mn, 9) + 0.0).alias("cusum_neg"),
                     ((mp > h) | (-mn > h)).alias("alarm")))
+
+
+# Cramer's-rule formulas for the 3-parameter normal equations, written
+# ONCE as SQL text and parsed by BOTH engines (Spark via F.expr) — same
+# precedence and associativity, so the IEEE op tree is identical by
+# construction. Moments: nd=count, sx1/sx2/sy first-order, sx11/sx12/
+# sx22 second-order regressor moments, sx1y/sx2y cross moments.
+_OLS3_DET = ("nd * (sx11 * sx22 - sx12 * sx12) "
+             "- sx1 * (sx1 * sx22 - sx12 * sx2) "
+             "+ sx2 * (sx1 * sx12 - sx11 * sx2)")
+_OLS3_D0 = ("sy * (sx11 * sx22 - sx12 * sx12) "
+            "- sx1 * (sx1y * sx22 - sx12 * sx2y) "
+            "+ sx2 * (sx1y * sx12 - sx11 * sx2y)")
+_OLS3_D1 = ("nd * (sx1y * sx22 - sx12 * sx2y) "
+            "- sy * (sx1 * sx22 - sx12 * sx2) "
+            "+ sx2 * (sx1 * sx2y - sx1y * sx2)")
+_OLS3_D2 = ("nd * (sx11 * sx2y - sx1y * sx12) "
+            "- sx1 * (sx1 * sx2y - sx1y * sx2) "
+            "+ sy * (sx1 * sx12 - sx11 * sx2)")
+
+
+@register(
+    "events_ols_multivar",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS DECIMAL(9,0)) AS x1,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                  AS DECIMAL(9,0)) AS x2,
+             CAST("value" AS DECIMAL(18,4)) AS y
+      FROM events
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(CAST(SUM(CAST(x1 AS DECIMAL(27,0))) AS VARCHAR)
+                  AS DOUBLE) AS sx1,
+             CAST(CAST(SUM(CAST(x2 AS DECIMAL(27,0))) AS VARCHAR)
+                  AS DOUBLE) AS sx2,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(27,4))) AS VARCHAR)
+                  AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x1 * x1 AS DECIMAL(27,0))) AS VARCHAR)
+                  AS DOUBLE) AS sx11,
+             CAST(CAST(SUM(CAST(x1 * x2 AS DECIMAL(27,0))) AS VARCHAR)
+                  AS DOUBLE) AS sx12,
+             CAST(CAST(SUM(CAST(x2 * x2 AS DECIMAL(27,0))) AS VARCHAR)
+                  AS DOUBLE) AS sx22,
+             CAST(CAST(SUM(CAST(x1 * y AS DECIMAL(27,4))) AS VARCHAR)
+                  AS DOUBLE) AS sx1y,
+             CAST(CAST(SUM(CAST(x2 * y AS DECIMAL(27,4))) AS VARCHAR)
+                  AS DOUBLE) AS sx2y
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(({_OLS3_D0}) / ({_OLS3_DET}), 9) + 0.0 AS intercept,
+           round(({_OLS3_D1}) / ({_OLS3_DET}), 9) + 0.0 AS beta_hour,
+           round(({_OLS3_D2}) / ({_OLS3_DET}), 9) + 0.0 AS beta_dow
+    FROM m
+    WHERE abs({_OLS3_DET}) > 1e-9
+    """,
+    tags=("connector", "analytics", "regression", "statistics"))
+def events_ols_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE LINEAR REGRESSION per event_type: value ~ intercept +
+    beta_hour * hour_of_day + beta_dow * day_of_week, solved in closed
+    form from the 3x3 normal equations by Cramer's rule — the
+    two-regressor upgrade of events_ols_trend (seasonality diagnostics:
+    does the metric move with time-of-day or day-of-week?).
+
+    Determinism/exactness: hour comes from the NTZ timestamp (timezone
+    independent); day-of-week is epoch-day mod 7 arithmetic (NOT the
+    engines' dayofweek functions — Spark counts Sunday=1, DuckDB
+    Sunday=0); all nine moments are exact decimal sums routed to double
+    via the VARCHAR cast (the events_ols_trend discipline); and every
+    determinant is the SAME SQL TEXT parsed by both engines (Spark via
+    F.expr), so the IEEE op tree is identical by construction rather
+    than by careful transcription. round(9) output pairing; groups with
+    a (near-)singular normal matrix are excluded by the identical
+    |det| > 1e-9 predicate computed from identical doubles.
+
+    Scale shape: one hash aggregate on event_type (partial+final, nine
+    decimal sums), then per-group O(1) arithmetic. No window, no join,
+    no per-key array at any cardinality.
+
+    Reference scope: delegated relational analytics (SURVEY.md S2b),
+    the multivariate member next to events_ols_trend."""
+    events = load(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.hour("ts").cast("decimal(9,0)").alias("x1"),
+        (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")
+                    .cast("date")) % 7).cast("decimal(9,0)").alias("x2"),
+        F.col("value").cast("decimal(18,4)").alias("y"))
+    m = (base.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.count(F.lit(1)).cast("double").alias("nd"),
+              F.sum(F.col("x1").cast("decimal(27,0)")).cast("double")
+              .alias("sx1"),
+              F.sum(F.col("x2").cast("decimal(27,0)")).cast("double")
+              .alias("sx2"),
+              F.sum(F.col("y").cast("decimal(27,4)")).cast("double")
+              .alias("sy"),
+              F.sum((F.col("x1") * F.col("x1")).cast("decimal(27,0)"))
+              .cast("double").alias("sx11"),
+              F.sum((F.col("x1") * F.col("x2")).cast("decimal(27,0)"))
+              .cast("double").alias("sx12"),
+              F.sum((F.col("x2") * F.col("x2")).cast("decimal(27,0)"))
+              .cast("double").alias("sx22"),
+              F.sum((F.col("x1") * F.col("y")).cast("decimal(27,4)"))
+              .cast("double").alias("sx1y"),
+              F.sum((F.col("x2") * F.col("y")).cast("decimal(27,4)"))
+              .cast("double").alias("sx2y")))
+    det = F.expr(_OLS3_DET)
+    return (m.where(F.abs(det) > 1e-9)
+            .select("event_type", "n",
+                    (F.round(F.expr(_OLS3_D0) / det, 9) + 0.0)
+                    .alias("intercept"),
+                    (F.round(F.expr(_OLS3_D1) / det, 9) + 0.0)
+                    .alias("beta_hour"),
+                    (F.round(F.expr(_OLS3_D2) / det, 9) + 0.0)
+                    .alias("beta_dow")))
 
 
 PATTERN_SEQ = ("view", "click", "purchase")   # consecutive event pattern
