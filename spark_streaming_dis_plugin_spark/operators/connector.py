@@ -5623,9 +5623,12 @@ HOLT_K22 = HOLT_BETA * (1 - HOLT_ALPHA) + (1 - HOLT_BETA)
 HOLT_GA = HOLT_BETA * HOLT_ALPHA
 
 
-@register(
-    "events_double_exponential",
-    oracle=f"""
+def _holt_matrix_oracle(k11: float, k12: float, k21: float, k22: float,
+                        a: float, ga: float, hcoef, fcol: str) -> str:
+    """DuckDB twin of :func:`_holt_matrix_fold` for any constant step
+    matrix K = [[k11,k12],[k21,k22]] and input vector [a*x, ga*x] —
+    shared by plain Holt (k12 = k11) and the damped-trend variant."""
+    return f"""
     WITH ranked AS (
       SELECT user_id, "value",
              ROW_NUMBER() OVER (PARTITION BY user_id
@@ -5655,14 +5658,14 @@ HOLT_GA = HOLT_BETA * HOLT_ALPHA
                        list_transform(xs, x ->
                          [x, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[])),
           (acc, x) -> [
-            {HOLT_K11} * acc[1] + {HOLT_K11} * acc[3],
-            {HOLT_K11} * acc[2] + {HOLT_K11} * acc[4],
-            {HOLT_K21} * acc[1] + {HOLT_K22} * acc[3],
-            {HOLT_K21} * acc[2] + {HOLT_K22} * acc[4],
-            ({HOLT_K11} * acc[5] + {HOLT_K11} * acc[6])
-              + {HOLT_ALPHA} * x[1],
-            ({HOLT_K21} * acc[5] + {HOLT_K22} * acc[6])
-              + {HOLT_GA} * x[1]
+            {k11} * acc[1] + {k12} * acc[3],
+            {k11} * acc[2] + {k12} * acc[4],
+            {k21} * acc[1] + {k22} * acc[3],
+            {k21} * acc[2] + {k22} * acc[4],
+            ({k11} * acc[5] + {k12} * acc[6])
+              + {a} * x[1],
+            ({k21} * acc[5] + {k22} * acc[6])
+              + {ga} * x[1]
           ]::DOUBLE[]) AS st
       FROM chunked
     ), merged AS (
@@ -5690,42 +5693,19 @@ HOLT_GA = HOLT_BETA * HOLT_ALPHA
     SELECT user_id, CAST(n AS BIGINT) AS n_events,
            round(lvl, 9) + 0.0 AS level,
            round(trd, 9) + 0.0 AS trend,
-           round(lvl + {HOLT_HORIZON} * trd, 9) + 0.0
-             AS forecast_h{HOLT_HORIZON}
+           round(lvl + {hcoef} * trd, 9) + 0.0
+             AS {fcol}
     FROM fin
-    """,
-    tags=("connector", "timeseries", "forecast", "recursive"),
-    bench=True)
-def events_double_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HOLT DOUBLE-EXPONENTIAL SMOOTHING per user — the trend-aware
-    upgrade of events_ewma: level l_t = a*x_t + (1-a)*(l + b), trend
-    b_t = g*(l_t - l) + (1-g)*b, initialized l=x_1, b=x_2-x_1, plus the
-    {HOLT_HORIZON}-step linear forecast l + h*b — the minimal
-    forecasting baseline every capacity/demand model is benchmarked
-    against before anything learned replaces it.
+    """
 
-    Like EWMA this is a LINEAR recurrence, so it gets the SEGMENTED
-    ASSOCIATIVE FOLD (r9 verdict #1): one step is s' = K·s + u(x) on the
-    state vector s = [l, b] with constant K (see HOLT_K*), so a segment
-    composes as (M, v) with M = K^len, segments merge left-to-right as
-    (M2, v2)∘(M1, v1) = (M2·M1, M2·v1 + v2), and the final state is
-    M·[l0, b0] + v. Per-key state is chunk-bounded: within-key rank via
-    _two_pass_rank, {FOLD_CHUNK}-element chunks fold to 6-double
-    (M, v) states, n/{FOLD_CHUNK} states merge in chunk order.
 
-    Exactness: the chunked computation IS the row's semantics — the
-    oracle replicates the identical chunking, matrix-update ops, and
-    merge order (array accumulator per the DuckDB struct-mutation
-    quirk), so the fold is bit-identical cross-engine; round(9) is the
-    F.round/DuckDB pairing on the OUTPUT only, not an absorber.
-
-    Scale shape: one range exchange for the rank, one hash exchange per
-    fold level; no group-sized arrays (tests/test_chunked_fold.py). The
-    streaming twin (dis_holt_tws_streamed) keeps the O(1) sequential
-    per-record recursion — its own oracle folds sequentially to match.
-
-    Reference scope: delegated per-key sequence analytics
-    (SURVEY.md S2b), the forecasting member next to EWMA/OLS/CUSUM."""
+def _holt_matrix_fold(spark: SparkSession, sf_dir: str,
+                      k11: float, k12: float, k21: float, k22: float,
+                      a: float, ga: float, hcoef, fcol: str) -> DataFrame:
+    """Chunked segmented fold for any 2-register linear recurrence
+    s' = K·s + [a*x, ga*x] seeded (l0, b0) = (x1, x2-x1) — the shared
+    engine of events_double_exponential and events_holt_damped. See the
+    plain-Holt docstring for the full exactness/scale argument."""
     events = load(spark, sf_dir, "events")
     ranked = _two_pass_rank(
         spark, events.select("user_id", "ts", "event_id", "value"),
@@ -5746,8 +5726,9 @@ def events_double_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("rn", "value"))),
         lambda s: s["value"])
     chunks = rest.groupBy("user_id", "chunk").agg(xs.alias("xs"))
-    k11, k21, k22 = F.lit(HOLT_K11), F.lit(HOLT_K21), F.lit(HOLT_K22)
-    a, ga = F.lit(HOLT_ALPHA), F.lit(HOLT_GA)
+    c11, c12 = F.lit(k11), F.lit(k12)
+    c21, c22 = F.lit(k21), F.lit(k22)
+    ca, cga = F.lit(a), F.lit(ga)
     init = F.struct(
         F.lit(1.0).alias("m11"), F.lit(0.0).alias("m12"),
         F.lit(0.0).alias("m21"), F.lit(1.0).alias("m22"),
@@ -5755,12 +5736,12 @@ def events_double_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def step(acc, x):
         return F.struct(
-            (k11 * acc.m11 + k11 * acc.m21).alias("m11"),
-            (k11 * acc.m12 + k11 * acc.m22).alias("m12"),
-            (k21 * acc.m11 + k22 * acc.m21).alias("m21"),
-            (k21 * acc.m12 + k22 * acc.m22).alias("m22"),
-            ((k11 * acc.v1 + k11 * acc.v2) + a * x).alias("v1"),
-            ((k21 * acc.v1 + k22 * acc.v2) + ga * x).alias("v2"))
+            (c11 * acc.m11 + c12 * acc.m21).alias("m11"),
+            (c11 * acc.m12 + c12 * acc.m22).alias("m12"),
+            (c21 * acc.m11 + c22 * acc.m21).alias("m21"),
+            (c21 * acc.m12 + c22 * acc.m22).alias("m22"),
+            ((c11 * acc.v1 + c12 * acc.v2) + ca * x).alias("v1"),
+            ((c21 * acc.v1 + c22 * acc.v2) + cga * x).alias("v2"))
 
     folded = chunks.select(
         "user_id", "chunk", F.aggregate(F.col("xs"), init, step).alias("st"))
@@ -5794,8 +5775,100 @@ def events_double_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("n").cast("bigint").alias("n_events"),
         (F.round(lvl, 9) + 0.0).alias("level"),
         (F.round(trd, 9) + 0.0).alias("trend"),
-        (F.round(lvl + F.lit(HOLT_HORIZON) * trd, 9) + 0.0)
-        .alias(f"forecast_h{HOLT_HORIZON}"))
+        (F.round(lvl + F.lit(hcoef) * trd, 9) + 0.0).alias(fcol))
+
+
+@register(
+    "events_double_exponential",
+    oracle=_holt_matrix_oracle(HOLT_K11, HOLT_K11, HOLT_K21, HOLT_K22,
+                               HOLT_ALPHA, HOLT_GA, HOLT_HORIZON,
+                               f"forecast_h{HOLT_HORIZON}"),
+    tags=("connector", "timeseries", "forecast", "recursive"),
+    bench=True)
+def events_double_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT DOUBLE-EXPONENTIAL SMOOTHING per user — the trend-aware
+    upgrade of events_ewma: level l_t = a*x_t + (1-a)*(l + b), trend
+    b_t = g*(l_t - l) + (1-g)*b, initialized l=x_1, b=x_2-x_1, plus the
+    {HOLT_HORIZON}-step linear forecast l + h*b — the minimal
+    forecasting baseline every capacity/demand model is benchmarked
+    against before anything learned replaces it.
+
+    Like EWMA this is a LINEAR recurrence, so it gets the SEGMENTED
+    ASSOCIATIVE FOLD (r9 verdict #1): one step is s' = K·s + u(x) on the
+    state vector s = [l, b] with constant K (see HOLT_K*), so a segment
+    composes as (M, v) with M = K^len, segments merge left-to-right as
+    (M2, v2)∘(M1, v1) = (M2·M1, M2·v1 + v2), and the final state is
+    M·[l0, b0] + v. Per-key state is chunk-bounded: within-key rank via
+    _two_pass_rank, {FOLD_CHUNK}-element chunks fold to 6-double
+    (M, v) states, n/{FOLD_CHUNK} states merge in chunk order.
+
+    Exactness: the chunked computation IS the row's semantics — the
+    oracle replicates the identical chunking, matrix-update ops, and
+    merge order (array accumulator per the DuckDB struct-mutation
+    quirk), so the fold is bit-identical cross-engine; round(9) is the
+    F.round/DuckDB pairing on the OUTPUT only, not an absorber.
+
+    Scale shape: one range exchange for the rank, one hash exchange per
+    fold level; no group-sized arrays (tests/test_chunked_fold.py). The
+    streaming twin (dis_holt_tws_streamed) keeps the O(1) sequential
+    per-record recursion — its own oracle folds sequentially to match.
+
+    Reference scope: delegated per-key sequence analytics
+    (SURVEY.md S2b), the forecasting member next to EWMA/OLS/CUSUM."""
+    return _holt_matrix_fold(spark, sf_dir,
+                             HOLT_K11, HOLT_K11, HOLT_K21, HOLT_K22,
+                             HOLT_ALPHA, HOLT_GA, HOLT_HORIZON,
+                             f"forecast_h{HOLT_HORIZON}")
+
+
+# Damped-trend Holt (Gardner-McKenzie): the trend is multiplied by phi
+# each step, so long-horizon forecasts flatten instead of extrapolating
+# a straight line forever — the variant that wins most M-competition
+# series. Still affine in s = [l, b]:
+#   l' = a*x + (1-a)*(l + phi*b)      -> K11 = 1-a,   K12 = (1-a)*phi
+#   b' = g*(l'-l) + (1-g)*phi*b       -> K21 = -g*a,  K22 = phi*(g*(1-a)+1-g)
+# and the h-step forecast is l + (phi + phi^2 + ... + phi^h) * b.
+HOLTD_PHI = 0.9
+HOLTD_K11 = 1 - HOLT_ALPHA
+HOLTD_K12 = (1 - HOLT_ALPHA) * HOLTD_PHI
+HOLTD_K21 = -(HOLT_BETA * HOLT_ALPHA)
+HOLTD_K22 = HOLTD_PHI * (HOLT_BETA * (1 - HOLT_ALPHA) + (1 - HOLT_BETA))
+# left-to-right float sum, computed once and interpolated into BOTH
+# engines (repr round-trips binary64)
+_HS = 0.0
+for _j in range(1, HOLT_HORIZON + 1):
+    _HS = _HS + HOLTD_PHI ** _j
+HOLTD_HSUM = _HS
+del _HS, _j
+
+
+@register(
+    "events_holt_damped",
+    oracle=_holt_matrix_oracle(HOLTD_K11, HOLTD_K12, HOLTD_K21, HOLTD_K22,
+                               HOLT_ALPHA, HOLT_GA, HOLTD_HSUM,
+                               f"forecast_h{HOLT_HORIZON}"),
+    tags=("connector", "timeseries", "forecast", "recursive"))
+def events_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAMPED-TREND HOLT smoothing per user (phi = {HOLTD_PHI}): the
+    Gardner-McKenzie variant — trend decays by phi each step, so the
+    {HOLT_HORIZON}-step forecast is l + (phi + ... + phi^h)*b and
+    long horizons flatten instead of running away, the default choice
+    for demand series without a persistent drift.
+
+    Same machinery as events_double_exponential, which is the point:
+    damping only changes the constant step matrix K (K12 and K22 gain a
+    phi factor — see HOLTD_K*), so the SEGMENTED ASSOCIATIVE FOLD, the
+    chunk bounds, and the bit-exact oracle pairing all carry over from
+    the shared _holt_matrix_fold/_holt_matrix_oracle pair verbatim.
+    The forecast horizon coefficient (the phi geometric sum) is one
+    Python float interpolated into both engines.
+
+    Reference scope: delegated per-key sequence analytics
+    (SURVEY.md S2b), the damped member of the smoothing family."""
+    return _holt_matrix_fold(spark, sf_dir,
+                             HOLTD_K11, HOLTD_K12, HOLTD_K21, HOLTD_K22,
+                             HOLT_ALPHA, HOLT_GA, HOLTD_HSUM,
+                             f"forecast_h{HOLT_HORIZON}")
 
 
 CUSUM_H_FRAC = 0.5   # alarm threshold = this fraction of the user's range

@@ -322,3 +322,71 @@ def test_chunk_counts_are_bounded(spark, fold_fixture):
     by_uid = {r["user_id"]: r for r in sizes}
     assert by_uid[1]["mx"] <= FOLD_CHUNK
     assert by_uid[1]["n_chunks"] == math.ceil(N_HOT / FOLD_CHUNK)
+
+
+def test_holt_damped_chunked_bit_exact(spark, fold_fixture):
+    """The damped variant rides the shared matrix machinery: bit-exact
+    vs a chunked Python replica with the HOLTD_* constants, and within
+    ulps of the naive damped recursion."""
+    from spark_streaming_dis_plugin_spark.operators.connector import (
+        HOLTD_HSUM,
+        HOLTD_K11,
+        HOLTD_K12,
+        HOLTD_K21,
+        HOLTD_K22,
+        HOLTD_PHI,
+        events_holt_damped,
+    )
+
+    def chunked(vals, C=FOLD_CHUNK):
+        l0, b0 = float(vals[0]), float(vals[1] - vals[0])
+        rest = vals[2:]
+        ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+        def step(s, x):
+            m11, m12, m21, m22, v1, v2 = s
+            return (HOLTD_K11 * m11 + HOLTD_K12 * m21,
+                    HOLTD_K11 * m12 + HOLTD_K12 * m22,
+                    HOLTD_K21 * m11 + HOLTD_K22 * m21,
+                    HOLTD_K21 * m12 + HOLTD_K22 * m22,
+                    (HOLTD_K11 * v1 + HOLTD_K12 * v2) + HOLT_ALPHA * x,
+                    (HOLTD_K21 * v1 + HOLTD_K22 * v2) + HOLT_GA * x)
+
+        def merge(a, s):
+            return (s[0] * a[0] + s[1] * a[2],
+                    s[0] * a[1] + s[1] * a[3],
+                    s[2] * a[0] + s[3] * a[2],
+                    s[2] * a[1] + s[3] * a[3],
+                    (s[0] * a[4] + s[1] * a[5]) + s[4],
+                    (s[2] * a[4] + s[3] * a[5]) + s[5])
+
+        m = ident
+        for i in range(0, len(rest), C):
+            st = ident
+            for x in rest[i:i + C]:
+                st = step(st, x)
+            m = merge(m, st)
+        lvl = (m[0] * l0 + m[1] * b0) + m[4]
+        trd = (m[2] * l0 + m[3] * b0) + m[5]
+        return lvl, trd
+
+    def seq(vals):
+        l, b = float(vals[0]), float(vals[1] - vals[0])
+        for x in vals[2:]:
+            nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + HOLTD_PHI * b)
+            b = HOLT_BETA * (nl - l) + (1 - HOLT_BETA) * HOLTD_PHI * b
+            l = nl
+        return l, b
+
+    sf, seqs = fold_fixture
+    got = {r["user_id"]: r for r in events_holt_damped(spark, sf).collect()}
+    for uid in got:
+        vals = seqs[uid]
+        lvl, trd = chunked(vals)
+        assert got[uid]["level"] == _round9(lvl), uid
+        assert got[uid]["trend"] == _round9(trd), uid
+        assert got[uid][f"forecast_h{HOLT_HORIZON}"] == \
+            _round9(lvl + HOLTD_HSUM * trd), uid
+        sl, sb = seq(vals)
+        assert got[uid]["level"] == pytest.approx(sl, rel=1e-9, abs=1e-6)
+        assert got[uid]["trend"] == pytest.approx(sb, rel=1e-9, abs=1e-6)
