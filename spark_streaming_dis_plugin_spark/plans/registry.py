@@ -61,6 +61,6 @@ def _load_all() -> None:
         return
     from ..operators import (  # noqa: F401
         asof, connector, dedup, multimodal, pipeline, relational, similarity,
-        text, udf_family,
+        statistics, text, udf_family,
     )
     _LOADED = True
