@@ -5871,6 +5871,249 @@ def events_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
                              f"forecast_h{HOLT_HORIZON}")
 
 
+# Holt-Winters additive-seasonal (triple exponential) constants. Period
+# m=4 keeps the state vector at m+2=6 registers; the step matrix K is the
+# 6x6 affine map [l,b,s_t,s_{t-1},s_{t-2},s_{t-3}]' = K*sigma + c*x.
+# Products are Python floats interpolated into BOTH engines.
+HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD = 0.3, 0.1, 0.2, 4
+HW_K00 = 1 - HW_ALPHA
+HW_K05 = -HW_ALPHA
+HW_CA = HW_ALPHA
+HW_K10 = -(HW_BETA * HW_ALPHA)
+HW_K11 = HW_BETA * (1 - HW_ALPHA) + (1 - HW_BETA)
+HW_CB = HW_BETA * HW_ALPHA
+HW_K20 = -(HW_GAMMA * (1 - HW_ALPHA))
+HW_K25 = HW_GAMMA * HW_ALPHA + 1 - HW_GAMMA
+HW_CG = HW_GAMMA * (1 - HW_ALPHA)
+# Flattened 42-double segment state: M (6x6 row-major, entries 1..36)
+# then v (entries 37..42); identity map = fold seed.
+HW_IDENT = [1.0 if (i // 6) == (i % 6) else 0.0 for i in range(36)] \
+    + [0.0] * 6
+_HW_IDENT_SQL = "[" + ", ".join(repr(v) for v in HW_IDENT) + "]"
+
+_HW_STEP_SQL = f"""(acc, e) -> list_transform(range(1, 43), p -> CASE
+            WHEN p <= 6 THEN {HW_K00} * acc[p] + {HW_K00} * acc[p + 6]
+                             + {HW_K05} * acc[p + 30]
+            WHEN p <= 12 THEN {HW_K10} * acc[p - 6] + {HW_K11} * acc[p]
+                              + {HW_K10} * acc[p + 24]
+            WHEN p <= 18 THEN {HW_K20} * acc[p - 12] + {HW_K20} * acc[p - 6]
+                              + {HW_K25} * acc[p + 18]
+            WHEN p <= 36 THEN acc[p - 6]
+            WHEN p = 37 THEN {HW_K00} * acc[37] + {HW_K00} * acc[38]
+                             + {HW_K05} * acc[42] + {HW_CA} * e[1]
+            WHEN p = 38 THEN {HW_K10} * acc[37] + {HW_K11} * acc[38]
+                             + {HW_K10} * acc[42] + {HW_CB} * e[1]
+            WHEN p = 39 THEN {HW_K20} * acc[37] + {HW_K20} * acc[38]
+                             + {HW_K25} * acc[42] + {HW_CG} * e[1]
+            ELSE acc[p - 1] END)"""
+
+_HW_MERGE_SQL = """(acc, s) -> list_transform(range(1, 43), p -> CASE
+            WHEN p <= 36 THEN
+              list_reduce(list_prepend(0.0, list_transform(range(1, 7),
+                j -> s[((p - 1) // 6) * 6 + j]
+                     * acc[(j - 1) * 6 + ((p - 1) % 6 + 1)])),
+                (a, b) -> a + b)
+            ELSE
+              list_reduce(list_prepend(0.0, list_transform(range(1, 7),
+                j -> s[(p - 37) * 6 + j] * acc[36 + j])),
+                (a, b) -> a + b) + s[p] END)"""
+
+
+@register(
+    "events_holt_winters",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, "value" AS x,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), piv AS (
+      SELECT user_id, MAX(n) AS n,
+             MAX(CASE WHEN rn = 1 THEN x END) AS x1,
+             MAX(CASE WHEN rn = 2 THEN x END) AS x2,
+             MAX(CASE WHEN rn = 3 THEN x END) AS x3,
+             MAX(CASE WHEN rn = 4 THEN x END) AS x4,
+             MAX(CASE WHEN rn = 5 THEN x END) AS x5,
+             MAX(CASE WHEN rn = 6 THEN x END) AS x6,
+             MAX(CASE WHEN rn = 7 THEN x END) AS x7,
+             MAX(CASE WHEN rn = 8 THEN x END) AS x8
+      FROM ranked WHERE rn <= 8 GROUP BY user_id
+      HAVING MAX(n) >= 8
+    ), seeds AS (
+      SELECT user_id, n,
+             [(x1 + x2 + x3 + x4) / 4.0,
+              ((x5 + x6 + x7 + x8) / 4.0 - (x1 + x2 + x3 + x4) / 4.0) / 4.0,
+              x4 - (x1 + x2 + x3 + x4) / 4.0,
+              x3 - (x1 + x2 + x3 + x4) / 4.0,
+              x2 - (x1 + x2 + x3 + x4) / 4.0,
+              x1 - (x1 + x2 + x3 + x4) / 4.0]::DOUBLE[] AS s0
+      FROM piv
+    ), chunked AS (
+      SELECT user_id, (rn - 5) // {FOLD_CHUNK} AS chunk,
+             list(x ORDER BY rn) AS xs
+      FROM ranked WHERE rn >= 5
+      GROUP BY user_id, (rn - 5) // {FOLD_CHUNK}
+    ), folded AS (
+      SELECT user_id, chunk,
+        list_reduce(
+          list_prepend({_HW_IDENT_SQL}::DOUBLE[],
+            list_transform(xs, x ->
+              list_prepend(x, list_transform(range(41), z -> 0.0)))),
+          {_HW_STEP_SQL}) AS st
+      FROM chunked
+    ), merged AS (
+      SELECT user_id,
+        list_reduce(
+          list_prepend({_HW_IDENT_SQL}::DOUBLE[], list(st ORDER BY chunk)),
+          {_HW_MERGE_SQL}) AS m
+      FROM folded GROUP BY user_id
+    ), fin AS (
+      SELECT s.user_id, s.n,
+        list_reduce(list_prepend(0.0, list_transform(range(1, 7),
+          j -> g.m[j] * s.s0[j])), (a, b) -> a + b) + g.m[37] AS lvl,
+        list_reduce(list_prepend(0.0, list_transform(range(1, 7),
+          j -> g.m[6 + j] * s.s0[j])), (a, b) -> a + b) + g.m[38] AS trd,
+        list_reduce(list_prepend(0.0, list_transform(range(1, 7),
+          j -> g.m[30 + j] * s.s0[j])), (a, b) -> a + b) + g.m[42] AS snx
+      FROM seeds s JOIN merged g ON s.user_id = g.user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(lvl, 9) + 0.0 AS level,
+           round(trd, 9) + 0.0 AS trend,
+           round(snx, 9) + 0.0 AS season_next,
+           round(lvl + trd + snx, 9) + 0.0 AS forecast_h1
+    FROM fin
+    """,
+    tags=("connector", "timeseries", "forecast", "seasonality",
+          "recursive"),
+    bench=True)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS TRIPLE-EXPONENTIAL smoothing per user (additive
+    seasonality, period m={HW_PERIOD}): level + trend + m seasonal
+    indices advance jointly — the completion of the smoothing family
+    (EWMA -> Holt -> damped Holt -> seasonal), and the standard baseline
+    for any metric with a repeating cycle.
+
+    The point of this row is that the SEGMENTED ASSOCIATIVE FOLD
+    (r9 verdict #1, _holt_matrix_fold) GENERALIZES: Holt-Winters is
+    still a linear recurrence, just on the (m+2)-dim state
+    sigma = [l, b, s_t..s_{t-m+1}], so a segment composes as the
+    affine pair (M, v) with M in R^{{6x6}} — flattened to one 42-double
+    array state. The step matrix K is SPARSE (3 dense rows + m-1 shift
+    rows), so one element costs ~3 row-combinations, not a 6x6 matmul;
+    only the per-chunk MERGE pays the full matrix product, amortized
+    {FOLD_CHUNK}x. Chunking, merge order, and the bit-exact
+    oracle-pairing discipline are inherited verbatim: the oracle
+    replicates the identical flattened state, CASE-indexed step,
+    left-to-right merge, and seed application, so results are
+    bit-identical cross-engine with round(9) as output precision only.
+
+    Seeding is the classic two-season init: l0 = mean of season one,
+    b0 = (mean of season two - mean of season one)/m, s_i = x_i - l0;
+    the recursion starts at t = m+1 (keys need n >= 2m). Per-key state
+    is chunk-bounded ({FOLD_CHUNK} values -> one 42-double state); a
+    hot key with 10^8 events carries ~10^6 such states, merged in
+    chunk order — no full-history array ever materializes
+    (tests/test_chunked_fold.py discipline).
+
+    Reference scope: delegated per-key sequence analytics
+    (SURVEY.md S2b), the seasonal member of the forecasting family."""
+    events = load(spark, sf_dir, "events")
+    ranked = _two_pass_rank(
+        spark, events.select("user_id", "ts", "event_id", "value"),
+        ["user_id"], ["ts", "event_id"])
+    piv = (ranked.where(F.col("rn") <= 2 * HW_PERIOD)
+           .groupBy("user_id", "n")
+           .agg(*[F.max(F.when(F.col("rn") == i, F.col("value")))
+                  .alias(f"x{i}") for i in range(1, 2 * HW_PERIOD + 1)])
+           .where(F.col("n") >= 2 * HW_PERIOD))
+    s14 = (F.col("x1") + F.col("x2") + F.col("x3") + F.col("x4"))
+    s58 = (F.col("x5") + F.col("x6") + F.col("x7") + F.col("x8"))
+    l0 = s14 / 4.0
+    seeds = piv.select(
+        "user_id", "n",
+        F.array(l0, (s58 / 4.0 - s14 / 4.0) / 4.0,
+                F.col("x4") - l0, F.col("x3") - l0,
+                F.col("x2") - l0, F.col("x1") - l0).alias("s0"))
+    rest = (ranked.where(F.col("rn") >= HW_PERIOD + 1)
+            .withColumn("chunk",
+                        F.expr(f"(rn - {HW_PERIOD + 1}) div {FOLD_CHUNK}")))
+    xs = F.transform(
+        F.array_sort(F.collect_list(F.struct("rn", "value"))),
+        lambda s: s["value"])
+    chunks = rest.groupBy("user_id", "chunk").agg(xs.alias("xs"))
+    init = F.array(*[F.lit(v) for v in HW_IDENT])
+    k00, k05, ca = F.lit(HW_K00), F.lit(HW_K05), F.lit(HW_CA)
+    k10, k11, cb = F.lit(HW_K10), F.lit(HW_K11), F.lit(HW_CB)
+    k20, k25, cg = F.lit(HW_K20), F.lit(HW_K25), F.lit(HW_CG)
+
+    def el(a, i):
+        return F.element_at(a, i)
+
+    def hw_step(acc, x):
+        def f(p):
+            return (
+                F.when(p <= 6, k00 * el(acc, p) + k00 * el(acc, p + 6)
+                       + k05 * el(acc, p + 30))
+                .when(p <= 12, k10 * el(acc, p - 6) + k11 * el(acc, p)
+                      + k10 * el(acc, p + 24))
+                .when(p <= 18, k20 * el(acc, p - 12) + k20 * el(acc, p - 6)
+                      + k25 * el(acc, p + 18))
+                .when(p <= 36, el(acc, p - 6))
+                .when(p == 37, k00 * el(acc, F.lit(37))
+                      + k00 * el(acc, F.lit(38))
+                      + k05 * el(acc, F.lit(42)) + ca * x)
+                .when(p == 38, k10 * el(acc, F.lit(37))
+                      + k11 * el(acc, F.lit(38))
+                      + k10 * el(acc, F.lit(42)) + cb * x)
+                .when(p == 39, k20 * el(acc, F.lit(37))
+                      + k20 * el(acc, F.lit(38))
+                      + k25 * el(acc, F.lit(42)) + cg * x)
+                .otherwise(el(acc, p - 1)))
+        return F.transform(F.sequence(F.lit(1), F.lit(42)), f)
+
+    folded = chunks.select(
+        "user_id", "chunk",
+        F.aggregate(F.col("xs"), init, hw_step).alias("st"))
+
+    def hw_merge(acc, s):
+        def f(p):
+            c = ((p - 1) % 6) + 1
+            i0 = ((p - c) / 6).cast("int")
+            body_m = F.aggregate(
+                F.sequence(F.lit(1), F.lit(6)), F.lit(0.0),
+                lambda a2, j: a2 + el(s, i0 * 6 + j)
+                * el(acc, (j - 1) * 6 + c))
+            body_v = F.aggregate(
+                F.sequence(F.lit(1), F.lit(6)), F.lit(0.0),
+                lambda a2, j: a2 + el(s, (p - 37) * 6 + j)
+                * el(acc, F.lit(36) + j)) + el(s, p)
+            return F.when(p <= 36, body_m).otherwise(body_v)
+        return F.transform(F.sequence(F.lit(1), F.lit(42)), f)
+
+    sts = F.transform(
+        F.array_sort(F.collect_list(F.struct("chunk", "st"))),
+        lambda s: s["st"])
+    merged = (folded.groupBy("user_id")
+              .agg(F.aggregate(sts, init, hw_merge).alias("m")))
+
+    def apply_row(row0: int, voff: int):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(6)), F.lit(0.0),
+            lambda a2, j: a2 + el(F.col("m"), F.lit(row0) + j)
+            * el(F.col("s0"), j)) + el(F.col("m"), F.lit(voff))
+
+    j = seeds.join(merged, "user_id")
+    lvl, trd, snx = apply_row(0, 37), apply_row(6, 38), apply_row(30, 42)
+    return j.select(
+        "user_id", F.col("n").cast("bigint").alias("n_events"),
+        (F.round(lvl, 9) + 0.0).alias("level"),
+        (F.round(trd, 9) + 0.0).alias("trend"),
+        (F.round(snx, 9) + 0.0).alias("season_next"),
+        (F.round(lvl + trd + snx, 9) + 0.0).alias("forecast_h1"))
+
+
 CUSUM_H_FRAC = 0.5   # alarm threshold = this fraction of the user's range
 
 
@@ -6846,6 +7089,63 @@ def dis_cusum_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("key", "n_events",
                     (F.round("mp", 9) + 0.0).alias("cusum_pos"),
                     (F.round(-F.col("mn"), 9) + 0.0).alias("cusum_neg")))
+
+
+@register(
+    "dis_topk_tws_streamed",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             CAST(CAST("value" AS DECIMAL(18,4)) AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST("value" AS DECIMAL(18,4)) DESC,
+                                         event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT key, CAST(MAX(n) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn = 1 THEN v END) AS top1,
+           MAX(CASE WHEN rn = 2 THEN v END) AS top2,
+           MAX(CASE WHEN rn = 3 THEN v END) AS top3,
+           MAX(CASE WHEN rn = 4 THEN v END) AS top4,
+           MAX(CASE WHEN rn = 5 THEN v END) AS top5
+    FROM ranked WHERE rn <= 5 GROUP BY key
+    """,
+    tags=("connector", "streaming", "stateful", "tws", "topk",
+          "multibatch", "e2e"))
+def dis_topk_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PER-KEY TOP-K on transformWithStateInPandas — the
+    leaderboard member of the TWS family (totals, timers, z-score, CDC,
+    dedup, Holt, CUSUM): per user, ListState maintains the current top-5
+    (value, arrival-seq) board as records arrive on the rate-limited
+    decimal-exact zvalue log; each batch emits the key's current board,
+    and after >= 3 data batches drain, each key's final row (max
+    n_events) must hash-match the batch rank oracle — which pins that
+    the board survived micro-batch boundaries exactly (an evicted or
+    replayed entry shows up as a wrong topN column, and ties must keep
+    the EARLIEST event, so cross-batch arrival order is load-bearing).
+
+    Exactness per streaming/stateful.topk_gate_tws: no float arithmetic
+    at all — only comparisons, and decimal order equals double order at
+    this domain, so the streamed board is bit-identical to the oracle's
+    ORDER BY value DESC, event_id prefix."""
+    from ..streaming.stateful import topk_gate_tws
+
+    log = _materialized_zvalue_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    with _rocksdb_state(spark):
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .option("maxOffsetsPerTrigger", str(per))
+               .load())
+        drained = _drain_multibatch(spark, topk_gate_tws(sdf), "topkgate",
+                                    output_mode="update")
+    w = Window.partitionBy("key").orderBy(F.desc("n_events"))
+    return (drained.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("key", "n_events", "top1", "top2", "top3",
+                    "top4", "top5"))
 
 
 BFS_SOURCE = 1     # BFS root: part key 1 (present at every SF)

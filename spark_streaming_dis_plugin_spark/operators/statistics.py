@@ -537,3 +537,469 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_customers"),
         sd.alias("total_revenue"),
         ((2.0 * s1d - (nd + 1.0) * sd) / (nd * sd)).alias("gini"))
+
+
+PSI_BINS = 10
+
+
+@register(
+    "stats_psi_binned_drift",
+    oracle=f"""
+    WITH ids AS (
+      SELECT MIN(event_id) AS mn, MAX(event_id) AS mx FROM events
+    ), ev AS (
+      SELECT event_type, "value",
+             CASE WHEN event_id <= (mn + mx) // 2 THEN 1 ELSE 0 END AS early
+      FROM events, ids
+    ), rng AS (
+      SELECT event_type, MIN("value") AS vmin, MAX("value") AS vmax
+      FROM ev GROUP BY 1
+    ), binned AS (
+      SELECT e.event_type, e.early,
+             CASE WHEN r.vmax = r.vmin THEN 0
+                  ELSE LEAST({PSI_BINS - 1},
+                             CAST(FLOOR((e."value" - r.vmin)
+                                  / ((r.vmax - r.vmin) / {PSI_BINS}.0))
+                                  AS INT)) END AS bin
+      FROM ev e JOIN rng r ON e.event_type = r.event_type
+    ), counts AS (
+      SELECT event_type, bin, SUM(early) AS ce, SUM(1 - early) AS cl
+      FROM binned GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, CAST(g.range AS INT) AS bin
+      FROM (SELECT DISTINCT event_type FROM ev) t, range({PSI_BINS}) g
+    ), filled AS (
+      SELECT g.event_type, g.bin,
+             COALESCE(c.ce, 0) AS ce, COALESCE(c.cl, 0) AS cl
+      FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.bin = c.bin
+    ), tot AS (
+      SELECT event_type, SUM(ce) AS ne, SUM(cl) AS nl
+      FROM filled GROUP BY 1
+    ), contribs AS (
+      SELECT f.event_type, f.bin, t.ne, t.nl,
+             ((CAST(f.ce AS DOUBLE) + 1.0)
+                / (CAST(t.ne AS DOUBLE) + {PSI_BINS}.0)
+              - (CAST(f.cl AS DOUBLE) + 1.0)
+                / (CAST(t.nl AS DOUBLE) + {PSI_BINS}.0))
+             * ln(((CAST(f.ce AS DOUBLE) + 1.0)
+                     / (CAST(t.ne AS DOUBLE) + {PSI_BINS}.0))
+                  / ((CAST(f.cl AS DOUBLE) + 1.0)
+                     / (CAST(t.nl AS DOUBLE) + {PSI_BINS}.0))) AS contrib
+      FROM filled f JOIN tot t ON f.event_type = t.event_type
+    )
+    SELECT event_type,
+           CAST(MAX(ne) AS BIGINT) AS n_early,
+           CAST(MAX(nl) AS BIGINT) AS n_late,
+           round(list_reduce(list_prepend(0.0, list(contrib ORDER BY bin)),
+                             (a, b) -> a + b), 6) + 0.0 AS psi
+    FROM contribs GROUP BY event_type
+    """,
+    tags=("connector", "statistics", "drift"))
+def stats_psi_binned_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX per event_type between the id-ordered
+    first and second halves of the event log: Laplace-smoothed shares
+    over {PSI_BINS} equal-width value bins, psi = sum((p-q)*ln(p/q)) —
+    the binned drift score every model-monitoring pipeline tracks
+    (rule of thumb: psi > 0.2 = population shift worth a retrain).
+
+    Semantics: the split is by event_id midpoint (ids are ingest-ordered
+    in the fixture), timezone-free by construction; bin edges come from
+    the TYPE's OWN min/max over both halves; +1/+{PSI_BINS} Laplace
+    smoothing keeps empty bins finite. Bin assignment is pure double
+    arithmetic with one expression shape (identical IEEE results), the
+    psi sum is an ORDERED fold over the {PSI_BINS}-element bin list
+    (fixed summation order), and round(6) absorbs the last-ulp libm
+    ln() difference — the text-scoring discipline.
+
+    Scale shape: two scans (range + binned counts) with hash aggregates
+    keyed by (type, bin); the bin grid is |types| x {PSI_BINS} (tiny,
+    densified by a broadcast cross join so zero-count bins exist in
+    BOTH engines); the fold runs over {PSI_BINS}-element arrays on the
+    aggregated relation. The 1-row id-midpoint relation is a broadcast
+    cross join, not a collect."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    ids = ev.agg(F.min("event_id").alias("mn"), F.max("event_id").alias("mx"))
+    ev2 = (ev.crossJoin(F.broadcast(ids))
+           .withColumn("early",
+                       (F.col("event_id") <= F.expr("(mn + mx) div 2"))
+                       .cast("int")))
+    rng = ev2.groupBy("event_type").agg(F.min("value").alias("vmin"),
+                                        F.max("value").alias("vmax"))
+    binned = (ev2.join(F.broadcast(rng), "event_type")
+              .select("event_type", "early",
+                      F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+                      .otherwise(F.least(
+                          F.lit(PSI_BINS - 1),
+                          F.floor((F.col("value") - F.col("vmin"))
+                                  / ((F.col("vmax") - F.col("vmin"))
+                                     / float(PSI_BINS))).cast("int")))
+                      .alias("bin")))
+    counts = (binned.groupBy("event_type", "bin")
+              .agg(F.sum("early").alias("ce"),
+                   F.sum(F.lit(1) - F.col("early")).alias("cl")))
+    grid = (counts.select("event_type").distinct()
+            .crossJoin(spark.range(PSI_BINS)
+                       .select(F.col("id").cast("int").alias("bin"))))
+    filled = (grid.join(counts, ["event_type", "bin"], "left")
+              .fillna(0, ["ce", "cl"]))
+    tot = filled.groupBy("event_type").agg(F.sum("ce").alias("ne"),
+                                           F.sum("cl").alias("nl"))
+    j = filled.join(F.broadcast(tot), "event_type")
+    p = (F.col("ce").cast("double") + 1.0) \
+        / (F.col("ne").cast("double") + float(PSI_BINS))
+    q = (F.col("cl").cast("double") + 1.0) \
+        / (F.col("nl").cast("double") + float(PSI_BINS))
+    contribs = j.select("event_type", "bin", "ne", "nl",
+                        ((p - q) * F.log(p / q)).alias("contrib"))
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("bin", "contrib"))),
+        lambda s: s["contrib"])
+    return (contribs.groupBy("event_type")
+            .agg(F.max("ne").cast("bigint").alias("n_early"),
+                 F.max("nl").cast("bigint").alias("n_late"),
+                 (F.round(F.aggregate(arr, F.lit(0.0),
+                                      lambda a, x: a + x), 6)
+                  + 0.0).alias("psi")))
+
+
+# log10(1 + 1/d) for d = 1..9, computed once in Python and interpolated
+# into BOTH engines as double literals (repr round-trips binary64).
+BENFORD_SHARES = [0.3010299956639812, 0.17609125905568124,
+                  0.12493873660829992, 0.09691001300805642,
+                  0.07918124604762482, 0.06694678963061322,
+                  0.05799194697768673, 0.05115252244738129,
+                  0.04575749056067514]
+_BEN_SQL = "[" + ", ".join(repr(b) for b in BENFORD_SHARES) + "]"
+
+
+@register(
+    "quality_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+      SELECT o_orderpriority,
+             CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ), counts AS (
+      SELECT o_orderpriority, digit, COUNT(*) AS observed
+      FROM digits GROUP BY 1, 2
+    ), grid AS (
+      SELECT p.o_orderpriority, CAST(g.range AS INT) AS digit
+      FROM (SELECT DISTINCT o_orderpriority FROM digits) p, range(1, 10) g
+    ), filled AS (
+      SELECT g.o_orderpriority, g.digit,
+             COALESCE(c.observed, 0) AS observed
+      FROM grid g LEFT JOIN counts c
+        ON g.o_orderpriority = c.o_orderpriority AND g.digit = c.digit
+    ), tot AS (
+      SELECT o_orderpriority, SUM(observed) AS n FROM filled GROUP BY 1
+    )
+    SELECT f.o_orderpriority, CAST(f.digit AS INT) AS digit,
+           CAST(t.n AS BIGINT) AS n_orders,
+           CAST(f.observed AS BIGINT) AS observed,
+           CAST(f.observed AS DOUBLE) / CAST(t.n AS DOUBLE)
+             AS observed_share,
+           ({_BEN_SQL}::DOUBLE[])[f.digit] AS benford_share,
+           round((CAST(f.observed AS DOUBLE)
+                  - CAST(t.n AS DOUBLE) * ({_BEN_SQL}::DOUBLE[])[f.digit])
+                 * (CAST(f.observed AS DOUBLE)
+                    - CAST(t.n AS DOUBLE) * ({_BEN_SQL}::DOUBLE[])[f.digit])
+                 / (CAST(t.n AS DOUBLE) * ({_BEN_SQL}::DOUBLE[])[f.digit]),
+                 9) + 0.0 AS chi2_contrib
+    FROM filled f JOIN tot t ON f.o_orderpriority = t.o_orderpriority
+    """,
+    tags=("connector", "statistics", "quality-audit"))
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit of order values per priority
+    class: observed vs expected (log10(1 + 1/d)) leading-digit shares
+    with per-digit chi-square contributions — the classic forensic
+    check for fabricated or truncated monetary values in an ingested
+    feed.
+
+    Exactness: the leading digit is STRING-extracted from the exact
+    DECIMAL(18,2) rendering (no float log10 on the value), the Benford
+    expectations are Python-computed double literals interpolated into
+    both engines, and each chi-square contribution is one fixed-shape
+    double expression rounded to the declared 9 dp. The digit grid is
+    densified (priority x 1..9) so zero-observed digits appear in both
+    engines.
+
+    Scale shape: one scan, one (priority, digit) hash aggregate — at
+    most 5 x 9 result rows; the densifying grid is a broadcast cross
+    join of two tiny distinct relations."""
+    orders = load(spark, sf_dir, "orders")
+    digits = (orders.where(F.col("o_totalprice") >= 1.0)
+              .select("o_orderpriority",
+                      F.substring(F.col("o_totalprice")
+                                  .cast("decimal(18,2)").cast("string"),
+                                  1, 1).cast("int").alias("digit")))
+    counts = (digits.groupBy("o_orderpriority", "digit")
+              .agg(F.count(F.lit(1)).alias("observed")))
+    grid = (counts.select("o_orderpriority").distinct()
+            .crossJoin(spark.range(1, 10)
+                       .select(F.col("id").cast("int").alias("digit"))))
+    filled = (grid.join(counts, ["o_orderpriority", "digit"], "left")
+              .fillna(0, ["observed"]))
+    tot = (filled.groupBy("o_orderpriority")
+           .agg(F.sum("observed").alias("n")))
+    ben = F.element_at(
+        F.array(*[F.lit(b) for b in BENFORD_SHARES]), F.col("digit"))
+    od = F.col("observed").cast("double")
+    nd = F.col("n").cast("double")
+    return (filled.join(F.broadcast(tot), "o_orderpriority")
+            .select("o_orderpriority", F.col("digit").cast("int"),
+                    F.col("n").cast("bigint").alias("n_orders"),
+                    F.col("observed").cast("bigint").alias("observed"),
+                    (od / nd).alias("observed_share"),
+                    ben.alias("benford_share"),
+                    (F.round((od - nd * ben) * (od - nd * ben)
+                             / (nd * ben), 9) + 0.0).alias("chi2_contrib")))
+
+
+@register(
+    "stats_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             COUNT(*) AS o
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), marg AS (
+      SELECT segment, priority, o,
+             SUM(o) OVER (PARTITION BY segment) AS rt,
+             SUM(o) OVER (PARTITION BY priority) AS ct,
+             SUM(o) OVER () AS n
+      FROM obs
+    ), contribs AS (
+      SELECT segment, priority, n,
+             (CAST(o AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               AS contrib
+      FROM marg
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT segment) AS BIGINT) AS n_segments,
+           CAST(COUNT(DISTINCT priority) AS BIGINT) AS n_priorities,
+           CAST((COUNT(DISTINCT segment) - 1)
+                * (COUNT(DISTINCT priority) - 1) AS BIGINT) AS dof,
+           round(list_reduce(
+                   list_prepend(0.0, list(contrib ORDER BY segment,
+                                          priority)),
+                   (a, b) -> a + b), 9) + 0.0 AS chi2
+    FROM contribs
+    """,
+    tags=("connector", "statistics", "independence"))
+def stats_chi_square_independence(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """PEARSON CHI-SQUARE test of independence between customer market
+    segment and order priority — the contingency-table check a
+    segmentation audit runs to ask "does priority mix actually differ
+    by segment, or is the crosstab just noise" (chi2 vs the (r-1)(c-1)
+    dof it reports alongside).
+
+    Exactness: observed counts and marginals are exact integers; each
+    cell's (o - e)^2 / e runs as one fixed-shape double expression, and
+    the 25-cell total is an ORDERED fold by (segment, priority) —
+    deterministic summation order in both engines — rounded to the
+    declared 9 dp.
+
+    Scale shape: one keyed join + one hash aggregate down to the
+    |segments| x |priorities| contingency relation (25 rows); all
+    windows and the closing fold run on that constant-bounded relation
+    (the seasonal-profile precedent), never on fact-sized data."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    obs = (orders.join(customer, orders.o_custkey == customer.c_custkey)
+           .groupBy(F.col("c_mktsegment").alias("segment"),
+                    F.col("o_orderpriority").alias("priority"))
+           .agg(F.count(F.lit(1)).alias("o")))
+    marg = obs.select(
+        "segment", "priority", "o",
+        F.sum("o").over(Window.partitionBy("segment")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("priority")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"))
+    e = (F.col("rt").cast("double") * F.col("ct").cast("double")
+         / F.col("n").cast("double"))
+    contribs = marg.select(
+        "segment", "priority", "n",
+        ((F.col("o").cast("double") - e)
+         * (F.col("o").cast("double") - e) / e).alias("contrib"))
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("segment", "priority",
+                                             "contrib"))),
+        lambda s: s["contrib"])
+    return contribs.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.countDistinct("segment").cast("bigint").alias("n_segments"),
+        F.countDistinct("priority").cast("bigint").alias("n_priorities"),
+        ((F.countDistinct("segment") - 1)
+         * (F.countDistinct("priority") - 1)).cast("bigint").alias("dof"),
+        (F.round(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 9)
+         + 0.0).alias("chi2"))
+
+
+@register(
+    "stats_welch_ttest",
+    oracle=f"""
+    WITH base AS ({_SAMPLES_SQL}),
+    moments AS (
+      SELECT segment,
+             SUM(s1) AS n1, SUM(1 - s1) AS n2,
+             SUM(CASE WHEN s1 = 1
+                 THEN CAST(price AS DECIMAL(18,4)) END) AS su1,
+             SUM(CASE WHEN s1 = 0
+                 THEN CAST(price AS DECIMAL(18,4)) END) AS su2,
+             -- (19,4) forces int128 multiply in DuckDB (an 18,4
+             -- square overflows its int64 fast path); same values
+             SUM(CASE WHEN s1 = 1
+                 THEN CAST(price AS DECIMAL(19,4))
+                      * CAST(price AS DECIMAL(19,4)) END) AS sq1,
+             SUM(CASE WHEN s1 = 0
+                 THEN CAST(price AS DECIMAL(19,4))
+                      * CAST(price AS DECIMAL(19,4)) END) AS sq2
+      FROM base GROUP BY segment
+    )
+    SELECT segment,
+           CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_low,
+           round(CAST(CAST(su1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(CAST(su2 AS VARCHAR) AS DOUBLE)
+                   / CAST(n2 AS DOUBLE), 9) + 0.0 AS mean_diff,
+           round((CAST(CAST(su1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(CAST(su2 AS VARCHAR) AS DOUBLE)
+                    / CAST(n2 AS DOUBLE))
+                 / sqrt(
+                   ((CAST(CAST(sq1 AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(su1 AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(su1 AS VARCHAR) AS DOUBLE)
+                       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))
+                   / CAST(n1 AS DOUBLE)
+                   + ((CAST(CAST(sq2 AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(su2 AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(su2 AS VARCHAR) AS DOUBLE)
+                         / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+                     / CAST(n2 AS DOUBLE)), 9) + 0.0 AS t_stat
+    FROM moments
+    """,
+    tags=("connector", "statistics", "two-sample"))
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S UNEQUAL-VARIANCE t-TEST per market segment (urgent vs
+    low priority order values) — the parametric companion to the KS /
+    Mann-Whitney rows: does the MEAN differ, without assuming the two
+    samples share a variance.
+
+    Exactness: per-sample sums and sums of squares are exact decimals
+    (DECIMAL(18,4) values, (37,8) squares), routed to double through
+    the VARCHAR cast; mean, variance ((ssq - s^2/n)/(n-1) — the inputs
+    are exact, so the cancellation-prone shape is still deterministic:
+    identical IEEE inputs and expression shape give identical outputs),
+    and the t statistic are one fixed double expression, rounded to the
+    declared 9 dp.
+
+    Scale shape: ONE hash aggregate to 5 segment rows — the entire test
+    is map-side-combinable moments; nothing is sorted, nothing is
+    windowed. The cheapest drift test in the family."""
+    base = _priority_samples(spark, sf_dir)
+    p4 = F.col("price").cast("decimal(18,4)")
+    m = (base.groupBy("segment")
+         .agg(F.sum("s1").alias("n1"),
+              F.sum(F.lit(1) - F.col("s1")).alias("n2"),
+              F.sum(F.when(F.col("s1") == 1, p4)).alias("su1"),
+              F.sum(F.when(F.col("s1") == 0, p4)).alias("su2"),
+              F.sum(F.when(F.col("s1") == 1, p4 * p4)).alias("sq1"),
+              F.sum(F.when(F.col("s1") == 0, p4 * p4)).alias("sq2")))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    su1, su2 = F.col("su1").cast("double"), F.col("su2").cast("double")
+    sq1, sq2 = F.col("sq1").cast("double"), F.col("sq2").cast("double")
+    md = su1 / n1d - su2 / n2d
+    v1 = (sq1 - su1 * su1 / n1d) / (n1d - 1.0)
+    v2 = (sq2 - su2 * su2 / n2d) / (n2d - 1.0)
+    return m.select(
+        "segment",
+        F.col("n1").cast("bigint").alias("n_urgent"),
+        F.col("n2").cast("bigint").alias("n_low"),
+        (F.round(md, 9) + 0.0).alias("mean_diff"),
+        (F.round(md / F.sqrt(v1 / n1d + v2 / n2d), 9) + 0.0)
+        .alias("t_stat"))
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, "value",
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), pairs AS (
+      SELECT a.user_id, a.n, a.rn AS i,
+             (b."value" - a."value") / CAST(a.n // 2 AS DOUBLE) AS slope
+      FROM ranked a JOIN ranked b
+        ON a.user_id = b.user_id AND b.rn = a.rn + a.n // 2
+      WHERE a.n >= 2
+    ), counted AS (
+      SELECT user_id, MAX(n) AS n, COUNT(*) AS cnt
+      FROM pairs GROUP BY user_id
+    ), sl AS (
+      SELECT user_id, slope,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY slope, i) AS rs
+      FROM pairs
+    )
+    SELECT c.user_id, CAST(c.n AS BIGINT) AS n_events,
+           CAST(c.cnt AS BIGINT) AS n_slopes,
+           s.slope AS theil_sen_slope
+    FROM counted c JOIN sl s
+      ON c.user_id = s.user_id AND s.rs = (c.cnt + 1) // 2
+    """,
+    tags=("connector", "statistics", "timeseries", "robust-stats"))
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN ROBUST TREND per user (half-offset variant): the
+    median of the slopes between observation i and observation
+    i + n/2 — the outlier-resistant trend estimate a metrics pipeline
+    reports where one bad point would swing the OLS slope
+    (events_ols_trend's robust sibling). The half-offset pairing is
+    the O(n) member of the Theil-Sen family (the full version's
+    O(n^2) pairs cannot ship at scale); slopes are per-index-step.
+
+    Exactness: each slope is one double division with identical
+    operands (h = n div 2 is integer); the MEDIAN is pure rank
+    selection — lower median, ties broken by pair index — so no float
+    accumulates at all.
+
+    Scale shape: within-key ranks via the TWO-PASS range-partition +
+    carry (_two_pass_rank, twice: once by time for the pairing, once
+    by slope for the median): the pairing is an EQUI-join on
+    (user_id, rn + h) — no inequality join, no per-key arrays; the
+    median pick is a rank filter, not a sort-and-collect."""
+    from .connector import _two_pass_rank
+    events = load(spark, sf_dir, "events")
+    ranked = _two_pass_rank(
+        spark, events.select("user_id", "ts", "event_id", "value"),
+        ["user_id"], ["ts", "event_id"])
+    a = ranked.where(F.col("n") >= 2).select(
+        "user_id", "n", F.col("rn").alias("i"),
+        F.col("value").alias("v1"),
+        (F.col("rn") + F.expr("n div 2")).alias("j"))
+    b = ranked.select("user_id", F.col("rn").alias("j"),
+                      F.col("value").alias("v2"))
+    pairs = (a.join(b, ["user_id", "j"])
+             .select("user_id", "n", "i",
+                     ((F.col("v2") - F.col("v1"))
+                      / F.expr("n div 2").cast("double")).alias("slope")))
+    counted = (pairs.groupBy("user_id")
+               .agg(F.max("n").alias("n"), F.count(F.lit(1)).alias("cnt")))
+    sl = _two_pass_rank(spark, pairs.select("user_id", "slope", "i"),
+                        ["user_id"], ["slope", "i"]) \
+        .select("user_id", "slope", F.col("rn").alias("rs"))
+    return (counted.join(sl, "user_id")
+            .where(F.col("rs") == F.expr("(cnt + 1) div 2"))
+            .select("user_id", F.col("n").cast("bigint").alias("n_events"),
+                    F.col("cnt").cast("bigint").alias("n_slopes"),
+                    F.col("slope").alias("theil_sen_slope")))

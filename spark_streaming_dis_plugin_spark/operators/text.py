@@ -1323,3 +1323,92 @@ def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.round(ent / F.log(F.col("n_sources").cast("double")), 6)
                + 0.0)
         .otherwise(F.lit(0.0)).alias("norm_entropy"))
+
+
+ZIPF_TOP_N = 100
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH terms AS (
+      SELECT t.term, COUNT(*) AS cnt
+      FROM documents d, UNNEST({tokens_sql('d."text"')}) AS t(term)
+      GROUP BY t.term
+    ), top AS (
+      SELECT term, cnt FROM terms
+      ORDER BY cnt DESC, term LIMIT {ZIPF_TOP_N}
+    ), ranked AS (
+      SELECT term, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk
+      FROM top
+    ), folded AS (
+      SELECT COUNT(*) AS n,
+             list_reduce(
+               list_prepend([0.0, 0.0, 0.0, 0.0]::DOUBLE[],
+                 list([ln(CAST(rnk AS DOUBLE)),
+                       ln(CAST(cnt AS DOUBLE))]::DOUBLE[] ORDER BY rnk)),
+               (acc, e) -> [acc[1] + e[1], acc[2] + e[2],
+                            acc[3] + e[1] * e[1],
+                            acc[4] + e[1] * e[2]]::DOUBLE[]) AS s
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((CAST(n AS DOUBLE) * s[4] - s[1] * s[2])
+                 / (CAST(n AS DOUBLE) * s[3] - s[1] * s[1]), 6) + 0.0
+             AS zipf_slope,
+           round((s[2] - (CAST(n AS DOUBLE) * s[4] - s[1] * s[2])
+                         / (CAST(n AS DOUBLE) * s[3] - s[1] * s[1])
+                         * s[1]) / CAST(n AS DOUBLE), 6) + 0.0
+             AS log_intercept
+    FROM folded
+    """,
+    tags=("text", "statistics", "corpus-health"))
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF RANK-FREQUENCY slope of the corpus: OLS fit of ln(freq) on
+    ln(rank) over the top {ZIPF_TOP_N} terms — natural language sits
+    near slope -1; a corpus whose slope drifts far from it (too flat =
+    boilerplate/templating, too steep = tiny vocabulary) fails the
+    health check before training data ships.
+
+    Exactness: term counts are exact integers; ln() runs on identical
+    doubles in both engines and the four OLS moments accumulate in ONE
+    ordered fold by rank (fixed left-to-right summation), so slope and
+    intercept agree to the rounded 6 dp (the libm-ln discipline of the
+    text-scoring rows).
+
+    Scale shape: one corpus scan into a (term) hash aggregate, a
+    global top-{ZIPF_TOP_N} (TakeOrdered — no full sort), then all
+    windows/folds run on the {ZIPF_TOP_N}-row relation. The corpus
+    never sorts; the fit never sees more than {ZIPF_TOP_N} points."""
+    docs = load(spark, sf_dir, "documents")
+    terms = (docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+    top = terms.orderBy(F.desc("cnt"), F.asc("term")).limit(ZIPF_TOP_N)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = top.select(
+        F.row_number().over(w).alias("rnk"),
+        F.log(F.col("cnt").cast("double")).alias("ly"))
+    lx = F.log(F.col("rnk").cast("double"))
+    pts = ranked.select("rnk", lx.alias("lx"), "ly")
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("rnk", "lx", "ly"))),
+        lambda s: F.struct(s["lx"].alias("lx"), s["ly"].alias("ly")))
+    init = F.struct(F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy"),
+                    F.lit(0.0).alias("sxx"), F.lit(0.0).alias("sxy"))
+    folded = pts.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.aggregate(arr, init,
+                    lambda a, e: F.struct(
+                        (a.sx + e.lx).alias("sx"),
+                        (a.sy + e.ly).alias("sy"),
+                        (a.sxx + e.lx * e.lx).alias("sxx"),
+                        (a.sxy + e.lx * e.ly).alias("sxy"))).alias("s"))
+    nd = F.col("n").cast("double")
+    slope = ((nd * F.col("s.sxy") - F.col("s.sx") * F.col("s.sy"))
+             / (nd * F.col("s.sxx") - F.col("s.sx") * F.col("s.sx")))
+    return folded.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        (F.round(slope, 6) + 0.0).alias("zipf_slope"),
+        (F.round((F.col("s.sy") - slope * F.col("s.sx")) / nd, 6)
+         + 0.0).alias("log_intercept"))

@@ -751,3 +751,72 @@ def cusum_gate_tws(env: DataFrame) -> DataFrame:
                 outputStructType=CUSUM_OUT_SCHEMA,
                 outputMode="Update",
                 timeMode="None"))
+
+
+# --------------------- streaming per-key top-k gate on TWS
+
+TOPK_TWS_K = 5
+
+TOPK_OUT_SCHEMA = ("key string, n_events bigint, top1 double, top2 double, "
+                   "top3 double, top4 double, top5 double")
+
+
+def topk_gate_tws(env: DataFrame) -> DataFrame:
+    """Streaming PER-KEY TOP-K maintenance — the transformWithState
+    leaderboard gate: per key, ListState holds the current top
+    {TOPK_TWS_K} (value, arrival-seq) pairs; every arriving record is
+    merged in offset order (ties keep the EARLIEST arrival) and each
+    batch emits the key's current board as top1..top{TOPK_TWS_K}
+    columns (update-style; callers keep each key's max-count row).
+
+    Exactness: values arrive as the zvalue log's exact DECIMAL(18,4)
+    strings; ``float(Decimal(s))`` is the engines' exact
+    DECIMAL->DOUBLE cast at this domain, and decimal order equals
+    double order here (every DECIMAL(18,4) below 2^49 maps to a
+    distinct double), so the maintained board equals the batch
+    oracle's ORDER BY value DESC, event_id ASC prefix exactly — no
+    float arithmetic happens at all, only comparisons.
+
+    100 TB posture: O(k) state per ACTIVE key, O(k log k) per record
+    (insert + truncate); nothing re-reads history. TTL quiet keys."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _TopKProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._cnt = handle.getValueState("cnt", "n bigint")
+            self._top = handle.getListState("topk", "v double, seq bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            from decimal import Decimal
+
+            n = self._cnt.get()[0] if self._cnt.exists() else 0
+            board = [(float(r[0]), int(r[1])) for r in self._top.get()]
+            batch = pd.concat(list(rows), ignore_index=True) \
+                if rows else pd.DataFrame()
+            if not len(batch):
+                return iter(())
+            for _, row in batch.sort_values("offset").iterrows():
+                v = float(Decimal(str(row["value"])))
+                n += 1
+                board.append((v, n))
+                board.sort(key=lambda t: (-t[0], t[1]))
+                del board[TOPK_TWS_K:]
+            self._cnt.update((n,))
+            self._top.put(board)
+            vals = [b[0] for b in board] \
+                + [None] * (TOPK_TWS_K - len(board))
+            return iter([pd.DataFrame(
+                [(key[0], int(n), *vals)],
+                columns=["key", "n_events", "top1", "top2", "top3",
+                         "top4", "top5"])])
+
+        def close(self) -> None:
+            pass
+
+    return (env.select("key", "offset", "value")
+            .groupBy("key")
+            .transformWithStateInPandas(
+                statefulProcessor=_TopKProcessor(),
+                outputStructType=TOPK_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))

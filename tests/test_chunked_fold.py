@@ -390,3 +390,132 @@ def test_holt_damped_chunked_bit_exact(spark, fold_fixture):
         sl, sb = seq(vals)
         assert got[uid]["level"] == pytest.approx(sl, rel=1e-9, abs=1e-6)
         assert got[uid]["trend"] == pytest.approx(sb, rel=1e-9, abs=1e-6)
+
+
+def test_holt_winters_chunked_bit_exact(spark, fold_fixture):
+    """The SEASONAL variant proves the machinery generalizes beyond 2x2:
+    a 6-dim state (level, trend, 4 seasonals) folded as flattened
+    42-double (M, v) segment states. Bit-exact vs a chunked Python
+    replica of the identical flattened computation, and within ulps of
+    the naive sequential Holt-Winters recursion; keys with n < 2m are
+    excluded."""
+    from spark_streaming_dis_plugin_spark.operators.connector import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_CA,
+        HW_CB,
+        HW_CG,
+        HW_GAMMA,
+        HW_IDENT,
+        HW_K00,
+        HW_K05,
+        HW_K10,
+        HW_K11,
+        HW_K20,
+        HW_K25,
+        HW_PERIOD,
+        events_holt_winters,
+    )
+
+    def step(st, x):
+        out = [0.0] * 42
+        for p in range(1, 43):
+            if p <= 6:
+                out[p - 1] = (HW_K00 * st[p - 1] + HW_K00 * st[p + 5]
+                              + HW_K05 * st[p + 29])
+            elif p <= 12:
+                out[p - 1] = (HW_K10 * st[p - 7] + HW_K11 * st[p - 1]
+                              + HW_K10 * st[p + 23])
+            elif p <= 18:
+                out[p - 1] = (HW_K20 * st[p - 13] + HW_K20 * st[p - 7]
+                              + HW_K25 * st[p + 17])
+            elif p <= 36:
+                out[p - 1] = st[p - 7]
+            elif p == 37:
+                out[p - 1] = (HW_K00 * st[36] + HW_K00 * st[37]
+                              + HW_K05 * st[41] + HW_CA * x)
+            elif p == 38:
+                out[p - 1] = (HW_K10 * st[36] + HW_K11 * st[37]
+                              + HW_K10 * st[41] + HW_CB * x)
+            elif p == 39:
+                out[p - 1] = (HW_K20 * st[36] + HW_K20 * st[37]
+                              + HW_K25 * st[41] + HW_CG * x)
+            else:
+                out[p - 1] = st[p - 2]
+        return out
+
+    def merge(acc, s):
+        out = [0.0] * 42
+        for p in range(1, 43):
+            if p <= 36:
+                i0 = (p - 1) // 6
+                c = (p - 1) % 6 + 1
+                a2 = 0.0
+                for j in range(1, 7):
+                    a2 = a2 + s[i0 * 6 + j - 1] * acc[(j - 1) * 6 + c - 1]
+                out[p - 1] = a2
+            else:
+                a2 = 0.0
+                for j in range(1, 7):
+                    a2 = a2 + s[(p - 37) * 6 + j - 1] * acc[36 + j - 1]
+                out[p - 1] = a2 + s[p - 1]
+        return out
+
+    def chunked(vals, C=FOLD_CHUNK):
+        s14 = vals[0] + vals[1] + vals[2] + vals[3]
+        s58 = vals[4] + vals[5] + vals[6] + vals[7]
+        l0 = s14 / 4.0
+        s0 = [l0, (s58 / 4.0 - s14 / 4.0) / 4.0,
+              vals[3] - l0, vals[2] - l0, vals[1] - l0, vals[0] - l0]
+        rest = vals[HW_PERIOD:]
+        m = list(HW_IDENT)
+        for i in range(0, len(rest), C):
+            st = list(HW_IDENT)
+            for x in rest[i:i + C]:
+                st = step(st, x)
+            m = merge(m, st)
+
+        def apply_row(row0, voff):
+            a2 = 0.0
+            for j in range(1, 7):
+                a2 = a2 + m[row0 + j - 1] * s0[j - 1]
+            return a2 + m[voff - 1]
+
+        return apply_row(0, 37), apply_row(6, 38), apply_row(30, 42)
+
+    def seq(vals):
+        m = HW_PERIOD
+        l = (vals[0] + vals[1] + vals[2] + vals[3]) / 4.0
+        b = ((vals[4] + vals[5] + vals[6] + vals[7]) / 4.0
+             - (vals[0] + vals[1] + vals[2] + vals[3]) / 4.0) / 4.0
+        s = [vals[i] - l for i in range(m)]   # s_1..s_m
+        for t, x in enumerate(vals[m:], start=m + 1):
+            s_old = s[(t - m - 1) % m]
+            nl = HW_ALPHA * (x - s_old) + (1 - HW_ALPHA) * (l + b)
+            b = HW_BETA * (nl - l) + (1 - HW_BETA) * b
+            s[(t - 1) % m] = HW_GAMMA * (x - nl) + (1 - HW_GAMMA) * s_old
+            l = nl
+        # next season index for h=1 is s_{t+1-m}
+        t = len(vals)
+        return l, b, s[t % m]
+
+    got = {r["user_id"]: r
+           for r in events_holt_winters(spark, sf_dir=fold_fixture[0])
+           .collect()}
+    seqs = fold_fixture[1]
+    assert set(got) == {u for u, n in SEED_VALUES.items()
+                        if n >= 2 * HW_PERIOD}
+    for uid, vals in seqs.items():
+        if len(vals) < 2 * HW_PERIOD:
+            continue
+        lvl, trd, snx = chunked(vals)
+        r = got[uid]
+        assert r["n_events"] == len(vals)
+        assert r["level"] == _round9(lvl), uid
+        assert r["trend"] == _round9(trd), uid
+        assert r["season_next"] == _round9(snx), uid
+        assert r["forecast_h1"] == _round9(lvl + trd + snx), uid
+        sl, sb, ss = seq(vals)
+        assert lvl == pytest.approx(sl, rel=1e-7, abs=1e-7)
+        assert trd == pytest.approx(sb, rel=1e-7, abs=1e-7)
+        assert snx == pytest.approx(ss, rel=1e-7, abs=1e-7)

@@ -669,3 +669,67 @@ def test_group_ranks_never_group_sized_windows(spark, sf_dir):
             assert "pid#" in ln, (name, ln)   # rank windows carry pid
         # checkpoint barrier for the shared range partitioning
         assert "Scan ExistingRDD" in plan, name
+
+
+def test_ks_cumsum_is_two_pass_not_group_window(spark, sf_dir):
+    """stats_ks_two_sample: the CDF cumulative sums ride the two-pass
+    range-partition + carry (_two_pass_cumsum) — the running-sum window
+    partitions by the physical bucket id behind a hashpartitioning
+    exchange, never by the ~5-value segment alone, and the carry
+    relation broadcasts back onto the checkpointed bucket relation."""
+    plan = _plan(spark, "stats_ks_two_sample", sf_dir)
+    lines = plan.splitlines()
+    # fact-scale running sums order by price; each such window must be
+    # partitioned by (segment, pid), never segment alone. The segment-only
+    # windows that remain run over the _p_* carry relation (N x groups
+    # rows, constant-bounded).
+    fact_windows = [ln for ln in lines
+                    if "Window" in ln and "price" in ln]
+    assert fact_windows, plan
+    for ln in fact_windows:
+        assert "pid" in ln, plan
+    assert "Scan ExistingRDD" in plan      # checkpointed bucket relation
+    assert "BroadcastHashJoin" in plan     # carries broadcast back
+    assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_pairing_is_equi_join(spark, sf_dir):
+    """events_theil_sen_trend: the i vs i+h pairing is an EQUI-join on
+    (user_id, rn + h) — a BroadcastNestedLoopJoin here would mean the
+    pairing regressed to an inequality join that dies at fact scale."""
+    plan = _plan(spark, "events_theil_sen_trend", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_holt_winters_chunk_bounded_arrays(spark, sf_dir):
+    """events_holt_winters: per-key collected arrays are chunk-bounded —
+    the plan folds (user, chunk) slices and merges 42-double states;
+    no collect_list runs over an unchunked per-key partition."""
+    from pyspark.sql import functions as F
+
+    from spark_streaming_dis_plugin_spark.operators.connector import (
+        FOLD_CHUNK, HW_PERIOD, _two_pass_rank,
+    )
+    from spark_streaming_dis_plugin_spark.tables import load
+    events = load(spark, sf_dir, "events")
+    ranked = _two_pass_rank(
+        spark, events.select("user_id", "ts", "event_id", "value"),
+        ["user_id"], ["ts", "event_id"])
+    sizes = (ranked.where(F.col("rn") >= HW_PERIOD + 1)
+             .withColumn("chunk",
+                         F.expr(f"(rn - {HW_PERIOD + 1}) div {FOLD_CHUNK}"))
+             .groupBy("user_id", "chunk")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .agg(F.max("c").alias("mx"))
+             .collect()[0])
+    assert sizes["mx"] <= FOLD_CHUNK
+
+
+def test_zipf_corpus_never_globally_sorted(spark, sf_dir):
+    """text_zipf_slope: the top-N is a TakeOrdered over the term
+    aggregate — the corpus-scale relation is never globally sorted and
+    the OLS fold runs post-limit."""
+    plan = _plan(spark, "text_zipf_slope", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
