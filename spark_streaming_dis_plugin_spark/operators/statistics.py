@@ -1003,3 +1003,191 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", F.col("n").cast("bigint").alias("n_events"),
                     F.col("cnt").cast("bigint").alias("n_slopes"),
                     F.col("slope").alias("theil_sen_slope")))
+
+
+LORENZ_DECILES = 10
+
+
+@register(
+    "orders_lorenz_curve",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS r
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, o.o_custkey
+    ), cum AS (
+      SELECT n_name,
+             ROW_NUMBER() OVER w AS rnk,
+             SUM(CAST(r AS DECIMAL(27,4))) OVER
+               (PARTITION BY n_name ORDER BY r, o_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+             COUNT(*) OVER (PARTITION BY n_name) AS n,
+             SUM(CAST(r AS DECIMAL(27,4)))
+               OVER (PARTITION BY n_name) AS tot
+      FROM rev
+      WINDOW w AS (PARTITION BY n_name ORDER BY r, o_custkey)
+    ), grid AS (
+      SELECT CAST(g.range AS INT) AS decile FROM range(1, 11) g
+    )
+    SELECT c.n_name, g.decile,
+           CAST(MAX(c.n) AS BIGINT) AS n_customers,
+           CAST(CAST(MAX(c.cr) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(MAX(c.tot) AS VARCHAR) AS DOUBLE) AS cum_share
+    FROM cum c JOIN grid g
+      ON c.rnk = (c.n * g.decile + {LORENZ_DECILES - 1})
+                 // {LORENZ_DECILES}
+    GROUP BY c.n_name, g.decile
+    """,
+    tags=("connector", "statistics", "concentration"))
+def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE of customer revenue per nation at customer-count
+    deciles: cum_share(d) = share of the nation's revenue held by the
+    poorest ceil(n*d/10) customers — the curve whose area complement is
+    orders_gini_concentration's one number; a revenue-concentration
+    dashboard plots both.
+
+    Exactness: per-customer revenue and its running sum are exact
+    decimals (order fixed by (revenue, custkey)); the decile row pick
+    rnk == ceil(n*d/10) is pure integer arithmetic; the one double
+    division routes both exact decimals through the VARCHAR cast.
+
+    Scale shape: the within-nation rank AND the running revenue both
+    come from ONE _two_pass_cumsum call (a unit count is just another
+    measure — cum_one IS the rank), so the whole curve costs one range
+    exchange plus the broadcast carry join; the 10-row decile grid is a
+    broadcast join against integer targets. 25 nations would otherwise
+    be 25 nation-sized single-task sorts."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    rev = (orders
+           .join(customer, orders.o_custkey == customer.c_custkey)
+           .join(F.broadcast(nation),
+                 customer.c_nationkey == nation.n_nationkey)
+           .groupBy("n_name", "o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .alias("r"))
+           .withColumn("one", F.lit(1))
+           .withColumn("r27", F.col("r").cast("decimal(27,4)")))
+    cum = _two_pass_cumsum(spark, rev, ["n_name"], ["r", "o_custkey"],
+                           {"rev": "r27", "one": "one"})
+    grid = (spark.range(1, LORENZ_DECILES + 1)
+            .select(F.col("id").cast("int").alias("decile")))
+    return (cum.crossJoin(F.broadcast(grid))
+            .where(F.col("cum_one")
+                   == F.expr(f"(tot_one * decile + {LORENZ_DECILES - 1}) "
+                             f"div {LORENZ_DECILES}"))
+            .groupBy("n_name", "decile")
+            .agg(F.max("tot_one").cast("bigint").alias("n_customers"),
+                 (F.max("cum_rev").cast("double")
+                  / F.max("tot_rev").cast("double")).alias("cum_share")))
+
+
+BOLL_WINDOW = 20   # trailing observations per band
+BOLL_WIDTH = 2.0   # band half-width in rolling standard deviations
+
+
+@register(
+    "events_bollinger_bands",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, "value",
+             CAST("value" AS DECIMAL(18,4)) AS v4,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rolled AS (
+      SELECT user_id, event_id, "value", rn,
+             SUM(CAST(v4 AS DECIMAL(27,4))) OVER w AS s,
+             SUM(CAST(v4 AS DECIMAL(19,4)) * CAST(v4 AS DECIMAL(19,4)))
+               OVER w AS sq
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, "value",
+           round(CAST(CAST(s AS VARCHAR) AS DOUBLE) / {BOLL_WINDOW}.0, 9)
+             + 0.0 AS roll_mean,
+           round(CAST(CAST(s AS VARCHAR) AS DOUBLE) / {BOLL_WINDOW}.0
+                 + {BOLL_WIDTH} * sqrt(
+                     (CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                        / {BOLL_WINDOW}.0) / {BOLL_WINDOW - 1}.0), 9)
+             + 0.0 AS band_upper,
+           round(CAST(CAST(s AS VARCHAR) AS DOUBLE) / {BOLL_WINDOW}.0
+                 - {BOLL_WIDTH} * sqrt(
+                     (CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                        / {BOLL_WINDOW}.0) / {BOLL_WINDOW - 1}.0), 9)
+             + 0.0 AS band_lower,
+           "value" > CAST(CAST(s AS VARCHAR) AS DOUBLE) / {BOLL_WINDOW}.0
+                 + {BOLL_WIDTH} * sqrt(
+                     (CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                        / {BOLL_WINDOW}.0) / {BOLL_WINDOW - 1}.0)
+             OR "value" < CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                   / {BOLL_WINDOW}.0
+                 - {BOLL_WIDTH} * sqrt(
+                     (CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+                      - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                        / {BOLL_WINDOW}.0) / {BOLL_WINDOW - 1}.0)
+             AS breach
+    FROM rolled WHERE rn >= {BOLL_WINDOW}
+    """,
+    tags=("connector", "statistics", "timeseries"))
+def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER BANDS per user: trailing-{BOLL_WINDOW} rolling mean
+    +/- {BOLL_WIDTH} rolling standard deviations around each event's
+    value, plus the breach flag — the classic volatility envelope a
+    monitoring pipeline draws around any per-entity metric (only full
+    windows emit, so every band uses exactly {BOLL_WINDOW}
+    observations).
+
+    Exactness: the rolling sum and sum of squares are EXACT decimal
+    window aggregates (the (19,4) square cast forces DuckDB's int128
+    multiply path), routed to double through the VARCHAR cast; mean,
+    variance, bands, and the breach compare are one fixed-shape double
+    expression per row, rounded to the declared 9 dp (the breach
+    compares the UNROUNDED bands, same expression both engines).
+
+    Scale shape: ONE window partitioned by user_id — an entity key with
+    fixture cardinality n/67 and real-world cardinality in the
+    millions, so partitions stay small and parallelism high (this is
+    the GOOD window shape; the two-pass machinery exists for ~5-value
+    group keys, not for entity keys). Rolling frames are
+    ROWS-bounded — state per row is O({BOLL_WINDOW})."""
+    events = load(spark, sf_dir, "events")
+    from .connector import _two_pass_rank
+    seq = _two_pass_rank(
+        spark, events.select("user_id", "ts", "event_id", "value"),
+        ["user_id"], ["ts", "event_id"])
+    v4 = F.col("value").cast("decimal(18,4)")
+    w = (Window.partitionBy("user_id").orderBy("rn")
+         .rowsBetween(-(BOLL_WINDOW - 1), Window.currentRow))
+    rolled = seq.select(
+        "user_id", "event_id", "value", "rn",
+        F.sum(v4.cast("decimal(27,4)")).over(w).alias("s"),
+        F.sum(v4.cast("decimal(19,4)") * v4.cast("decimal(19,4)"))
+        .over(w).alias("sq"))
+    sd = F.col("s").cast("double")
+    sqd = F.col("sq").cast("double")
+    mean = sd / float(BOLL_WINDOW)
+    sig = F.sqrt((sqd - sd * sd / float(BOLL_WINDOW))
+                 / float(BOLL_WINDOW - 1))
+    upper = mean + BOLL_WIDTH * sig
+    lower = mean - BOLL_WIDTH * sig
+    return (rolled.where(F.col("rn") >= BOLL_WINDOW)
+            .select("user_id", "event_id", "value",
+                    (F.round(mean, 9) + 0.0).alias("roll_mean"),
+                    (F.round(upper, 9) + 0.0).alias("band_upper"),
+                    (F.round(lower, 9) + 0.0).alias("band_lower"),
+                    ((F.col("value") > upper)
+                     | (F.col("value") < lower)).alias("breach")))

@@ -396,3 +396,79 @@ def test_theil_sen_reference(spark, sf_dir):
         assert r["n_events"] == n
         assert r["n_slopes"] == n - h
         assert r["theil_sen_slope"] == med
+
+
+def test_lorenz_curve_reference(spark, sf_dir, tables):
+    from spark_streaming_dis_plugin_spark.operators.statistics import (
+        LORENZ_DECILES, orders_lorenz_curve,
+    )
+    got = defaultdict(dict)
+    for r in orders_lorenz_curve(spark, sf_dir).collect():
+        got[r["n_name"]][r["decile"]] = r
+    cols = tables["orders_cols"]
+    ic = {c: i for i, c in enumerate(cols)}
+    rev = defaultdict(float)
+    for row in tables["orders"]:
+        cust = tables["customer"][row[ic["o_custkey"]]]
+        nname = tables["nation"][cust[2]]
+        rev[(nname, row[ic["o_custkey"]])] += row[ic["o_totalprice"]]
+    by_nation = defaultdict(list)
+    for (nname, ck), r in rev.items():
+        by_nation[nname].append((r, ck))
+    for nname, xs in by_nation.items():
+        xs.sort()
+        n = len(xs)
+        total = sum(r for r, _ in xs)
+        cum = 0.0
+        cums = []
+        for r, _ in xs:
+            cum += r
+            cums.append(cum)
+        assert set(got[nname]) == set(range(1, LORENZ_DECILES + 1))
+        prev = 0.0
+        for d in range(1, LORENZ_DECILES + 1):
+            k = (n * d + LORENZ_DECILES - 1) // LORENZ_DECILES
+            share = cums[k - 1] / total
+            r = got[nname][d]
+            assert r["n_customers"] == n
+            assert r["cum_share"] == pytest.approx(share, abs=1e-9)
+            # Lorenz ordinates are monotone and end at 1
+            assert r["cum_share"] >= prev
+            prev = r["cum_share"]
+        assert got[nname][LORENZ_DECILES]["cum_share"] == \
+            pytest.approx(1.0, abs=1e-12)
+
+
+def test_bollinger_reference(spark, sf_dir):
+    from spark_streaming_dis_plugin_spark.operators.statistics import (
+        BOLL_WIDTH, BOLL_WINDOW, events_bollinger_bands,
+    )
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT user_id, event_id, value FROM "
+        f"'{sf_dir}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for uid, eid, v in rows:
+        by_user[uid].append((eid, v))
+    got = {(r["user_id"], r["event_id"]): r
+           for r in events_bollinger_bands(spark, sf_dir).collect()}
+    n_checked = 0
+    for uid, evs in by_user.items():
+        vals = [v for _, v in evs]
+        for i in range(BOLL_WINDOW - 1, len(evs)):
+            win = vals[i - BOLL_WINDOW + 1:i + 1]
+            m = sum(win) / BOLL_WINDOW
+            var = ((sum(x * x for x in win)
+                    - sum(win) ** 2 / BOLL_WINDOW) / (BOLL_WINDOW - 1))
+            sig = math.sqrt(max(var, 0.0))
+            r = got[(uid, evs[i][0])]
+            assert r["roll_mean"] == pytest.approx(m, abs=1e-6)
+            assert r["band_upper"] == pytest.approx(m + BOLL_WIDTH * sig,
+                                                    abs=1e-6)
+            assert r["band_lower"] == pytest.approx(m - BOLL_WIDTH * sig,
+                                                    abs=1e-6)
+            n_checked += 1
+    # every emitted row was checked, and only full windows emit
+    assert n_checked == len(got)
+    assert any(r["breach"] for r in got.values())
