@@ -1191,3 +1191,130 @@ def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(lower, 9) + 0.0).alias("band_lower"),
                     ((F.col("value") > upper)
                      | (F.col("value") < lower)).alias("breach")))
+
+
+@register(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS price,
+             o.o_orderpriority AS grp
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cells AS (
+      SELECT segment, price, grp, COUNT(*) AS c
+      FROM base GROUP BY 1, 2, 3
+    ), tcells AS (
+      SELECT segment, price, SUM(c) AS t FROM cells GROUP BY 1, 2
+    ), cum AS (
+      SELECT segment, price, t,
+             SUM(t) OVER (PARTITION BY segment ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+               AS excl,
+             SUM(t) OVER (PARTITION BY segment) AS n
+      FROM tcells
+    ), ranksums AS (
+      SELECT l.segment, l.grp, MAX(m.n) AS n,
+             SUM(l.c) AS ng,
+             SUM(CAST(l.c AS DECIMAL(19,0))
+                 * CAST(2 * m.excl + m.t + 1 AS DECIMAL(19,0))) AS r2
+      FROM cells l JOIN cum m
+        ON l.segment = m.segment AND l.price = m.price
+      GROUP BY l.segment, l.grp
+    ), ties AS (
+      SELECT segment,
+             SUM(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+                 * CAST(t AS DECIMAL(12,0))
+                 - CAST(t AS DECIMAL(19,0))) AS tiesum
+      FROM cum GROUP BY segment
+    ), folded AS (
+      SELECT r.segment, MAX(r.n) AS n, COUNT(*) AS k,
+             list_reduce(
+               list_prepend(0.0, list(
+                 (CAST(CAST(r.r2 AS VARCHAR) AS DOUBLE) / 2.0)
+                 * (CAST(CAST(r.r2 AS VARCHAR) AS DOUBLE) / 2.0)
+                 / CAST(r.ng AS DOUBLE)
+                 ORDER BY r.grp)),
+               (a, b) -> a + b) AS s
+      FROM ranksums r GROUP BY r.segment
+    )
+    SELECT f.segment, CAST(f.n AS BIGINT) AS n_orders,
+           CAST(f.k - 1 AS BIGINT) AS dof,
+           round(12.0 / (CAST(f.n AS DOUBLE) * (CAST(f.n AS DOUBLE) + 1.0))
+                 * f.s - 3.0 * (CAST(f.n AS DOUBLE) + 1.0), 9) + 0.0
+             AS h_stat,
+           round((12.0 / (CAST(f.n AS DOUBLE)
+                          * (CAST(f.n AS DOUBLE) + 1.0))
+                  * f.s - 3.0 * (CAST(f.n AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(CAST(t.tiesum AS VARCHAR) AS DOUBLE)
+                    / (CAST(f.n AS DOUBLE) * CAST(f.n AS DOUBLE)
+                       * CAST(f.n AS DOUBLE) - CAST(f.n AS DOUBLE))),
+                 9) + 0.0 AS h_tie_corrected
+    FROM folded f JOIN ties t ON f.segment = t.segment
+    """,
+    tags=("connector", "statistics", "k-sample"))
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H test per market segment across ALL FIVE order
+    priorities — the k-sample generalization of stats_mann_whitney
+    (one-way ANOVA on midranks): does ANY priority class's order-value
+    distribution sit higher than the others, with the exact tie
+    correction 1 - sum(t^3 - t)/(n^3 - n).
+
+    Exactness: the same doubled-integer midrank machinery as
+    Mann-Whitney — per-group rank sums R2_g = sum(c_g*(2*excl + t + 1))
+    and the tie sum are exact DECIMAL arithmetic; the per-group
+    R_g^2/n_g terms fold in PRIORITY order (fixed IEEE summation over
+    the 5-element group list), and H is one fixed-shape double
+    expression rounded to the declared 9 dp.
+
+    Scale shape: distinct-(segment, price) pooled tie cells, the
+    TWO-PASS cumulative count (_two_pass_cumsum), one keyed join back
+    to the (segment, price, group) cells, then aggregates at
+    (segment, group) = 25-row granularity; the closing fold runs over
+    5-element arrays. Nothing group-sized is sorted in one task."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    base = (orders.join(customer, orders.o_custkey == customer.c_custkey)
+            .select(F.col("c_mktsegment").alias("segment"),
+                    F.col("o_totalprice").alias("price"),
+                    F.col("o_orderpriority").alias("grp")))
+    cells = (base.groupBy("segment", "price", "grp")
+             .agg(F.count(F.lit(1)).alias("c")))
+    tcells = cells.groupBy("segment", "price").agg(F.sum("c").alias("t"))
+    cum = _two_pass_cumsum(spark, tcells, ["segment"], ["price"],
+                           {"t": "t"})
+    m = cum.select("segment", "price", "t",
+                   (F.col("cum_t") - F.col("t")).alias("excl"),
+                   F.col("tot_t").alias("n"))
+    d12 = lambda c: c.cast("decimal(12,0)")  # noqa: E731
+    ranksums = (cells.join(m, ["segment", "price"])
+                .groupBy("segment", "grp")
+                .agg(F.max("n").alias("n"),
+                     F.sum("c").alias("ng"),
+                     F.sum(F.col("c").cast("decimal(19,0)")
+                           * (F.lit(2) * F.col("excl") + F.col("t") + 1)
+                           .cast("decimal(19,0)")).alias("r2")))
+    ties = (m.groupBy("segment")
+            .agg(F.sum(d12(F.col("t")) * d12(F.col("t")) * d12(F.col("t"))
+                       - F.col("t").cast("decimal(19,0)"))
+                 .alias("tiesum")))
+    r2d = F.col("r2").cast("double")
+    term = (r2d / 2.0) * (r2d / 2.0) / F.col("ng").cast("double")
+    terms = F.transform(
+        F.array_sort(F.collect_list(F.struct("grp", term.alias("term")))),
+        lambda s: s["term"])
+    folded = (ranksums.groupBy("segment")
+              .agg(F.max("n").alias("n"),
+                   F.count(F.lit(1)).alias("k"),
+                   F.aggregate(terms, F.lit(0.0),
+                               lambda a, x: a + x).alias("s")))
+    nd = F.col("n").cast("double")
+    h = 12.0 / (nd * (nd + 1.0)) * F.col("s") - 3.0 * (nd + 1.0)
+    corr = (1.0 - F.col("tiesum").cast("double")
+            / (nd * nd * nd - nd))
+    return (folded.join(ties, "segment")
+            .select("segment",
+                    F.col("n").cast("bigint").alias("n_orders"),
+                    (F.col("k") - 1).cast("bigint").alias("dof"),
+                    (F.round(h, 9) + 0.0).alias("h_stat"),
+                    (F.round(h / corr, 9) + 0.0)
+                    .alias("h_tie_corrected")))

@@ -472,3 +472,37 @@ def test_bollinger_reference(spark, sf_dir):
     # every emitted row was checked, and only full windows emit
     assert n_checked == len(got)
     assert any(r["breach"] for r in got.values())
+
+
+def test_kruskal_wallis_reference(spark, sf_dir, tables):
+    from spark_streaming_dis_plugin_spark.operators.statistics import (
+        stats_kruskal_wallis,
+    )
+    got = {r["segment"]: r
+           for r in stats_kruskal_wallis(spark, sf_dir).collect()}
+    cols = tables["orders_cols"]
+    ic = {c: i for i, c in enumerate(cols)}
+    by_seg = defaultdict(list)
+    for row in tables["orders"]:
+        cust = tables["customer"][row[ic["o_custkey"]]]
+        by_seg[cust[4]].append((row[ic["o_totalprice"]],
+                                row[ic["o_orderpriority"]]))
+    for seg, pts in by_seg.items():
+        vals = [p for p, _ in pts]
+        ranks = _avg_ranks(vals)
+        n = len(pts)
+        by_grp = defaultdict(lambda: [0, 0.0])   # n_g, rank sum
+        tie = Counter(vals)
+        for (_, grp), rk in zip(pts, ranks):
+            by_grp[grp][0] += 1
+            by_grp[grp][1] += rk
+        s = sum(rs * rs / ng for grp, (ng, rs) in sorted(by_grp.items()))
+        h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+        tiesum = sum(t ** 3 - t for t in tie.values())
+        hc = h / (1.0 - tiesum / (float(n) ** 3 - n))
+        r = got[seg]
+        assert r["n_orders"] == n
+        assert r["dof"] == len(by_grp) - 1
+        assert r["h_stat"] == pytest.approx(h, abs=1e-6)
+        assert r["h_tie_corrected"] == pytest.approx(hc, abs=1e-6)
+        assert r["h_stat"] >= 0.0
