@@ -1152,8 +1152,13 @@ def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     observations).
 
     Exactness: the rolling sum and sum of squares are EXACT decimal
-    window aggregates (the (19,4) square cast forces DuckDB's int128
-    multiply path), routed to double through the VARCHAR cast; mean,
+    window aggregates — the square multiplies at decimal(18,4) on the
+    Spark side (18,4 x 18,4 -> exact decimal(37,8), inside Spark's
+    38-digit budget so no precision-loss rounding) while the DuckDB
+    oracle casts the operands to (19,4) solely to force its int128
+    multiply path (its int64 fast path would overflow); both engines
+    therefore hold the identical exact 8-dp sum of squares, routed to
+    double through the VARCHAR cast. Mean,
     variance, bands, and the breach compare are one fixed-shape double
     expression per row, rounded to the declared 9 dp (the breach
     compares the UNROUNDED bands, same expression both engines).
@@ -1175,8 +1180,7 @@ def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = seq.select(
         "user_id", "event_id", "value", "rn",
         F.sum(v4.cast("decimal(27,4)")).over(w).alias("s"),
-        F.sum(v4.cast("decimal(19,4)") * v4.cast("decimal(19,4)"))
-        .over(w).alias("sq"))
+        F.sum(v4 * v4).over(w).alias("sq"))
     sd = F.col("s").cast("double")
     sqd = F.col("sq").cast("double")
     mean = sd / float(BOLL_WINDOW)

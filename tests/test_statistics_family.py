@@ -506,3 +506,58 @@ def test_kruskal_wallis_reference(spark, sf_dir, tables):
         assert r["h_stat"] == pytest.approx(h, abs=1e-6)
         assert r["h_tie_corrected"] == pytest.approx(hc, abs=1e-6)
         assert r["h_stat"] >= 0.0
+
+
+def test_bollinger_4dp_cross_engine_exact(spark, tmp_path):
+    """Regression pin for the r10 ADVICE finding: with 4-dp input
+    values the Spark-side square must multiply at decimal(18,4)
+    (18,4 x 18,4 -> exact decimal(37,8)); a (19,4) square would hit
+    Spark's precision-loss rule (result decimal(38,7), the 8th
+    fractional digit rounded away) and silently break hash parity
+    with the DuckDB oracle's exact int128 DECIMAL(38,8). The shipped
+    testdata fixtures carry <=2-dp values, so without this synthetic
+    4-dp fixture the sweep could not catch that regression class."""
+    import decimal
+    from spark_streaming_dis_plugin_spark.operators.statistics import (
+        BOLL_WINDOW, events_bollinger_bands,
+    )
+    from spark_streaming_dis_plugin_spark.plans.registry import all_queries
+
+    # 4-dp values whose squares need all 8 fractional digits
+    # (1.2345^2 = 1.52399025 -> 8th digit matters).
+    vals = [decimal.Decimal(v) / 10_000
+            for v in (12345, 98765, 31417, 27183, 16181,
+                      55557, 44449, 66661, 77773, 88887,
+                      10007, 20011, 30013, 40031, 50033,
+                      60037, 70039, 80051, 90053, 11117,
+                      12347, 13331, 14341, 15373, 16411,
+                      17417, 18443, 19447, 21481, 22483)]
+    import datetime
+    rows = [(i + 1, datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(minutes=i), 1, "view", float(v), "{}")
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string, value double, props string")
+    sf = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    got = sorted(
+        ((r["event_id"], r["roll_mean"], r["band_upper"],
+          r["band_lower"], r["breach"])
+         for r in events_bollinger_bands(spark, sf).collect()))
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW events AS SELECT * FROM "
+            f"'{sf}/events.parquet/*.parquet'")
+    oracle = all_queries()["events_bollinger_bands"].oracle
+    want = sorted((r[1], r[3], r[4], r[5], r[6])
+                  for r in con.sql(oracle).fetchall())
+
+    assert len(got) == len(vals) - BOLL_WINDOW + 1
+    for g, w in zip(got, want):
+        assert g[0] == w[0]
+        # bit-for-bit double equality: both engines must round the
+        # identical exact 8-dp decimal core
+        assert g[1] == w[1] and g[2] == w[2] and g[3] == w[3]
+        assert g[4] == w[4]
