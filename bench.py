@@ -4,8 +4,12 @@
 Output contract (VERDICT r6 #1 — the driver keeps only the last ~2 KB
 of stdout and json.loads the FINAL line): stdout ends with one compact
 headline line {"metric", "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf", "streaming_throughput"}, size-asserted
-<= HEADLINE_MAX_BYTES. Full telemetry is emitted on its own EARLIER
+"queries": {name: sec}, "sf", "streaming_throughput",
+"comparable_to_prev_sec"}, size-asserted <= HEADLINE_MAX_BYTES. The
+comparable_to_prev_sec block (VERDICT r10 #6) makes cross-round math
+self-contained: this run's and the previous BENCH_r{N}.json's sums over
+their common query set, protocol rows (registry tag "protocol")
+excluded and named. Full telemetry is emitted on its own EARLIER
 stdout line and persisted to BENCH_TELEMETRY.json; it never rides the
 headline line again (that is what nulled BENCH_r06). Pinned by
 tests/test_bench_contract.py via an exact tail-2KB truncation replay.
@@ -152,6 +156,45 @@ def _streaming_throughput(spark, sf_dir: str) -> dict:
     return out
 
 
+def _comparable_to_prev(timings: dict[str, float], protocol: set[str],
+                        here: str) -> dict | None:
+    """Cross-round comparability IN the artifact (r10 verdict #6): sum
+    this run's timings over the intersection with the LATEST recorded
+    round's query set, minus protocol rows (registry tag "protocol" —
+    rows whose cost is dominated by a test protocol, e.g. the forced
+    end-of-stream retrain), and carry the prior round's sum over the
+    same set. BENCH_r{N}.json then prices round-over-round drift
+    without BENCH_NOTES narrative: sec vs prev_sec is like-for-like by
+    construction."""
+    import glob
+    import re
+
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            prev_q = (json.load(f).get("parsed") or {}).get("queries") or {}
+    except (OSError, ValueError):
+        return None
+    common = sorted(n for n in timings
+                    if n in prev_q and n not in protocol)
+    if not common:
+        return None
+    return {
+        "prev": f"r{best[0]:02d}",
+        "sec": round(sum(timings[n] for n in common), 2),
+        "prev_sec": round(sum(float(prev_q[n]) for n in common), 2),
+        "n": len(common),
+        "protocol_excluded": sorted(protocol & set(timings)
+                                    & set(prev_q)),
+    }
+
+
 HEADLINE_MAX_BYTES = 1900
 """Hard budget for the final stdout line. The round driver captures only
 the LAST ~2 KB of bench stdout and json.loads the final line; round 6's
@@ -222,7 +265,9 @@ def main() -> None:
             if i > 0:
                 samples.append(time.perf_counter() - t0)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        # 2 dp: single-run noise is +-0.3 s, and the headline line must
+        # stay under the driver's 2 KB tail-capture budget
+        timings[name] = round(samples[len(samples) // 2], 2)
         qwall = time.perf_counter() - qt0
         qtel = {"wall_all_iters": round(qwall, 3)}
         qb1, qs1 = _cpu_busy_sec(), _cpu_stall_sec()
@@ -253,6 +298,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    here = os.path.dirname(os.path.abspath(__file__))
+    protocol = {n for n, s in specs.items() if "protocol" in s.tags}
     headline = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -261,10 +308,12 @@ def main() -> None:
         "sf": float(sf) if sf else sf_dir,
         "streaming_throughput": streaming,
     }
+    cmp_prev = _comparable_to_prev(timings, protocol, here)
+    if cmp_prev is not None:
+        headline["comparable_to_prev_sec"] = cmp_prev
     telemetry_line, headline_line = format_output(headline, telemetry)
     # Durable copy of the full telemetry (stdout tail may drop it):
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_TELEMETRY.json"), "w") as f:
             json.dump({"headline": headline, "telemetry": telemetry},
                       f, indent=1)

@@ -166,7 +166,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
-    tags=("relational", "filter"), bench=True)
+    tags=("relational", "filter"), # retired from the bench headline r11: sub-second noise-band row,
+    # plan pinned elsewhere; frees 2KB-tail budget for comparable_to_prev_sec
+    bench=False)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure filter + global agg. All four predicates push to the
     parquet scan (row-group stats pruning); the agg is a single partial+
@@ -302,7 +304,9 @@ def window_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) AS seg_code
     FROM customer
     """,
-    tags=("relational", "window"), bench=True)
+    tags=("relational", "window"), # retired from the bench headline r11: sub-second noise-band row,
+    # plan pinned elsewhere; frees 2KB-tail budget for comparable_to_prev_sec
+    bench=False)
 def window_ntile_lead_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / lead / dense_rank PARTITIONED by nation — the scale form of
     window_ntile_lead: one hash shuffle on c_nationkey, each partition

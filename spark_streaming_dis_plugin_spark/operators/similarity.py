@@ -281,19 +281,57 @@ def _ivf_ingest_batch(parsed: DataFrame, cent: DataFrame,
     deterministic per-batch directory makes foreachBatch's at-least-once
     replay idempotent (r7 ADVICE, medium): a re-executed batch replaces
     its own directory byte-for-byte instead of appending duplicates that
-    could occupy top-k ranks in the post-ingest search."""
+    could occupy top-k ranks in the post-ingest search.
+
+    The batch also folds its OWN per-cluster assignment counts into the
+    C-row ``sizes`` sidecar (``sizes/src=b<batch_id>``, same overwrite
+    discipline, so replay is idempotent here too) — this is what lets
+    the drift gate (:func:`ivf_maybe_retrain`) price its probe at O(C)
+    instead of rescanning the whole inverted index every micro-batch
+    (r10 verdict #1). The counts are aggregated from the just-written
+    batch directory (O(batch) read-back of a file this batch produced),
+    never from ``inverted/`` as a whole — the maintenance analog of the
+    connector's count-from-metadata discipline (DISRDD.scala:89-94)."""
     assigned = (_rank_to_centroids(parsed, cent)
                 .where(F.col("rnk") == 1)
                 .select("vec_id", "e",
                         F.col("centroid_id").alias("cluster")))
     assigned.write.mode("overwrite").parquet(
         f"{ingest_root}/inverted/src=b{batch_id}")
+    (parsed.sparkSession.read
+     .parquet(f"{ingest_root}/inverted/src=b{batch_id}")
+     .groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite")
+     .parquet(f"{ingest_root}/sizes/src=b{batch_id}"))
 
 
 # Drift gate for the streamed-ingest index: retrain when the biggest
 # cluster outgrows the median by this factor (frozen centroids + drifting
 # ingest = ever-fatter hot clusters and ever-worse probe selectivity).
 IVF_RETRAIN_SKEW = 4.0
+
+
+def ivf_cluster_sizes(spark: SparkSession, root: str) -> DataFrame:
+    """Current per-cluster sizes of the index at ``root``, read from the
+    C-row ``sizes`` sidecar — O(C x batches) input, NEVER a scan of the
+    inverted index. Each writer (base build, per-batch ingest, retrain
+    swap) lands its own partial counts under ``sizes/src=...``; summing
+    the partials is exact because every vec_id lives in exactly one
+    ``src`` directory (overwrite discipline keeps replay idempotent).
+
+    Restart / legacy recovery: if the sidecar is absent (an index built
+    before the sidecar existed, or a crash between the inverted write
+    and the sizes write), it is rebuilt ONCE from the inverted index —
+    the only full-index scan this module's maintenance path can ever
+    take, paid only on recovery, never per batch."""
+    import os
+
+    if not os.path.isdir(f"{root}/sizes"):
+        (spark.read.parquet(f"{root}/inverted")
+         .groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite").parquet(f"{root}/sizes/src=recovered"))
+    return (spark.read.parquet(f"{root}/sizes")
+            .groupBy("cluster").agg(F.sum("n").alias("n")))
 
 
 def ivf_maybe_retrain(spark: SparkSession, root: str,
@@ -314,23 +352,26 @@ def ivf_maybe_retrain(spark: SparkSession, root: str,
     from the same corpus with the same means+reassign step — the
     retrain is a pure re-clustering, never a data change.
 
-    Scale shape: the skew probe is one tiny C-row aggregate (bounded
-    driver collect); retrain itself is the build's cost — one grouped
-    mean + one broadcast reassignment pass over the corpus — paid only
-    when the gate trips, amortized across every batch since the last
-    repair. The directory swap is the micro-batch-scale stand-in for a
-    table format's atomic snapshot commit (same caveat the upsert view
-    documents)."""
+    Scale shape (r10 verdict #1): the skew probe reads the C-row
+    ``sizes`` sidecar (:func:`ivf_cluster_sizes`) — each ingest batch
+    already folded its own O(batch) per-cluster counts in, so the
+    per-micro-batch maintenance cost is a C-row aggregate over C-row
+    inputs, NOT a scan of the (at 100 TB, ~1e11-row) inverted index.
+    Retrain itself is the build's cost — one grouped mean + one
+    broadcast reassignment pass over the corpus — paid only when the
+    gate trips, amortized across every batch since the last repair; the
+    swap also rewrites the sidecar from the reassigned index so the
+    next probe stays O(C). The directory swap is the micro-batch-scale
+    stand-in for a table format's atomic snapshot commit (same caveat
+    the upsert view documents)."""
     import os
     import shutil
     import statistics
 
-    inverted = spark.read.parquet(f"{root}/inverted")
-    sizes = [r["n"] for r in
-             inverted.groupBy("cluster")
-             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    sizes = [r["n"] for r in ivf_cluster_sizes(spark, root).collect()]
     if not sizes or max(sizes) <= skew_threshold * statistics.median(sizes):
         return False
+    inverted = spark.read.parquet(f"{root}/inverted")
     dim_avgs = [
         (F.sum(F.element_at("e", i + 1).cast("decimal(27,8)"))
          .cast("double") / F.count(F.lit(1))).alias(f"d{i}")
@@ -349,8 +390,13 @@ def ivf_maybe_retrain(spark: SparkSession, root: str,
     cent.write.mode("overwrite").parquet(f"{root}/centroids_stage")
     re_inverted.write.mode("overwrite").parquet(
         f"{root}/inverted_stage/src=base")
-    for name in ("centroids", "inverted"):
-        shutil.rmtree(f"{root}/{name}")
+    # the sidecar must describe the REASSIGNED index: fold the staged
+    # inverted file's counts (read-back of data this call just wrote)
+    (spark.read.parquet(f"{root}/inverted_stage/src=base")
+     .groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite").parquet(f"{root}/sizes_stage/src=base"))
+    for name in ("centroids", "inverted", "sizes"):
+        shutil.rmtree(f"{root}/{name}", ignore_errors=True)
         os.replace(f"{root}/{name}_stage", f"{root}/{name}")
     return True
 
@@ -1264,6 +1310,12 @@ def ann_base_index_root(spark: SparkSession, sf_dir: str) -> str:
         cent, inverted = _ivf_build_relations(spark, sf_dir, corpus=base)
         cent.write.mode("overwrite").parquet(f"{root}/centroids")
         inverted.write.mode("overwrite").parquet(f"{root}/inverted")
+        # seed the C-row sizes sidecar (read-back of the file just
+        # written), so streaming ingest's drift gate never has to
+        # rebuild it from the index
+        (spark.read.parquet(f"{root}/inverted")
+         .groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite").parquet(f"{root}/sizes"))
         _ANN_BASE_CACHE[sf_dir] = root
     return _ANN_BASE_CACHE[sf_dir]
 

@@ -54,7 +54,9 @@ def _lang_hits_sql(toks_expr: str, lang: str) -> str:
            length(text) AS n_chars
     FROM documents
     """,
-    tags=("text", "tokenize"), bench=True)
+    tags=("text", "tokenize"), # retired from the bench headline r11: sub-second noise-band row,
+    # plan pinned elsewhere; frees 2KB-tail budget for comparable_to_prev_sec
+    bench=False)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: whitespace split, word tokens, and a
     BPE-ish regex (letter runs / digit runs / single punctuation) — the
@@ -552,7 +554,9 @@ BP_DF_MIN = 3       # segment is boilerplate when present in >= 3 docs
            COALESCE(a.text_clean, '') AS text_clean
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
-    tags=("text", "dedup", "boilerplate"), bench=True)
+    tags=("text", "dedup", "boilerplate"), # retired from the bench headline r11: sub-second noise-band row,
+    # plan pinned elsewhere; frees 2KB-tail budget for comparable_to_prev_sec
+    bench=False)
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate removal: segment every document into
     consecutive 8-word "lines" (the fixture corpus is

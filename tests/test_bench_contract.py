@@ -33,7 +33,7 @@ def _realistic_headline() -> dict:
         "metric": "headline_queries_total_sec",
         "value": 123.456,
         "unit": "sec",
-        "queries": {n: 99.999 for n in benched},  # worst-case widths
+        "queries": {n: 99.99 for n in benched},  # worst-case 2-dp widths
         "sf": 0.1,
         "streaming_throughput": {
             "records": 600572,
@@ -43,6 +43,11 @@ def _realistic_headline() -> dict:
             "records_per_sec_six_batches": 3521.4,
             "drain_sec_six_batches": 170.548,
             "data_batches_six_batches": 6,
+        },
+        "comparable_to_prev_sec": {
+            "prev": "r10", "sec": 9999.99, "prev_sec": 9999.99,
+            "n": len(benched),
+            "protocol_excluded": ["dis_ann_retrain_streamed"],
         },
     }
 
@@ -71,7 +76,8 @@ def test_headline_survives_driver_tail_truncation():
     parsed = json.loads(last)  # exactly what the driver does
     assert parsed["metric"] == "headline_queries_total_sec"
     assert set(parsed) == {"metric", "value", "unit", "queries", "sf",
-                           "streaming_throughput"}
+                           "streaming_throughput",
+                           "comparable_to_prev_sec"}
     assert len(parsed["queries"]) == sum(
         1 for s in all_queries().values() if s.bench)
 
@@ -115,3 +121,32 @@ def test_cpu_busy_excludes_guest_fields():
     if len(vals) > 9 and vals[8] > 0:
         naive = (sum(vals) - vals[3] - vals[4]) / bench._CLK
         assert busy < naive  # guest time not double-counted
+
+
+def test_comparable_to_prev_reads_latest_round_file(tmp_path):
+    """_comparable_to_prev sums the intersection with the HIGHEST
+    BENCH_r*.json, excludes protocol-tagged rows from both sums, and
+    degrades to None (never raises) on missing/corrupt files."""
+    import os
+
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(
+        {"parsed": {"queries": {"a": 1.0, "b": 2.0, "proto": 30.0}}}))
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps(
+        {"parsed": {"queries": {"a": 1.5, "c": 4.0, "proto": 28.0}}}))
+    got = bench._comparable_to_prev(
+        {"a": 1.2, "b": 9.9, "proto": 31.0, "d": 7.0},
+        {"proto"}, str(tmp_path))
+    assert got == {"prev": "r10", "sec": 1.2, "prev_sec": 1.5, "n": 1,
+                   "protocol_excluded": ["proto"]}
+
+    assert bench._comparable_to_prev({"a": 1.0}, set(),
+                                     str(tmp_path / "empty")) is None
+    (tmp_path / "BENCH_r11.json").write_text("{not json")
+    assert bench._comparable_to_prev({"a": 1.0}, set(),
+                                     str(tmp_path)) is None
+    # the real repo root has BENCH_r*.json and a benched registry whose
+    # names overlap previous rounds — the field must materialize there
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    benched = {n: 1.0 for n, s in all_queries().items() if s.bench}
+    live = bench._comparable_to_prev(benched, set(), here)
+    assert live is not None and live["n"] > 30

@@ -15,6 +15,7 @@ Pins ivf_maybe_retrain's three contracts:
 """
 from __future__ import annotations
 
+from collections import Counter
 from decimal import Decimal
 
 import numpy as np
@@ -33,12 +34,19 @@ def _vec(head, fill=0.0):
     return v
 
 
-def _write_index(spark, root, cent_rows, inv_rows):
+def _write_index(spark, root, cent_rows, inv_rows, sizes=True):
     spark.createDataFrame(cent_rows, "centroid_id int, ce array<double>") \
         .write.mode("overwrite").parquet(f"{root}/centroids")
     spark.createDataFrame(
         inv_rows, "vec_id bigint, e array<double>, cluster int"
     ).write.mode("overwrite").parquet(f"{root}/inverted/src=base")
+    if sizes:
+        # every index writer maintains the C-row sizes sidecar (r10
+        # verdict #1) — it is part of the index format now
+        counts = Counter(c for _v, _e, c in inv_rows)
+        spark.createDataFrame(
+            sorted(counts.items()), "cluster int, n bigint"
+        ).write.mode("overwrite").parquet(f"{root}/sizes/src=base")
 
 
 def _read_index(spark, root):
@@ -152,3 +160,57 @@ def test_post_retrain_search_equals_rebuilt_index_search(spark, skewed_root,
     _ivf_ingest_batch(probe, cent1, skewed_root, batch_id=1)
     _c, inv2 = _read_index(spark, skewed_root)
     assert inv2[900][1] == 0
+
+
+def _sidecar_sizes(spark, root):
+    from spark_streaming_dis_plugin_spark.operators.similarity import (
+        ivf_cluster_sizes,
+    )
+    return {r["cluster"]: r["n"]
+            for r in ivf_cluster_sizes(spark, root).collect()}
+
+
+def test_probe_reads_sidecar_not_inverted(spark, tmp_path):
+    """The r10 verdict's `weak`: the drift probe must price at O(C) by
+    reading the sizes sidecar, never by scanning the inverted index.
+    Pin it behaviorally: an index whose INVERTED file is wildly skewed
+    but whose SIDECAR claims balance must NOT trip the gate — the only
+    way that holds is if the probe's input is the sidecar."""
+    root = str(tmp_path / "lying")
+    cent = [(0, _vec([0.0])), (1, _vec([10.0]))]
+    inv = ([(100 + i, _vec([0.1]), 0) for i in range(20)]
+           + [(200, _vec([9.9]), 1)])          # true sizes 20/1: skewed
+    _write_index(spark, root, cent, inv, sizes=False)
+    spark.createDataFrame([(0, 2), (1, 2)], "cluster int, n bigint") \
+        .write.mode("overwrite").parquet(f"{root}/sizes/src=base")
+    assert ivf_maybe_retrain(spark, root) is False
+
+
+def test_sidecar_recovery_rebuilds_from_inverted(spark, tmp_path):
+    """Restart recovery: with the sidecar ABSENT, the gate rebuilds it
+    once from the inverted index (the documented one-time scan), lands
+    it under sizes/src=recovered, and then sees the true skew."""
+    import os
+
+    root = str(tmp_path / "norebuild")
+    cent = [(0, _vec([0.0])), (1, _vec([10.0])), (2, _vec([-10.0]))]
+    inv = ([(100 + i, _vec([0.1]), 0) for i in range(20)]
+           + [(200, _vec([9.9]), 1), (201, _vec([-9.9]), 2)])
+    _write_index(spark, root, cent, inv, sizes=False)
+    assert not os.path.isdir(f"{root}/sizes")
+    assert _sidecar_sizes(spark, root) == {0: 20, 1: 1, 2: 1}
+    assert os.path.isdir(f"{root}/sizes/src=recovered")
+    assert ivf_maybe_retrain(spark, root) is True
+
+
+def test_sidecar_tracks_ingest_and_retrain(spark, skewed_root):
+    """The sidecar stays consistent with the index across its whole
+    lifecycle: base + ingested batch partials sum to the true sizes,
+    and the retrain swap rewrites it to the REASSIGNED sizes."""
+    _c, inv0 = _read_index(spark, skewed_root)
+    true0 = Counter(c for _e, c in inv0.values())
+    assert _sidecar_sizes(spark, skewed_root) == dict(true0)
+    assert ivf_maybe_retrain(spark, skewed_root) is True
+    _c, inv1 = _read_index(spark, skewed_root)
+    true1 = Counter(c for _e, c in inv1.values())
+    assert _sidecar_sizes(spark, skewed_root) == dict(true1)
