@@ -869,7 +869,7 @@ def dis_late_drop_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
              .queryName(name).outputMode("append")
              .option("checkpointLocation", ckpt)
              .trigger(processingTime="0 seconds").start())
-        drain_available(q, timeout_seconds=300)
+        drain_available(q, timeout_seconds=300, expected_rows=total)
         dropped = sum(
             int(op.get("numRowsDroppedByWatermark", 0))
             for p in q.recentProgress
@@ -1052,7 +1052,7 @@ def dis_late_drop_multipart_streamed(spark: SparkSession,
              .queryName(name).outputMode("append")
              .option("checkpointLocation", ckpt)
              .trigger(processingTime="0 seconds").start())
-        drain_available(q, timeout_seconds=300)
+        drain_available(q, timeout_seconds=300, expected_rows=total)
         dropped = sum(
             int(op.get("numRowsDroppedByWatermark", 0))
             for p in q.recentProgress
@@ -1083,12 +1083,15 @@ _ORDERED_ENV = """
 def _drain_multibatch(spark: SparkSession, streamed: DataFrame, prefix: str,
                       min_batches: int = 3,
                       timeout_s: int = 300,
-                      output_mode: str = "append") -> DataFrame:
+                      output_mode: str = "append",
+                      expected_rows: int | None = None) -> DataFrame:
     """Rate-limited multi-batch drain for the *_multibatch_* gates:
     processing-time trigger + idle-detection (a rate-limited availableNow
     would stop after one clamped batch), asserting the run really spread
     the backlog over >= ``min_batches`` data batches — the property these
-    gates exist to exercise."""
+    gates exist to exercise. Callers that know the backlog size pass
+    ``expected_rows`` so the drain count-polls input consumption before
+    trusting the idle tail (load-robust, r10 verdict #4)."""
     import shutil
     import uuid
 
@@ -1101,7 +1104,8 @@ def _drain_multibatch(spark: SparkSession, streamed: DataFrame, prefix: str,
              .queryName(name).outputMode(output_mode)
              .option("checkpointLocation", ckpt)
              .trigger(processingTime="0 seconds").start())
-        data_batches = drain_available(q, timeout_seconds=timeout_s)
+        data_batches = drain_available(q, timeout_seconds=timeout_s,
+                                       expected_rows=expected_rows)
         if data_batches < min_batches:
             raise AssertionError(
                 f"{prefix}: backlog drained in {data_batches} batches; "
@@ -1154,8 +1158,12 @@ def dis_multibatch_join_streamed(spark: SparkSession,
            .load())
     p = sdf.where(F.col("offset") % 3 == 0)
     c = sdf.where(F.col("offset") % 3 == 1)
+    # a stream-stream self-join plans TWO source instances, each
+    # reading the full backlog (measured: cumulative numInputRows is
+    # exactly 2x the log total), so the count-polling target doubles
     final = _drain_multibatch(
-        spark, purchase_click_join(p, c), "mbjoin")
+        spark, purchase_click_join(p, c), "mbjoin",
+        expected_rows=2 * total)
     return final.select("p_key", "p_offset", "c_offset")
 
 
@@ -1250,6 +1258,9 @@ def dis_join_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             q.awaitTermination(60)
         q = start({"processingTime": "0 seconds"}, rate_limited=False)
+        # idle-detection kept deliberately: the backlog remaining after a
+        # nondeterministic mid-drain kill (or availableNow prefix) is not
+        # computable, so no count target exists (r10 verdict #4 audit)
         drain_available(q, timeout_seconds=180)
         final = spark.read.parquet(out)
     finally:
@@ -1372,6 +1383,7 @@ def dis_chained_stateful_streamed(spark: SparkSession,
     from ..streaming.drain import drain_available
 
     log = _materialized_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
     name = f"chain_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir("chain_ckpt_")
     try:
@@ -1390,7 +1402,7 @@ def dis_chained_stateful_streamed(spark: SparkSession,
              .queryName(name).outputMode("append")
              .option("checkpointLocation", ckpt)
              .trigger(processingTime="0 seconds").start())
-        drain_available(q, timeout_seconds=240)
+        drain_available(q, timeout_seconds=240, expected_rows=total)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return (spark.table(name)
@@ -1586,7 +1598,8 @@ def dis_update_mode_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split("value", "[^a-zA-Z0-9_]+")).alias("word"))
           .where(F.col("word") != "")
           .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
-    final = _drain_multibatch(spark, wc, "updmode", output_mode="update")
+    final = _drain_multibatch(spark, wc, "updmode", output_mode="update",
+                              expected_rows=total)
     # Batch attribution: a word's cumulative counts are strictly
     # increasing, so its k-th update (by n) belongs to the k-th batch in
     # which it occurred; that batch sequence is recomputed from a batch
@@ -1664,7 +1677,8 @@ def dis_left_outer_join_streamed(spark: SparkSession,
     p = sdf.where(F.col("offset") % 3 == 0)
     c = sdf.where(F.col("offset") % 3 == 1)
     final = _drain_multibatch(
-        spark, purchase_click_join(p, c, how="left_outer"), "lojoin")
+        spark, purchase_click_join(p, c, how="left_outer"), "lojoin",
+        expected_rows=2 * total)  # self-join: 2 source instances
     return final.select("p_key", "p_offset", "c_offset")
 
 
@@ -1721,7 +1735,8 @@ def dis_full_outer_join_streamed(spark: SparkSession,
     p = sdf.where(F.col("offset") % 3 == 0)
     c = sdf.where(F.col("offset") % 3 == 1)
     final = _drain_multibatch(
-        spark, purchase_click_join(p, c, how="full_outer"), "fojoin")
+        spark, purchase_click_join(p, c, how="full_outer"), "fojoin",
+        expected_rows=2 * total)  # self-join: 2 source instances
     return final.select("p_key", "p_offset", "c_key", "c_offset")
 
 
@@ -1826,7 +1841,8 @@ def dis_multibatch_session_streamed(spark: SparkSession,
            .option("path", log.root).option("stream", log.stream)
            .option("maxOffsetsPerTrigger", str(per))
            .load())
-    final = _drain_multibatch(spark, session_counts(sdf), "mbsess")
+    final = _drain_multibatch(spark, session_counts(sdf), "mbsess",
+                              expected_rows=total)
     return final.select(
         "key",
         F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
@@ -1903,7 +1919,8 @@ def dis_multibatch_dedup_streamed(spark: SparkSession,
            .option("maxOffsetsPerTrigger", str(per))
            .load())
     deduped = dedup_within_watermark(sdf).select("key", "value", "offset")
-    final = _drain_multibatch(spark, deduped, "mbdedup")
+    final = _drain_multibatch(spark, deduped, "mbdedup",
+                              expected_rows=total)
     n_emitted = final.count()
     n_distinct = final.select("key", "value").distinct().count()
     if n_emitted <= n_distinct:
@@ -2010,6 +2027,9 @@ def _restart_drain(spark: SparkSession, sf_dir: str, build,
         # run 3: resumed unthrottled, drained to idle (see docstring for
         # why this is not availableNow)
         q = start({"processingTime": "0 seconds"}, rate_limited=False)
+        # idle-detection kept deliberately: the backlog remaining after a
+        # nondeterministic mid-drain kill (or availableNow prefix) is not
+        # computable, so no count target exists (r10 verdict #4 audit)
         drain_available(q, timeout_seconds=180)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -2379,7 +2399,7 @@ def dis_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("segmentRows", "2000")
          .option("checkpointLocation", ckpt)
          .trigger(processingTime="0 seconds").start())
-    drain_available(q, timeout_seconds=180)
+    drain_available(q, timeout_seconds=180, expected_rows=total)
     df = (spark.read.format("dis")
           .option("path", dest_root).option("stream", "copy").load())
     return df.select(
@@ -2469,7 +2489,7 @@ def dis_backpressure_streamed(spark: SparkSession,
          .trigger(processingTime="0 seconds").start())
     import shutil
     try:
-        drain_available(q, timeout_seconds=180)
+        drain_available(q, timeout_seconds=180, expected_rows=total)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
@@ -2611,6 +2631,9 @@ def dis_sink_restart_roundtrip(spark: SparkSession,
             q.stop()
             q.awaitTermination(60)
         q = start({"processingTime": "0 seconds"}, rate_limited=False)
+        # idle-detection kept deliberately: the backlog remaining after a
+        # nondeterministic mid-drain kill (or availableNow prefix) is not
+        # computable, so no count target exists (r10 verdict #4 audit)
         drain_available(q, timeout_seconds=180)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -2945,7 +2968,8 @@ def dis_state_timeout_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
            .option("maxOffsetsPerTrigger", str(per))
            .load())
     final = _drain_multibatch(spark, sessions_with_timeout(sdf),
-                              "sesstimeout", output_mode="append")
+                              "sesstimeout", output_mode="append",
+                              expected_rows=total)
     return final.select("key", "session_start", "session_last", "n_events")
 
 
@@ -3080,7 +3104,8 @@ def dis_state_timers_tws_streamed(spark: SparkSession,
                .option("maxOffsetsPerTrigger", str(per))
                .load())
         final = _drain_multibatch(spark, sessions_with_timers_tws(sdf),
-                                  "sesstimers", output_mode="append")
+                                  "sesstimers", output_mode="append",
+                                  expected_rows=total)
     return final.select("key", "session_start", "session_last", "n_events")
 
 
@@ -3158,6 +3183,9 @@ def dis_stream_dedup_tws_streamed(spark: SparkSession,
             batches1 = sum(1 for p in q.recentProgress
                            if p["numInputRows"] > 0)
             q = start()
+            # idle-detection kept deliberately: the backlog remaining after a
+            # nondeterministic mid-drain kill (or availableNow prefix) is not
+            # computable, so no count target exists (r10 verdict #4 audit)
             batches2 = drain_available(q, timeout_seconds=300)
             if batches1 + batches2 < 3:
                 raise AssertionError(
@@ -3309,7 +3337,8 @@ def dis_cdc_feed_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                .option("maxOffsetsPerTrigger", str(per))
                .load())
         feed = _drain_multibatch(spark, cdc_changes_tws(sdf), "cdcfeed",
-                                 output_mode="append")
+                                 output_mode="append",
+                                 expected_rows=total)
     return feed.select(
         "key", "offset", "prev_value", "value",
         (~F.col("prev_value").eqNullSafe(F.col("value"))).alias("is_change"))
@@ -3394,6 +3423,9 @@ def dis_tws_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()               # the mid-drain kill
                 q.awaitTermination(60)
             q = start({"processingTime": "0 seconds"}, rate_limited=False)
+            # idle-detection kept deliberately: the backlog remaining after a
+            # nondeterministic mid-drain kill (or availableNow prefix) is not
+            # computable, so no count target exists (r10 verdict #4 audit)
             drain_available(q, timeout_seconds=180)
         final = spark.read.parquet(out)
     finally:
@@ -3516,7 +3548,8 @@ def dis_upsert_view_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (sdf.writeStream.foreachBatch(upsert)
              .option("checkpointLocation", ckpt)
              .trigger(processingTime="0 seconds").start())
-        batches = drain_available(q, timeout_seconds=300)
+        batches = drain_available(q, timeout_seconds=300,
+                                  expected_rows=total)
         if batches < 3:
             raise AssertionError(
                 f"upsert view built in {batches} data batches; "
@@ -3576,7 +3609,8 @@ def _register_stream_neardup():
                 F.col("value").alias("text"))
             pairs = lsh_bucket_pairs_tws(streaming_band_rows(parsed))
             drained = _drain_multibatch(spark, pairs, "lshstream",
-                                        output_mode="append")
+                                        output_mode="append",
+                                        expected_rows=total)
         cand = drained.select("doc_a", "doc_b").distinct()
         sets = _shingle_sets(load(spark, sf_dir, "documents"))
         sa = sets.select(F.col("doc_id").alias("doc_a"),
@@ -3670,7 +3704,8 @@ def _register_ann_ingest():
             q = (sdf.writeStream.foreachBatch(ingest)
                  .option("checkpointLocation", ckpt)
                  .trigger(processingTime="0 seconds").start())
-            batches = drain_available(q, timeout_seconds=300)
+            batches = drain_available(q, timeout_seconds=300,
+                                      expected_rows=total)
             if batches < 3:
                 raise AssertionError(
                     f"ann ingest drained in {batches} data batches; "
@@ -3787,7 +3822,8 @@ def _register_ann_retrain():
             q = (sdf.writeStream.foreachBatch(ingest)
                  .option("checkpointLocation", ckpt)
                  .trigger(processingTime="0 seconds").start())
-            batches = drain_available(q, timeout_seconds=300)
+            batches = drain_available(q, timeout_seconds=300,
+                                      expected_rows=total)
             if batches < 3:
                 raise AssertionError(
                     f"ann retrain drained in {batches} data batches; "
@@ -3922,7 +3958,8 @@ def _register_ann_query():
             q = (sdf.writeStream.foreachBatch(search)
                  .option("checkpointLocation", ckpt)
                  .trigger(processingTime="0 seconds").start())
-            batches = drain_available(q, timeout_seconds=300)
+            batches = drain_available(q, timeout_seconds=300,
+                                      expected_rows=total)
             if batches < 3:
                 raise AssertionError(
                     f"ann query stream drained in {batches} data batches; "
@@ -4001,7 +4038,7 @@ def dis_fanout_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt)
          .queryName(f"fanout_{uuid.uuid4().hex[:8]}")
          .trigger(processingTime="0 seconds").start())
-    drain_available(q, timeout_seconds=180)
+    drain_available(q, timeout_seconds=180, expected_rows=total)
     parts = []
     for sink in ("hot", "cold"):
         df = (spark.read.format("dis")
@@ -4160,6 +4197,9 @@ def dis_state_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination(60)
     q = start({"processingTime": "0 seconds"}, rate_limited=False)
+    # idle-detection kept deliberately: the backlog remaining after a
+    # nondeterministic mid-drain kill (or availableNow prefix) is not
+    # computable, so no count target exists (r10 verdict #4 audit)
     drain_available(q, timeout_seconds=180)
     shutil.rmtree(ckpt, ignore_errors=True)
     return (spark.read.parquet(out)
@@ -4671,7 +4711,10 @@ def dis_tail_subscribe_streamed(spark: SparkSession,
             raise TimeoutError("tail subscribe never captured a position")
         produce(phase2)
         from ..streaming.drain import drain_available
-        drain_available(q, timeout_seconds=120)
+        # count-polling target: the latest-start subscription must see
+        # exactly the phase-2 slice
+        drain_available(q, timeout_seconds=120,
+                        expected_rows=phase2.count())
     finally:
         import shutil
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -4859,6 +4902,9 @@ def dis_maintenance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert sum(eliminated.values()) > 0, \
             "maintenance merged nothing — gate is vacuous"
         q = start(False, {"processingTime": "0 seconds"})
+        # idle-detection kept deliberately: the backlog remaining after a
+        # nondeterministic mid-drain kill (or availableNow prefix) is not
+        # computable, so no count target exists (r10 verdict #4 audit)
         drain_available(q, timeout_seconds=180)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -4974,7 +5020,8 @@ def dis_rocksdb_state_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                .option("maxOffsetsPerTrigger", str(per))
                .load())
         final = _drain_multibatch(spark, running_wordcount(sdf),
-                                  "rocksdb_wc", output_mode="complete")
+                                  "rocksdb_wc", output_mode="complete",
+                                  expected_rows=total)
     finally:
         if prev is None:
             spark.conf.unset(conf_key)
@@ -5043,7 +5090,7 @@ def dis_consumer_groups_streamed(spark: SparkSession,
             ckpts.append(ckpt)
             queries.append(q)
         for q in queries:
-            drain_available(q, timeout_seconds=180)
+            drain_available(q, timeout_seconds=180, expected_rows=total)
     finally:
         # Stop BOTH queries before deleting their checkpoints: if the
         # first drain times out or raises, the second query is still
@@ -5128,8 +5175,10 @@ def dis_partition_add_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             _time.sleep(0.05)
         else:
             raise TimeoutError("partition-add gate: no initial progress")
+        total0 = sum(log.latest_offsets().values())
         new_p = log.add_partitions(1) - 1
         events = load_events(spark, sf_dir)
+        n_aux = events.where(F.col("event_id") % 7 == 0).count()
         env = _carry_offsets(
             spark,
             events.where(F.col("event_id") % 7 == 0)
@@ -5145,7 +5194,8 @@ def dis_partition_add_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("path", root).option("stream", "events")
             .option("segmentRows", "2000")
             .mode("append").save())
-        drain_available(q, timeout_seconds=180)
+        drain_available(q, timeout_seconds=180,
+                        expected_rows=total0 + n_aux)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return (spark.table(name)
@@ -5216,8 +5266,10 @@ def dis_pattern_add_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             _time.sleep(0.05)
         else:
             raise TimeoutError("pattern gate: no initial progress")
+        total0 = sum(DisLog(root, "events").latest_offsets().values())
         DisLog(root, "events_aux").create(1)
         events = load_events(spark, sf_dir)
+        n_aux = events.where(F.col("event_id") % 7 == 0).count()
         env = _carry_offsets(
             spark,
             events.where(F.col("event_id") % 7 == 0)
@@ -5233,7 +5285,8 @@ def dis_pattern_add_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("path", root).option("stream", "events_aux")
             .option("segmentRows", "2000")
             .mode("append").save())
-        drain_available(q, timeout_seconds=180)
+        drain_available(q, timeout_seconds=180,
+                        expected_rows=total0 + n_aux)
     finally:
         try:
             if q.isActive:
@@ -6947,7 +7000,8 @@ def dis_anomaly_zscore_tws_streamed(spark: SparkSession,
                .option("maxOffsetsPerTrigger", str(per))
                .load())
         final = _drain_multibatch(spark, zscore_gate_tws(sdf), "zgate",
-                                  output_mode="append")
+                                  output_mode="append",
+                                  expected_rows=total)
     return final.select("offset", "key", "value", "z")
 
 
@@ -7012,7 +7066,8 @@ def dis_holt_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                .option("maxOffsetsPerTrigger", str(per))
                .load())
         drained = _drain_multibatch(spark, holt_gate_tws(sdf), "holtgate",
-                                    output_mode="update")
+                                    output_mode="update",
+                                    expected_rows=total)
     w = Window.partitionBy("key").orderBy(F.desc("n_events"))
     return (drained.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
@@ -7094,7 +7149,8 @@ def dis_cusum_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                .option("maxOffsetsPerTrigger", str(per))
                .load())
         drained = _drain_multibatch(spark, cusum_gate_tws(sdf), "cusumgate",
-                                    output_mode="update")
+                                    output_mode="update",
+                                    expected_rows=total)
     w = Window.partitionBy("key").orderBy(F.desc("n_events"))
     return (drained.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
@@ -7152,12 +7208,267 @@ def dis_topk_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                .option("maxOffsetsPerTrigger", str(per))
                .load())
         drained = _drain_multibatch(spark, topk_gate_tws(sdf), "topkgate",
-                                    output_mode="update")
+                                    output_mode="update",
+                                    expected_rows=total)
     w = Window.partitionBy("key").orderBy(F.desc("n_events"))
     return (drained.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("key", "n_events", "top1", "top2", "top3",
                     "top4", "top5"))
+
+
+_TYPED_VALUE_LOG_CACHE: dict[str, str] = {}
+
+
+def _materialized_typed_value_log(spark: SparkSession, sf_dir: str):
+    """Single-partition strict id-ordered DisLog carrying the LATE HALF
+    of the event table (event_id above the id midpoint) keyed by
+    event_type, value snapped ONCE to DECIMAL(18,4) and shipped as its
+    exact decimal string, timestamp = the event's NTZ ts — the "live
+    traffic" feed the PSI drift gate scores against the early-half
+    reference profile (the zvalue-log wire discipline, different key)."""
+    from ..sources.dis_datasource import DisDataSource
+    from ..sources.dis_log import DisLog
+    from ..tables import load_events
+
+    spark.dataSource.register(DisDataSource)
+    if sf_dir not in _TYPED_VALUE_LOG_CACHE:
+        root = scratch_dir("dis_typedlog_")
+        DisLog(root, "typedvalue").create(1)
+        events = load_events(spark, sf_dir)
+        ids = events.agg(F.min("event_id").alias("mn"),
+                         F.max("event_id").alias("mx"))
+        late = (events.crossJoin(F.broadcast(ids))
+                .where(F.col("event_id") > F.expr("(mn + mx) div 2")))
+        env = _carry_offsets(
+            spark,
+            late.select(
+                F.lit(0).cast("int").alias("partition"),
+                "event_id",
+                F.col("event_type").alias("key"),
+                F.col("value").cast("decimal(18,4)").cast("string")
+                 .alias("value"),
+                F.col("ts").alias("timestamp")),
+            ["event_id"]).select(*_ENV_COLS)
+        (env.repartition(1, "partition")
+            .sortWithinPartitions("partition", "offset")
+            .write.format("dis")
+            .option("path", root).option("stream", "typedvalue")
+            .option("segmentRows", "500")
+            .mode("append").save())
+        _TYPED_VALUE_LOG_CACHE[sf_dir] = root
+    return DisLog(_TYPED_VALUE_LOG_CACHE[sf_dir], "typedvalue")
+
+
+def _psi_reference(spark: SparkSession, sf_dir: str):
+    """EARLY-HALF reference profile for the streaming PSI gate:
+    (ref_long, edges) where ref_long is the densified C x {bins} bin
+    relation (event_type, bin, ce, ne) and edges is the C-row
+    {type: (vmin, vmax)} dict broadcast into the stateful processor.
+    Edges come from the REFERENCE's own min/max (a stream cannot know
+    the late half's range — the production profile is frozen at
+    training time), unlike the batch row whose edges span both halves.
+    The edges collect is C rows (|event types|) — the bounded broadcast
+    profile itself, not a data collect."""
+    from .statistics import PSI_BINS
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    ids = events.agg(F.min("event_id").alias("mn"),
+                     F.max("event_id").alias("mx"))
+    early = (events.crossJoin(F.broadcast(ids))
+             .where(F.col("event_id") <= F.expr("(mn + mx) div 2"))
+             .select("event_type",
+                     F.col("value").cast("decimal(18,4)").cast("double")
+                     .alias("v")))
+    rng = early.groupBy("event_type").agg(F.min("v").alias("vmin"),
+                                          F.max("v").alias("vmax"))
+    refc = (early.join(F.broadcast(rng), "event_type")
+            .select("event_type", _psi_bin_expr(PSI_BINS).alias("bin"))
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("c")))
+    grid = (rng.select("event_type")
+            .crossJoin(spark.range(PSI_BINS)
+                       .select(F.col("id").cast("int").alias("bin"))))
+    reff = (grid.join(refc, ["event_type", "bin"], "left")
+            .fillna(0, ["c"]).withColumnRenamed("c", "ce"))
+    reft = reff.groupBy("event_type").agg(F.sum("ce").alias("ne"))
+    ref_long = reff.join(reft, "event_type")
+    edges = {r["event_type"]: (r["vmin"], r["vmax"])
+             for r in rng.collect()}
+    return ref_long, edges
+
+
+def _psi_bin_expr(bins: int):
+    """The gate's shared bin-assignment expression over columns
+    (v, vmin, vmax): floor((v - vmin) / ((vmax - vmin) / bins)), clamped
+    to [0, bins-1] — one fixed IEEE-double shape interpolated
+    identically into Spark, DuckDB, and the Python processor."""
+    return (F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+            .otherwise(F.greatest(F.lit(0), F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("v") - F.col("vmin"))
+                        / ((F.col("vmax") - F.col("vmin")) / float(bins)))
+                .cast("int")))))
+
+
+def _psi_oracle() -> str:
+    b = 10  # statistics.PSI_BINS; literal here, equality asserted in-row
+    bin_expr = f"""CASE WHEN r.vmax = r.vmin THEN 0
+             ELSE GREATEST(0, LEAST({b - 1},
+                  CAST(FLOOR((e.v - r.vmin)
+                       / ((r.vmax - r.vmin) / {b}.0)) AS INT))) END"""
+    return f"""
+    WITH ids AS (
+      SELECT MIN(event_id) AS mn, MAX(event_id) AS mx FROM events
+    ), ev AS (
+      SELECT event_type,
+             CAST(CAST("value" AS DECIMAL(18,4)) AS DOUBLE) AS v,
+             ts, event_id <= (mn + mx) // 2 AS early
+      FROM events, ids
+    ), rng AS (
+      SELECT event_type, MIN(v) AS vmin, MAX(v) AS vmax
+      FROM ev WHERE early GROUP BY 1
+    ), grid AS (
+      SELECT r.event_type, CAST(g.range AS INT) AS bin
+      FROM rng r, range({b}) g
+    ), refc AS (
+      SELECT e.event_type, {bin_expr} AS bin, COUNT(*) AS c
+      FROM ev e JOIN rng r USING (event_type)
+      WHERE e.early GROUP BY 1, 2
+    ), reff AS (
+      SELECT g.event_type, g.bin, COALESCE(c.c, 0) AS ce
+      FROM grid g LEFT JOIN refc c
+        ON g.event_type = c.event_type AND g.bin = c.bin
+    ), reft AS (
+      SELECT event_type, SUM(ce) AS ne FROM reff GROUP BY 1
+    ), late AS (
+      SELECT e.event_type, strftime(e.ts, '%Y-%m-%d') AS win,
+             {bin_expr} AS bin
+      FROM ev e JOIN rng r USING (event_type)
+      WHERE NOT e.early
+    ), latec AS (
+      SELECT event_type, win, bin, COUNT(*) AS c
+      FROM late GROUP BY 1, 2, 3
+    ), lgrid AS (
+      SELECT c.event_type, c.win, g.bin
+      FROM (SELECT DISTINCT event_type, win FROM late) c
+        JOIN grid g ON c.event_type = g.event_type
+    ), latef AS (
+      SELECT g.event_type, g.win, g.bin, COALESCE(l.c, 0) AS cl
+      FROM lgrid g LEFT JOIN latec l
+        ON g.event_type = l.event_type AND g.win = l.win
+           AND g.bin = l.bin
+    ), latet AS (
+      SELECT event_type, win, SUM(cl) AS ncur FROM latef GROUP BY 1, 2
+    ), contribs AS (
+      SELECT f.event_type, f.win, f.bin, t.ne, lt.ncur,
+             ((CAST(r.ce AS DOUBLE) + 1.0)
+                / (CAST(t.ne AS DOUBLE) + {b}.0)
+              - (CAST(f.cl AS DOUBLE) + 1.0)
+                / (CAST(lt.ncur AS DOUBLE) + {b}.0))
+             * ln(((CAST(r.ce AS DOUBLE) + 1.0)
+                     / (CAST(t.ne AS DOUBLE) + {b}.0))
+                  / ((CAST(f.cl AS DOUBLE) + 1.0)
+                     / (CAST(lt.ncur AS DOUBLE) + {b}.0))) AS contrib
+      FROM latef f
+        JOIN reff r ON f.event_type = r.event_type AND f.bin = r.bin
+        JOIN reft t ON f.event_type = t.event_type
+        JOIN latet lt ON f.event_type = lt.event_type AND f.win = lt.win
+    )
+    SELECT event_type, win,
+           CAST(MAX(ne) AS BIGINT) AS n_ref,
+           CAST(MAX(ncur) AS BIGINT) AS n_cur,
+           round(list_reduce(list_prepend(0.0, list(contrib ORDER BY bin)),
+                             (a, b) -> a + b), 6) + 0.0 AS psi
+    FROM contribs GROUP BY 1, 2
+    """
+
+
+@register(
+    "dis_psi_drift_tws_streamed",
+    oracle=_psi_oracle(),
+    tags=("connector", "streaming", "stateful", "tws", "drift",
+          "multibatch", "e2e"))
+def dis_psi_drift_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PSI DRIFT MONITORING on transformWithStateInPandas —
+    the live half of stats_psi_binned_drift (r10 verdict #3): the
+    early-half reference profile is computed batch-side and broadcast
+    (C-row edges into the processor closure, the C x bins count
+    relation into the final join), the LATE half streams through the
+    connector rate-limited over >= 3 data batches, per (event_type,
+    event-day) cell the {10}-bin integer counts accumulate in
+    ValueState, and the declared result is each cell's final counts
+    scored as Laplace-smoothed PSI against the reference — per-window
+    drift, exactly the monitoring job the connector exists for.
+
+    Exactness: bin counts are INTEGERS built from one shared
+    IEEE-double bin expression (the wire ships exact DECIMAL(18,4)
+    strings; float(Decimal) = the engines' exact cast), so the streamed
+    counts equal the batch counts no matter how micro-batches sliced
+    the stream — counting commutes, which is why this gate needs no
+    chunk-replicating oracle; the PSI itself is one fixed-shape double
+    expression per bin folded in bin order, round(6) absorbing the
+    last-ulp libm ln() difference (the batch row's discipline).
+
+    Unlike the batch row, bin edges come from the REFERENCE's own
+    min/max (frozen at profile time — a stream cannot see the future
+    range), with out-of-range late values clamped into the edge bins;
+    the oracle replicates exactly that.
+
+    100 TB shape: per-record work is O(1) against O(bins) integer state
+    per active (type, day) cell; the reference profile is broadcast
+    once and never rescanned; closed windows go quiet (TTL-able). The
+    final PSI join is |cells| x bins rows against a broadcast C x bins
+    reference — no fact-scale shuffle after the stateful aggregation.
+
+    Reference scope: createDirectStream + per-key stateful processing
+    (SURVEY.md S2a #1/#26 family), the drift-monitoring member of the
+    TWS gates next to anomaly/CUSUM/Holt/top-k."""
+    from ..streaming.stateful import PSI_TWS_BINS, psi_gate_tws
+    from .statistics import PSI_BINS
+
+    assert PSI_TWS_BINS == PSI_BINS, "gate/batch bin counts diverged"
+    ref_long, edges = _psi_reference(spark, sf_dir)
+    log = _materialized_typed_value_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    with _rocksdb_state(spark):
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .option("maxOffsetsPerTrigger", str(per))
+               .load())
+        env = (sdf.where(F.col("key").isin(list(edges)))
+               .select("key",
+                       F.date_format("timestamp", "yyyy-MM-dd")
+                       .alias("win"),
+                       "offset", "value"))
+        drained = _drain_multibatch(spark, psi_gate_tws(env, edges),
+                                    "psigate", output_mode="update",
+                                    expected_rows=total)
+    w = Window.partitionBy("key", "win").orderBy(F.desc("n_cur"))
+    final = (drained.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .select(F.col("key").alias("event_type"), "win", "n_cur",
+                     F.posexplode(F.array(
+                         *[F.col(f"c{i}") for i in range(PSI_BINS)]))
+                     .alias("bin", "cl")))
+    j = final.join(F.broadcast(ref_long), ["event_type", "bin"])
+    p = (F.col("ce").cast("double") + 1.0) \
+        / (F.col("ne").cast("double") + float(PSI_BINS))
+    q = (F.col("cl").cast("double") + 1.0) \
+        / (F.col("n_cur").cast("double") + float(PSI_BINS))
+    contribs = j.select("event_type", "win", "bin", "ne", "n_cur",
+                        ((p - q) * F.log(p / q)).alias("contrib"))
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("bin", "contrib"))),
+        lambda s: s["contrib"])
+    return (contribs.groupBy("event_type", "win")
+            .agg(F.max("ne").cast("bigint").alias("n_ref"),
+                 F.max("n_cur").cast("bigint").alias("n_cur"),
+                 (F.round(F.aggregate(arr, F.lit(0.0),
+                                      lambda a, x: a + x), 6)
+                  + 0.0).alias("psi")))
 
 
 BFS_SOURCE = 1     # BFS root: part key 1 (present at every SF)

@@ -969,6 +969,143 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("approx_median_within_1pct")))
 
 
+
+
+APC_QS = (0.25, 0.5, 0.9, 0.99)
+APC_ACCURACY = 10000      # percentile_approx accuracy => rank error 1e-4
+APC_EPS = 1.0 / APC_ACCURACY
+
+
+def _apc_oracle() -> str:
+    qs_values = ", ".join(f"({q!r})" for q in APC_QS)
+    return f"""
+    WITH ranked AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), qs AS (
+      SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {qs_values}) AS t(q)
+    ), targets AS (
+      SELECT g.l_returnflag, qs.q, g.n,
+             GREATEST(1, CAST(FLOOR((qs.q - {APC_EPS!r}) * g.n) AS BIGINT)
+                         - 1) AS lo_rank,
+             LEAST(g.n, CAST(CEIL((qs.q + {APC_EPS!r}) * g.n) AS BIGINT)
+                        + 1) AS hi_rank,
+             GREATEST(1, CAST(CEIL(qs.q * g.n) AS BIGINT)) AS disc_rank
+      FROM (SELECT l_returnflag, MAX(n) AS n FROM ranked GROUP BY 1) g, qs
+    )
+    SELECT t.l_returnflag AS returnflag, t.q, CAST(t.n AS BIGINT) AS n,
+           d.v AS exact_disc, l.v AS bound_lo, h.v AS bound_hi,
+           TRUE AS approx_within_bounds
+    FROM targets t
+      JOIN ranked d ON d.l_returnflag = t.l_returnflag
+                   AND d.rn = t.disc_rank
+      JOIN ranked l ON l.l_returnflag = t.l_returnflag
+                   AND l.rn = t.lo_rank
+      JOIN ranked h ON h.l_returnflag = t.l_returnflag
+                   AND h.rn = t.hi_rank
+    """
+
+
+@register(
+    "approx_percentile_contract",
+    oracle=_apc_oracle(),
+    tags=("relational", "agg", "approx", "percentile"))
+def approx_percentile_contract(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """ACCURACY CONTRACT for Spark's approx-percentile sketch (r10
+    verdict #5): the statistics rows repeatedly say "swap
+    percentile_approx in at 100 TB" — this row is the verification that
+    makes that advice safe. At declared accuracy {APC_ACCURACY}
+    (guaranteed rank error eps = 1/accuracy), the sketch must return an
+    element whose RANK lies within eps*n of q*n; the row computes, per
+    (l_returnflag, q), the EXACT order statistics at ranks
+    floor((q-eps)*n)-1 and ceil((q+eps)*n)+1 (the +-1 absorbs the
+    rank-convention off-by-one between implementations; the window is
+    still ~+-2e-4 of the distribution) and pins
+    bound_lo <= approx <= bound_hi. The sketch VALUE itself is
+    deliberately NOT in the output: Greenwald-Khanna merge order varies
+    with partitioning, so only the contract boolean is deterministic —
+    the engine-portable semantics of an approx aggregate IS its error
+    bound (approx_aggregates' discipline, tightened from a 1%-of-value
+    heuristic to the sketch's actual rank guarantee).
+
+    Exact side: order statistics ride _two_pass_rank (range exchange +
+    broadcast carry — no group-sized window), and value-at-rank is
+    tiebreak-independent (ties share the value). The three rank lookups
+    are broadcast joins of a 12-row target relation against the ranked
+    fact — at 100 TB this is one range-partitioned sort-rank plus
+    broadcast probes, while the sketch side is the single-pass mergeable
+    aggregate being certified."""
+    from .connector import _two_pass_rank
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ranked = _two_pass_rank(
+        spark,
+        li.select("l_returnflag", "l_extendedprice", "l_orderkey",
+                  "l_linenumber"),
+        ["l_returnflag"], ["l_extendedprice", "l_orderkey",
+                           "l_linenumber"])
+    ranked = ranked.select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("v"),
+        "rn", "n")
+    groups = ranked.groupBy("l_returnflag").agg(F.max("n").alias("n"))
+    targets = (groups
+               .withColumn("q", F.explode(F.array(
+                   *[F.lit(float(q)) for q in APC_QS])))
+               .select(
+                   "l_returnflag", "q", "n",
+                   F.greatest(
+                       F.lit(1).cast("bigint"),
+                       F.floor((F.col("q") - APC_EPS) * F.col("n"))
+                       .cast("bigint") - 1).alias("lo_rank"),
+                   F.least(
+                       F.col("n").cast("bigint"),
+                       F.ceil((F.col("q") + APC_EPS) * F.col("n"))
+                       .cast("bigint") + 1).alias("hi_rank"),
+                   F.greatest(
+                       F.lit(1).cast("bigint"),
+                       F.ceil(F.col("q") * F.col("n")).cast("bigint"))
+                   .alias("disc_rank")))
+    approx = (li.groupBy("l_returnflag")
+              .agg(F.percentile_approx(
+                  "l_extendedprice",
+                  F.array(*[F.lit(float(q)) for q in APC_QS]),
+                  F.lit(APC_ACCURACY)).alias("ap"))
+              .select("l_returnflag",
+                      F.posexplode(F.transform(
+                          "ap", lambda x: x.cast("double")))
+                      .alias("qi", "approx_v")))
+    qidx = F.array(*[F.lit(float(q)) for q in APC_QS])
+    approx = approx.select(
+        "l_returnflag", F.element_at(qidx, F.col("qi") + 1).alias("q"),
+        "approx_v")
+
+    def at_rank(rank_col: str, out: str):
+        return (F.broadcast(targets.select(
+                    "l_returnflag", "q",
+                    F.col(rank_col).alias("rn")))
+                .join(ranked, ["l_returnflag", "rn"])
+                .select("l_returnflag", "q", F.col("v").alias(out)))
+
+    d = at_rank("disc_rank", "exact_disc")
+    lo = at_rank("lo_rank", "bound_lo")
+    hi = at_rank("hi_rank", "bound_hi")
+    return (targets.select("l_returnflag", "q", "n")
+            .join(d, ["l_returnflag", "q"])
+            .join(lo, ["l_returnflag", "q"])
+            .join(hi, ["l_returnflag", "q"])
+            .join(approx, ["l_returnflag", "q"])
+            .select(F.col("l_returnflag").alias("returnflag"), "q",
+                    F.col("n").cast("bigint").alias("n"),
+                    "exact_disc", "bound_lo", "bound_hi",
+                    ((F.col("approx_v") >= F.col("bound_lo"))
+                     & (F.col("approx_v") <= F.col("bound_hi")))
+                    .alias("approx_within_bounds")))
+
+
 @register(
     "window_rank_distributions",
     oracle="""

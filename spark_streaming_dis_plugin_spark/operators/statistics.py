@@ -1322,3 +1322,146 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(h, 9) + 0.0).alias("h_stat"),
                     (F.round(h / corr, 9) + 0.0)
                     .alias("h_tie_corrected")))
+
+
+@register(
+    "stats_mutual_information",
+    oracle="""
+    WITH base AS (
+      SELECT n.n_name, c.c_mktsegment AS seg, o.o_orderpriority AS pri
+      FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), cells AS (
+      SELECT n_name, seg, pri, COUNT(*) AS nxy FROM base GROUP BY 1, 2, 3
+    ), margx AS (
+      SELECT n_name, seg, SUM(nxy) AS nx FROM cells GROUP BY 1, 2
+    ), margy AS (
+      SELECT n_name, pri, SUM(nxy) AS ny FROM cells GROUP BY 1, 2
+    ), tot AS (
+      SELECT n_name, SUM(nxy) AS n FROM cells GROUP BY 1
+    ), joint AS (
+      SELECT c.n_name, c.seg, c.pri,
+             (CAST(c.nxy AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * ln((CAST(c.nxy AS DOUBLE) * CAST(t.n AS DOUBLE))
+                  / (CAST(x.nx AS DOUBLE) * CAST(y.ny AS DOUBLE)))
+               AS contrib
+      FROM cells c
+        JOIN margx x ON c.n_name = x.n_name AND c.seg = x.seg
+        JOIN margy y ON c.n_name = y.n_name AND c.pri = y.pri
+        JOIN tot t ON c.n_name = t.n_name
+    ), mi AS (
+      SELECT n_name,
+             list_reduce(list_prepend(0.0, list(contrib ORDER BY seg, pri)),
+                         (a, b) -> a + b) AS mi
+      FROM joint GROUP BY n_name
+    ), hx AS (
+      SELECT x.n_name,
+             -list_reduce(list_prepend(0.0, list(
+                 (CAST(x.nx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * ln(CAST(x.nx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 ORDER BY x.seg)), (a, b) -> a + b) AS hx
+      FROM margx x JOIN tot t ON x.n_name = t.n_name
+      GROUP BY x.n_name
+    ), hy AS (
+      SELECT y.n_name,
+             -list_reduce(list_prepend(0.0, list(
+                 (CAST(y.ny AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * ln(CAST(y.ny AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 ORDER BY y.pri)), (a, b) -> a + b) AS hy
+      FROM margy y JOIN tot t ON y.n_name = t.n_name
+      GROUP BY y.n_name
+    )
+    SELECT m.n_name, CAST(t.n AS BIGINT) AS n_orders,
+           round(m.mi, 9) + 0.0 AS mi_nats,
+           round(x.hx, 9) + 0.0 AS h_segment,
+           round(y.hy, 9) + 0.0 AS h_priority,
+           round(m.mi / sqrt(x.hx * y.hy), 9) + 0.0 AS nmi
+    FROM mi m
+      JOIN tot t ON m.n_name = t.n_name
+      JOIN hx x ON m.n_name = x.n_name
+      JOIN hy y ON m.n_name = y.n_name
+    """,
+    tags=("connector", "statistics", "information-theory"))
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION per nation between a customer's market
+    segment and the priority of the orders they place — MI(X;Y) =
+    sum_xy p(x,y) ln(p(x,y)/(p(x)p(y))) in nats, the marginal entropies
+    H(segment) and H(priority), and the normalized MI
+    MI/sqrt(H_x*H_y) — the categorical-dependence screen a feature/
+    curation pipeline runs to find redundant or leaking attributes
+    (independence <=> MI = 0; this fixture's near-uniform generator
+    should sit near 0, which the oracle pins exactly rather than
+    assuming).
+
+    Exactness: the contingency core (cell, marginal, total counts) is
+    pure integers; every p-weighted log rides ONE fixed-shape double
+    expression over those integers, and each of the three sums (joint,
+    H_x, H_y) is an ORDERED fold over the sorted cell list, so both
+    engines add in the same sequence; round(9)+0.0 absorbs the last-ulp
+    libm ln() difference (the PSI/Benford discipline).
+
+    Scale shape: one hash aggregate over the joined fact down to
+    |nations| x |segments| x |priorities| cells (~625 rows at any SF);
+    marginals, entropies, and the folds all live on that aggregated
+    relation via broadcast-sized joins — nothing after the first
+    groupBy touches the fact again. The orders-customer join is the
+    fact-to-dimension hash join every TPC-H row uses; nation is a
+    broadcast."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey",
+                                                  "o_orderpriority")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (orders
+            .join(customer, orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation),
+                  customer.c_nationkey == nation.n_nationkey)
+            .select("n_name", F.col("c_mktsegment").alias("seg"),
+                    F.col("o_orderpriority").alias("pri")))
+    cells = (base.groupBy("n_name", "seg", "pri")
+             .agg(F.count(F.lit(1)).alias("nxy")))
+    margx = cells.groupBy("n_name", "seg").agg(F.sum("nxy").alias("nx"))
+    margy = cells.groupBy("n_name", "pri").agg(F.sum("nxy").alias("ny"))
+    tot = cells.groupBy("n_name").agg(F.sum("nxy").alias("n"))
+
+    nxy_d = F.col("nxy").cast("double")
+    n_d = F.col("n").cast("double")
+    nx_d = F.col("nx").cast("double")
+    ny_d = F.col("ny").cast("double")
+    joint = (cells
+             .join(F.broadcast(margx), ["n_name", "seg"])
+             .join(F.broadcast(margy), ["n_name", "pri"])
+             .join(F.broadcast(tot), "n_name")
+             .select("n_name", "seg", "pri",
+                     ((nxy_d / n_d)
+                      * F.log((nxy_d * n_d) / (nx_d * ny_d)))
+                     .alias("contrib")))
+
+    def _fold(df: DataFrame, order_cols: list[str], val: str) -> DataFrame:
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct(*order_cols, val))),
+            lambda s: s[val])
+        return df.groupBy("n_name").agg(
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x).alias(val))
+
+    mi = _fold(joint, ["seg", "pri"], "contrib") \
+        .withColumnRenamed("contrib", "mi")
+    hx = _fold(
+        margx.join(F.broadcast(tot), "n_name")
+        .select("n_name", "seg",
+                ((nx_d / n_d) * F.log(nx_d / n_d)).alias("h")),
+        ["seg"], "h").select("n_name", (-F.col("h")).alias("hx"))
+    hy = _fold(
+        margy.join(F.broadcast(tot), "n_name")
+        .select("n_name", "pri",
+                ((ny_d / n_d) * F.log(ny_d / n_d)).alias("h")),
+        ["pri"], "h").select("n_name", (-F.col("h")).alias("hy"))
+    return (mi.join(tot, "n_name").join(hx, "n_name").join(hy, "n_name")
+            .select("n_name", F.col("n").cast("bigint").alias("n_orders"),
+                    (F.round("mi", 9) + 0.0).alias("mi_nats"),
+                    (F.round("hx", 9) + 0.0).alias("h_segment"),
+                    (F.round("hy", 9) + 0.0).alias("h_priority"),
+                    (F.round(F.col("mi")
+                             / F.sqrt(F.col("hx") * F.col("hy")), 9)
+                     + 0.0).alias("nmi")))

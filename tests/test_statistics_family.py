@@ -561,3 +561,65 @@ def test_bollinger_4dp_cross_engine_exact(spark, tmp_path):
         # identical exact 8-dp decimal core
         assert g[1] == w[1] and g[2] == w[2] and g[3] == w[3]
         assert g[4] == w[4]
+
+
+def test_psi_streamed_gate_matches_python_reference(spark, sf_dir):
+    """Third implementation of dis_psi_drift_tws_streamed's declared
+    semantics (the sweep already pins Spark == DuckDB): early-half
+    reference profile with early-only edges, late half binned per
+    (type, day), Laplace-smoothed PSI — hand-rolled from the parquet."""
+    import math
+    from spark_streaming_dis_plugin_spark.operators.connector import (
+        dis_psi_drift_tws_streamed,
+    )
+    from spark_streaming_dis_plugin_spark.operators.statistics import (
+        PSI_BINS,
+    )
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT event_id, event_type, "
+        "CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE), "
+        "strftime(ts, '%Y-%m-%d') FROM "
+        f"'{sf_dir}/events.parquet'").fetchall()
+    ids = [r[0] for r in rows]
+    mid = (min(ids) + max(ids)) // 2
+    early = [(t, v) for i, t, v, _d in rows if i <= mid]
+    late = [(t, v, d) for i, t, v, d in rows if i > mid]
+
+    edges = {}
+    for t, v in early:
+        lo, hi = edges.get(t, (v, v))
+        edges[t] = (min(lo, v), max(hi, v))
+
+    def binof(t, v):
+        vmin, vmax = edges[t]
+        if vmax == vmin:
+            return 0
+        return max(0, min(PSI_BINS - 1,
+                          int(math.floor((v - vmin)
+                                         / ((vmax - vmin) / PSI_BINS)))))
+
+    ref = {t: [0] * PSI_BINS for t in edges}
+    for t, v in early:
+        ref[t][binof(t, v)] += 1
+    cur: dict = {}
+    for t, v, d in late:
+        if t not in edges:
+            continue
+        cur.setdefault((t, d), [0] * PSI_BINS)[binof(t, v)] += 1
+
+    got = {(r["event_type"], r["win"]): r
+           for r in dis_psi_drift_tws_streamed(spark, sf_dir).collect()}
+    assert set(got) == set(cur)
+    for (t, d), counts in cur.items():
+        ne, nc = sum(ref[t]), sum(counts)
+        psi = 0.0
+        for b in range(PSI_BINS):
+            p = (ref[t][b] + 1.0) / (ne + float(PSI_BINS))
+            q = (counts[b] + 1.0) / (nc + float(PSI_BINS))
+            psi += (p - q) * math.log(p / q)
+        r = got[(t, d)]
+        assert r["n_ref"] == ne and r["n_cur"] == nc
+        assert r["psi"] == pytest.approx(psi, abs=1e-6)
+        assert r["psi"] >= 0.0   # PSI contribs are nonnegative
