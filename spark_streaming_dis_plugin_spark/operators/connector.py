@@ -7471,6 +7471,176 @@ def dis_psi_drift_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + 0.0).alias("psi")))
 
 
+def _sample_tws_oracle() -> str:
+    from ..streaming.stateful import SAMPLE_TWS_K
+    h = portable_hash_sql("CAST(off AS VARCHAR) || ':' || v")
+    return f"""
+    WITH ids AS (
+      SELECT MIN(event_id) AS mn, MAX(event_id) AS mx FROM events
+    ), late AS (
+      SELECT event_type,
+             CAST(CAST("value" AS DECIMAL(18,4)) AS VARCHAR) AS v,
+             CAST(ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS BIGINT)
+               AS off
+      FROM events, ids WHERE event_id > (mn + mx) // 2
+    ), hashed AS (
+      SELECT event_type, off, v, {h} AS hh,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM late
+    ), ranked AS (
+      SELECT event_type, off, v, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hh, off) AS rnk
+      FROM hashed
+    )
+    SELECT event_type AS key, CAST(n AS BIGINT) AS n_seen,
+           CAST(rnk AS BIGINT) AS rnk, off, v AS value
+    FROM ranked WHERE rnk <= {SAMPLE_TWS_K}
+    """
+
+
+@register(
+    "dis_sample_tws_streamed",
+    oracle=_sample_tws_oracle(),
+    tags=("connector", "streaming", "stateful", "tws", "sampling",
+          "multibatch", "e2e"))
+def dis_sample_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DETERMINISTIC SAMPLE on transformWithStateInPandas —
+    the batch exact-k hash sampler kept LIVE on the connector: per
+    event_type, ListState maintains the bottom-{8} records by portable
+    hash of "<offset>:<value>" as the late-half typed-value log drains
+    rate-limited over >= 3 data batches; the declared result is each
+    type's final board (rank, offset, value) plus its running count,
+    hash-matched against the batch ORDER BY hash LIMIT k oracle over
+    the same records. Bottom-k-by-fixed-hash is associative/commutative
+    (min-k), so the streamed board MUST equal the batch answer no
+    matter where batch cuts land — one evicted-then-needed record, a
+    lost board entry across a micro-batch boundary, or a hash-input
+    drift (the wire's exact decimal string IS the hash input) breaks
+    the hash. This is the pipeline's uniform-sample maintenance
+    primitive: reservoir sampling's job with RNG replaced by a
+    deterministic mergeable sketch, which is what makes it testable AND
+    what production samplers (dataset cards, eval holdouts) actually
+    ship.
+
+    100 TB shape: O(k) state per key, no history; emissions are k rows
+    per active key per batch; the oracle-side rank is a per-type window
+    over the late half (fixture C=5 types; entity-keyed variants price
+    the same O(k) state per key).
+
+    Reference scope: createDirectStream + per-key stateful processing
+    (SURVEY.md S2a #1/#26 family), the sampling member of the TWS gates
+    next to top-k/CUSUM/Holt/PSI."""
+    from ..streaming.stateful import SAMPLE_TWS_K, sample_gate_tws
+
+    log = _materialized_typed_value_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per = max(-(-total // 5), 1)
+    with _rocksdb_state(spark):
+        sdf = (spark.readStream.format("dis")
+               .option("path", log.root).option("stream", log.stream)
+               .option("maxOffsetsPerTrigger", str(per))
+               .load())
+        drained = _drain_multibatch(spark, sample_gate_tws(sdf),
+                                    "samplegate", output_mode="update",
+                                    expected_rows=total)
+    w = Window.partitionBy("key", "rnk").orderBy(F.desc("n_seen"))
+    return (drained.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("rnk") <= SAMPLE_TWS_K))
+            .select("key", "n_seen", "rnk", "off", "value"))
+
+
+@register(
+    "dis_sample_restart_streamed",
+    oracle=_sample_tws_oracle(),
+    tags=("connector", "streaming", "stateful", "tws", "sampling",
+          "restart", "e2e"))
+def dis_sample_restart_streamed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """SAMPLE-GATE STATE across CHECKPOINT RESTART — the kill/resume leg
+    for the round's new state class (ListState board + ValueState
+    counter), keeping the 'every stateful class has a restart gate'
+    family complete: the bottom-k board parked mid-backlog must survive
+    a real kill — a lost board entry resurfaces as a wrong sample
+    member (min-k can NEVER re-admit an evicted record, so the damage
+    would be permanent and the hash breaks), a rolled-back counter
+    breaks the n_seen column, and a replayed batch must overwrite its
+    own emission directory, not append a duplicate. Three runs over ONE
+    checkpoint (dis_tws_restart_streamed's protocol); update-style
+    emissions land via foreachBatch in per-batch overwrite directories
+    (replay-idempotent — the parquet sink's append mode cannot carry an
+    update-mode gate), and the declared result is each (key, rank)'s
+    final-board row, hash-matched against the SAME batch bottom-k
+    oracle as the live gate."""
+    import shutil
+    import time as _time
+
+    from ..streaming.drain import drain_available
+    from ..streaming.stateful import sample_gate_tws
+
+    log = _materialized_typed_value_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per_trigger = max(total // 6, 1)
+    out = scratch_dir("samplerestart_out_")
+    ckpt = scratch_dir("samplerestart_ckpt_")
+
+    def sink(bdf, batch_id):
+        bdf.write.mode("overwrite").parquet(f"{out}/src=b{batch_id}")
+
+    def start(trigger: dict, rate_limited: bool):
+        r = (spark.readStream.format("dis")
+             .option("path", log.root).option("stream", log.stream))
+        if rate_limited:
+            r = r.option("maxOffsetsPerTrigger", str(per_trigger))
+        return (sample_gate_tws(r.load())
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger).start())
+
+    q = None
+    try:
+        with _rocksdb_state(spark):
+            q = start({"availableNow": True}, rate_limited=True)
+            if not q.awaitTermination(120):
+                raise TimeoutError(
+                    "sample-restart phase 1 did not terminate")
+            q = start({"processingTime": "0 seconds"}, rate_limited=True)
+            deadline = _time.monotonic() + 120
+            try:
+                while _time.monotonic() < deadline:
+                    if q.exception() is not None:
+                        raise q.exception()
+                    if any(p["numInputRows"] > 0
+                           for p in q.recentProgress):
+                        break
+                    _time.sleep(0.05)
+                else:
+                    raise TimeoutError("sample-restart phase 2: "
+                                       "no progress")
+            finally:
+                q.stop()               # the mid-drain kill
+                q.awaitTermination(60)
+            q = start({"processingTime": "0 seconds"},
+                      rate_limited=False)
+            # idle-detection kept deliberately: the backlog remaining
+            # after the kill is not computable (r10 verdict #4 audit)
+            drain_available(q, timeout_seconds=180)
+        final = spark.read.parquet(out)
+    finally:
+        try:
+            if q is not None and q.isActive:
+                q.stop()
+                q.awaitTermination(60)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
+    w = Window.partitionBy("key", "rnk").orderBy(F.desc("n_seen"))
+    return (final.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("key", "n_seen", "rnk", "off", "value"))
+
+
 BFS_SOURCE = 1     # BFS root: part key 1 (present at every SF)
 BFS_MAX_HOPS = 3
 

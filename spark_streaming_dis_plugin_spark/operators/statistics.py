@@ -1465,3 +1465,171 @@ def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.col("mi")
                              / F.sqrt(F.col("hx") * F.col("hy")), 9)
                      + 0.0).alias("nmi")))
+
+
+@register(
+    "stats_kendall_tau",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS g, l_quantity AS x, l_linenumber AS y,
+             CAST(COUNT(*) AS DECIMAL(19,0)) AS c
+      FROM lineitem GROUP BY 1, 2, 3
+    ), conc AS (
+      SELECT a.g, SUM(a.c * b.c) AS cc
+      FROM cells a JOIN cells b
+        ON a.g = b.g AND a.x < b.x AND a.y < b.y
+      GROUP BY a.g
+    ), disc AS (
+      SELECT a.g, SUM(a.c * b.c) AS dd
+      FROM cells a JOIN cells b
+        ON a.g = b.g AND a.x < b.x AND a.y > b.y
+      GROUP BY a.g
+    ), mx AS (
+      SELECT g, SUM(cx * (cx - 1) / 2) AS n1 FROM (
+        SELECT g, x, SUM(c) AS cx FROM cells GROUP BY 1, 2
+      ) GROUP BY g
+    ), my AS (
+      SELECT g, SUM(cy * (cy - 1) / 2) AS n2 FROM (
+        SELECT g, y, SUM(c) AS cy FROM cells GROUP BY 1, 2
+      ) GROUP BY g
+    ), tot AS (
+      SELECT g, SUM(c) AS n, SUM(c) * (SUM(c) - 1) / 2 AS n0
+      FROM cells GROUP BY g
+    )
+    SELECT t.g AS l_returnflag, CAST(t.n AS BIGINT) AS n_items,
+           CAST(co.cc AS BIGINT) AS concordant,
+           CAST(di.dd AS BIGINT) AS discordant,
+           round((CAST(CAST(co.cc AS VARCHAR) AS DOUBLE)
+                  - CAST(CAST(di.dd AS VARCHAR) AS DOUBLE))
+                 / sqrt(CAST(CAST(t.n0 - x.n1 AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(t.n0 - y.n2 AS VARCHAR) AS DOUBLE)),
+                 9) + 0.0 AS tau_b
+    FROM tot t
+      JOIN conc co ON t.g = co.g
+      JOIN disc di ON t.g = di.g
+      JOIN mx x ON t.g = x.g
+      JOIN my y ON t.g = y.g
+    """,
+    tags=("connector", "statistics", "rank-correlation"))
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S TAU-B per return flag between line quantity and line
+    number — the rank-correlation twin of stats_spearman_corr that is
+    robust to the MASSIVE ties both columns carry (50 and 7 distinct
+    values): tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with C/D the
+    concordant/discordant pair counts and n1/n2 the within-column tie
+    pair counts.
+
+    The naive computation enumerates n^2/2 row pairs — unshippable.
+    This plan exploits the discreteness the ties come from: aggregate
+    to the |X| x |Y| CONTINGENCY CELLS first (one hash aggregate over
+    the fact), then count pairs cell-against-cell — C = sum over cell
+    pairs with x_i < x_j, y_i < y_j of c_i*c_j, D likewise with y
+    reversed — an inequality self-join on a ~350-row aggregated
+    relation per group (Theil-Sen's discipline: pick the family member
+    whose pair structure collapses). Every count is exact DECIMAL
+    integer algebra (products at (19,0)x(19,0) -> exact (38,0), safe to
+    ~1e19 rows); tau itself is ONE fixed-shape double expression over
+    those integers, round(9)+0.0, with the DuckDB decimal->double cast
+    routed through VARCHAR (the moments-row ulp discipline). The
+    BIGINT-cast C/D output columns bound the fixture domain, not the
+    algorithm — the decimal core never leaves 38 digits.
+
+    Scale shape: one fact-scale hash aggregate; everything after lives
+    on |cells| rows (broadcastable), so the inequality join is a tiny
+    nested loop by construction, not a fact-scale cross product."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_linenumber").alias("y"))
+    cells = (li.groupBy("g", "x", "y")
+             .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("c")))
+    a = cells.select(F.col("g").alias("ag"), F.col("x").alias("ax"),
+                     F.col("y").alias("ay"), F.col("c").alias("ac"))
+    b = cells.select(F.col("g").alias("bg"), F.col("x").alias("bx"),
+                     F.col("y").alias("by"), F.col("c").alias("bc"))
+    conc = (a.join(F.broadcast(b),
+                   (F.col("ag") == F.col("bg"))
+                   & (F.col("ax") < F.col("bx"))
+                   & (F.col("ay") < F.col("by")))
+            .groupBy(F.col("ag").alias("g"))
+            .agg(F.sum(F.col("ac") * F.col("bc")).alias("cc")))
+    disc = (a.join(F.broadcast(b),
+                   (F.col("ag") == F.col("bg"))
+                   & (F.col("ax") < F.col("bx"))
+                   & (F.col("ay") > F.col("by")))
+            .groupBy(F.col("ag").alias("g"))
+            .agg(F.sum(F.col("ac") * F.col("bc")).alias("dd")))
+    mx = (cells.groupBy("g", "x").agg(F.sum("c").alias("cx"))
+          .groupBy("g")
+          .agg(F.sum(F.col("cx") * (F.col("cx") - 1) / 2).alias("n1")))
+    my = (cells.groupBy("g", "y").agg(F.sum("c").alias("cy"))
+          .groupBy("g")
+          .agg(F.sum(F.col("cy") * (F.col("cy") - 1) / 2).alias("n2")))
+    tot = (cells.groupBy("g")
+           .agg(F.sum("c").alias("n"),
+                (F.sum("c") * (F.sum("c") - 1) / 2).alias("n0")))
+    tau = ((F.col("cc").cast("double") - F.col("dd").cast("double"))
+           / F.sqrt((F.col("n0") - F.col("n1")).cast("double")
+                    * (F.col("n0") - F.col("n2")).cast("double")))
+    return (tot.join(conc, "g").join(disc, "g").join(mx, "g").join(my, "g")
+            .select(F.col("g").alias("l_returnflag"),
+                    F.col("n").cast("bigint").alias("n_items"),
+                    F.col("cc").cast("bigint").alias("concordant"),
+                    F.col("dd").cast("bigint").alias("discordant"),
+                    (F.round(tau, 9) + 0.0).alias("tau_b")))
+
+
+@register(
+    "orders_priority_markov",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority AS pri,
+             LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ), trans AS (
+      SELECT prev AS from_pri, pri AS to_pri, COUNT(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ), rowtot AS (
+      SELECT from_pri, SUM(n) AS rn FROM trans GROUP BY 1
+    )
+    SELECT t.from_pri, t.to_pri, CAST(t.n AS BIGINT) AS n_transitions,
+           round(CAST(t.n AS DOUBLE) / CAST(r.rn AS DOUBLE), 9) + 0.0
+             AS p_transition
+    FROM trans t JOIN rowtot r ON t.from_pri = r.from_pri
+    """,
+    tags=("connector", "statistics", "sequence", "markov"))
+def orders_priority_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV TRANSITION MATRIX over each customer's order
+    priority sequence (ordered by order date, then key): for every
+    (from, to) priority pair, the transition count and the
+    row-normalized transition probability — the sequence-dependence
+    screen behind churn models, next-action prediction, and the
+    sessionized funnel rows, reduced to its exact-count core.
+
+    Exactness: transitions are pure integer counts from one LAG over a
+    deterministic per-customer order; p_transition is one double
+    division, round(9)+0.0.
+
+    Scale shape: the LAG window partitions by o_custkey — an entity key
+    (fixture n/10, production millions), so partitions stay tiny and
+    parallelism high (the GOOD window shape, per the Bollinger
+    docstring's taxonomy); everything after the LAG is a hash aggregate
+    down to |priorities|^2 = 25 rows and a broadcast-sized join."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.lag("o_orderpriority").over(w).alias("prev"))
+    trans = (seq.where(F.col("prev").isNotNull())
+             .groupBy(F.col("prev").alias("from_pri"),
+                      F.col("pri").alias("to_pri"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    rowtot = trans.groupBy("from_pri").agg(F.sum("n").alias("rn"))
+    return (trans.join(F.broadcast(rowtot), "from_pri")
+            .select("from_pri", "to_pri",
+                    F.col("n").cast("bigint").alias("n_transitions"),
+                    (F.round(F.col("n").cast("double")
+                             / F.col("rn").cast("double"), 9) + 0.0)
+                    .alias("p_transition")))

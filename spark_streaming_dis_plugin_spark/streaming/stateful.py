@@ -901,3 +901,81 @@ def psi_gate_tws(env: DataFrame,
                 outputStructType=PSI_OUT_SCHEMA,
                 outputMode="Update",
                 timeMode="None"))
+
+
+# --------------------- streaming deterministic-sample gate on TWS
+
+SAMPLE_TWS_K = 8
+
+SAMPLE_OUT_SCHEMA = ("key string, n_seen bigint, rnk bigint, "
+                     "off bigint, value string")
+
+
+def sample_gate_tws(env: DataFrame) -> DataFrame:
+    """Streaming EXACT-K UNIFORM SAMPLE maintenance — the
+    transformWithState twin of the batch bottom-k hash samplers
+    (operators/pipeline.sample_exact_k's discipline, kept live): per
+    key, ListState holds the {SAMPLE_TWS_K} records with the SMALLEST
+    portable 60-bit hash of "<offset>:<value>"; every arriving record
+    is merged and the board truncated, and each batch emits the key's
+    current board with its running count (update-style; callers keep
+    each key's max-count rows).
+
+    Bottom-k by a fixed hash IS the mergeable deterministic sample: the
+    final board provably equals the batch ORDER BY hash LIMIT k over
+    the whole stream regardless of batch slicing (min-k is associative
+    and commutative), which is exactly why production samplers use it —
+    a reservoir sample with RNG state could never be oracle-gated. The
+    hash is functions/portable.portable_hash_py, whose Spark and DuckDB
+    twins compute the identical value, so the oracle ranks with the
+    same keys; offsets make hash inputs unique, ties deterministic.
+
+    100 TB posture: O(k) state per ACTIVE key, O(log k)-ish per-record
+    merge, no history; the emitted board is k rows per key per batch.
+    Keys here are entity classes (event types); per-user boards price
+    identically (state is k tuples either way)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from ..functions.portable import portable_hash_py
+
+    k = SAMPLE_TWS_K
+    cols = ["key", "n_seen", "rnk", "off", "value"]
+
+    class _SampleProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._cnt = handle.getValueState("cnt", "n bigint")
+            self._board = handle.getListState(
+                "board", "h bigint, off bigint, v string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._cnt.get()[0] if self._cnt.exists() else 0
+            board = [(int(r[0]), int(r[1]), str(r[2]))
+                     for r in self._board.get()]
+            batch = pd.concat(list(rows), ignore_index=True) \
+                if rows else pd.DataFrame()
+            if not len(batch):
+                return iter(())
+            for _, row in batch.sort_values("offset").iterrows():
+                off = int(row["offset"])
+                v = str(row["value"])
+                n += 1
+                board.append((portable_hash_py(f"{off}:{v}"), off, v))
+                board.sort()
+                del board[k:]
+            self._cnt.update((n,))
+            self._board.put(board)
+            return iter([pd.DataFrame(
+                [(key[0], int(n), i + 1, off, v)
+                 for i, (_h, off, v) in enumerate(board)],
+                columns=cols)])
+
+        def close(self) -> None:
+            pass
+
+    return (env.select("key", "offset", "value")
+            .groupBy("key")
+            .transformWithStateInPandas(
+                statefulProcessor=_SampleProcessor(),
+                outputStructType=SAMPLE_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None"))

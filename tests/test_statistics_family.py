@@ -623,3 +623,116 @@ def test_psi_streamed_gate_matches_python_reference(spark, sf_dir):
         assert r["n_ref"] == ne and r["n_cur"] == nc
         assert r["psi"] == pytest.approx(psi, abs=1e-6)
         assert r["psi"] >= 0.0   # PSI contribs are nonnegative
+
+
+def test_kendall_tau_reference(spark, sf_dir, tables):
+    """O(cells^2) engine plan vs a direct O(n^2)-free Python reference
+    built from the same contingency cells (independently recomputed)."""
+    from spark_streaming_dis_plugin_spark.operators.statistics import (
+        stats_kendall_tau,
+    )
+    got = {r["l_returnflag"]: r
+           for r in stats_kendall_tau(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT l_returnflag, l_quantity, l_linenumber FROM "
+        f"'{sf_dir}/lineitem.parquet'").fetchall()
+    cells = Counter(rows)
+    by_g = defaultdict(dict)
+    for (g, x, y), c in cells.items():
+        by_g[g][(x, y)] = c
+    for g, cc in by_g.items():
+        items = sorted(cc.items())
+        conc = disc = 0
+        for i, ((x1, y1), c1) in enumerate(items):
+            for (x2, y2), c2 in items[i + 1:]:
+                if x1 < x2 and y1 < y2:
+                    conc += c1 * c2
+                elif x1 < x2 and y1 > y2:
+                    disc += c1 * c2
+        n = sum(cc.values())
+        n0 = n * (n - 1) // 2
+        cx = Counter()
+        cy = Counter()
+        for (x, y), c in cc.items():
+            cx[x] += c
+            cy[y] += c
+        n1 = sum(v * (v - 1) // 2 for v in cx.values())
+        n2 = sum(v * (v - 1) // 2 for v in cy.values())
+        tau = (conc - disc) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+        r = got[g]
+        assert r["n_items"] == n
+        assert r["concordant"] == conc and r["discordant"] == disc
+        assert r["tau_b"] == pytest.approx(tau, abs=1e-9)
+        assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_mutual_information_reference(spark, sf_dir, tables):
+    from spark_streaming_dis_plugin_spark.operators.statistics import (
+        stats_mutual_information,
+    )
+    got = {r["n_name"]: r
+           for r in stats_mutual_information(spark, sf_dir).collect()}
+    cols = tables["orders_cols"]
+    ic = {c: i for i, c in enumerate(cols)}
+    cells = Counter()
+    for row in tables["orders"]:
+        cust = tables["customer"][row[ic["o_custkey"]]]
+        nname = tables["nation"][cust[2]]
+        cells[(nname, cust[4], row[ic["o_orderpriority"]])] += 1
+    by_n = defaultdict(Counter)
+    for (nn, s, p), c in cells.items():
+        by_n[nn][(s, p)] = c
+    for nn, cc in by_n.items():
+        n = sum(cc.values())
+        cx = Counter()
+        cy = Counter()
+        for (s, p), c in cc.items():
+            cx[s] += c
+            cy[p] += c
+        mi = sum((c / n) * math.log(c * n / (cx[s] * cy[p]))
+                 for (s, p), c in sorted(cc.items()))
+        hx = -sum((v / n) * math.log(v / n) for v in cx.values())
+        hy = -sum((v / n) * math.log(v / n) for v in cy.values())
+        r = got[nn]
+        assert r["n_orders"] == n
+        assert r["mi_nats"] == pytest.approx(mi, abs=1e-6)
+        assert r["h_segment"] == pytest.approx(hx, abs=1e-6)
+        assert r["h_priority"] == pytest.approx(hy, abs=1e-6)
+        assert r["nmi"] == pytest.approx(mi / math.sqrt(hx * hy), abs=1e-6)
+        # information inequalities: 0 <= MI <= min(Hx, Hy)
+        assert -1e-9 <= r["mi_nats"] <= min(hx, hy) + 1e-9
+
+
+def test_sample_gate_matches_python_bottomk(spark, sf_dir):
+    """The streamed deterministic sample == the bottom-k a pure-Python
+    pass computes with the same portable hash over the late half."""
+    from spark_streaming_dis_plugin_spark.functions.portable import (
+        portable_hash_py,
+    )
+    from spark_streaming_dis_plugin_spark.operators.connector import (
+        dis_sample_tws_streamed,
+    )
+    from spark_streaming_dis_plugin_spark.streaming.stateful import (
+        SAMPLE_TWS_K,
+    )
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT event_id, event_type, "
+        "CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR) FROM "
+        f"'{sf_dir}/events.parquet' ORDER BY event_id").fetchall()
+    ids = [r[0] for r in rows]
+    mid = (min(ids) + max(ids)) // 2
+    late = [(t, v) for i, t, v in rows if i > mid]
+    boards = defaultdict(list)
+    for off, (t, v) in enumerate(late):
+        boards[t].append((portable_hash_py(f"{off}:{v}"), off, v))
+    want = {}
+    for t, entries in boards.items():
+        entries.sort()
+        for rnk, (_h, off, v) in enumerate(entries[:SAMPLE_TWS_K], 1):
+            want[(t, rnk)] = (len(entries), off, v)
+    got = {(r["key"], r["rnk"]): (r["n_seen"], r["off"], r["value"])
+           for r in dis_sample_tws_streamed(spark, sf_dir).collect()}
+    assert got == want and len(got) == 5 * SAMPLE_TWS_K
