@@ -140,7 +140,8 @@ def _streaming_throughput(spark, sf_dir: str) -> dict:
                   .option("checkpointLocation", ckpt))
         if max_per:
             q = writer.trigger(processingTime="0 seconds").start()
-            n_batches = drain_available(q, timeout_seconds=300)
+            n_batches = drain_available(q, timeout_seconds=300,
+                                        expected_rows=total)
         else:
             q = writer.trigger(availableNow=True).start()
             if not q.awaitTermination(300):

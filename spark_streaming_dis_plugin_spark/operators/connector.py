@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.portable import portable_hash_sql
+from ..sources.dis_datasource import register as _register_dis
 from ..plans.registry import register
 from ..scratch import scratch_dir
 from ..sources.dis_log import DEFAULT_NUM_PARTITIONS, envelope, envelope_sql
@@ -301,10 +302,9 @@ def _materialized_log(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir per process) a real on-disk DisLog from the
     events fixture and register format('dis')."""
 
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog, create_log_from_events
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     if sf_dir not in _LOG_CACHE:
         root = scratch_dir("dis_log_")
         create_log_from_events(spark, f"{sf_dir}/events.parquet", root,
@@ -711,11 +711,10 @@ def _materialized_scrambled_log(spark: SparkSession, sf_dir: str):
     (batch = offset // per_trigger, no lag split to model), which is what
     lets the oracle recompute the watermark progression declaratively.
     Harness fixture only; production logs stay partitioned."""
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
     from ..tables import load_events
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     if sf_dir not in _SCRAMBLE_LOG_CACHE:
         root = scratch_dir("dis_latelog_")
         log = DisLog(root, "late").create(1)
@@ -751,11 +750,10 @@ def _materialized_ordered_log(spark: SparkSession, sf_dir: str):
     function of the log (batch = offset // per), and (b) time-ordered
     arrival makes watermark behavior provable: nothing is ever late, and
     the per-batch running-max event time is just the batch's last row."""
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
     from ..tables import load_events
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     if sf_dir not in _ORDERED_LOG_CACHE:
         root = scratch_dir("dis_orderedlog_")
         DisLog(root, "ordered").create(1)
@@ -906,11 +904,10 @@ def _materialized_scrambled_multipart_log(spark: SparkSession, sf_dir: str):
     per-partition until-offsets follow the lag-proportional split
     (sources/rate.py), which the oracle re-derives with a recursive CTE.
     Harness fixture only."""
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
     from ..tables import load_events
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     if sf_dir not in _SCRAMBLE_MP_LOG_CACHE:
         root = scratch_dir("dis_latelog_mp_")
         DisLog(root, "latemp").create(3)
@@ -1420,11 +1417,10 @@ def _materialized_docs_log(spark: SparkSession, sf_dir: str):
     streaming connector, which is exactly the 100 TB ingestion shape:
     documents arrive on a partitioned log and quality/token analysis
     runs as the stream is consumed, not as a later batch pass."""
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
     from ..tables import load
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     if sf_dir not in _DOCS_LOG_CACHE:
         root = scratch_dir("dis_docslog_")
         DisLog(root, "docs").create(DEFAULT_NUM_PARTITIONS)
@@ -2156,11 +2152,10 @@ def _materialized_multi_log(spark: SparkSession, sf_dir: str) -> str:
     events_b = odd), each a real on-disk DisLog written through the
     format('dis') explicit-offset writer."""
 
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
     from ..tables import load_events
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     if sf_dir not in _MULTI_LOG_CACHE:
         root = scratch_dir("dis_multilog_")
         events = load_events(spark, sf_dir)
@@ -2342,10 +2337,9 @@ def dis_producer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     to task scheduling), so they are deliberately NOT projected; content
     and routing are what the producer contract guarantees."""
 
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     root = scratch_dir("dis_producer_")
     DisLog(root, "produced").create(DEFAULT_NUM_PARTITIONS)
     (_envelope(spark, sf_dir)
@@ -3213,12 +3207,11 @@ def _materialized_embeddings_log(spark: SparkSession, sf_dir: str):
     once per (process, sf_dir); value = to_json(vec_id, e) (float->double
     cast is exact, and Jackson prints shortest-round-trip doubles, so the
     payload parses back bit-identical)."""
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
 
     from .similarity import ann_ingest_split
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     if sf_dir not in _ANN_LOG_CACHE:
         root = scratch_dir("dis_emb_log_")
         _, streamed = ann_ingest_split(spark, sf_dir)
@@ -3857,12 +3850,11 @@ def _materialized_ann_query_log(spark: SparkSession, sf_dir: str):
     JSON payloads — the arrival stream for the query-serving gate. Tiny
     by construction (queries, not corpus); small segments so a rate
     limit spreads it over several micro-batches."""
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
 
     from .similarity import N_QUERIES
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     if sf_dir not in _ANN_QUERY_LOG_CACHE:
         from ..tables import load
 
@@ -4668,11 +4660,10 @@ def dis_tail_subscribe_streamed(spark: SparkSession,
     import time as _time
     import uuid
 
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
     from ..tables import load_events
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     root = scratch_dir("dis_taillog_")
     DisLog(root, "tail").create(DEFAULT_NUM_PARTITIONS)
     events = load_events(spark, sf_dir)
@@ -4867,13 +4858,12 @@ def dis_maintenance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import create_log_from_events, \
         merge_small_segments
     from ..streaming.drain import drain_available
     from ..streaming.queries import running_wordcount
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     root = scratch_dir("dis_maintlog_")
     log = create_log_from_events(
         spark, f"{sf_dir}/events.parquet", root, stream="maint",
@@ -5146,12 +5136,11 @@ def dis_partition_add_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid
 
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog, create_log_from_events
     from ..streaming.drain import drain_available
     from ..tables import load_events
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     root = scratch_dir("dis_addlog_")
     create_log_from_events(spark, f"{sf_dir}/events.parquet", root,
                            segment_rows=2000)
@@ -5236,12 +5225,11 @@ def dis_pattern_add_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid
 
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog, create_log_from_events
     from ..streaming.drain import drain_available
     from ..tables import load_events
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     root = scratch_dir("dis_patlog_")
     create_log_from_events(spark, f"{sf_dir}/events.parquet", root,
                            segment_rows=2000)
@@ -5357,11 +5345,10 @@ def dis_pattern_revoke_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid
 
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
     from ..tables import load_events
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     root = scratch_dir("dis_revklog_")
     events = load_events(spark, sf_dir)
 
@@ -6908,11 +6895,10 @@ def _materialized_zvalue_log(spark: SparkSession, sf_dir: str):
     snapped ONCE to DECIMAL(18,4) and rendered as its exact decimal
     string — the wire format that lets downstream stateful consumers
     (zscore_gate_tws) recover the bit-exact decimal, keyed by user."""
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
     from ..tables import load_events
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     if sf_dir not in _ZVALUE_LOG_CACHE:
         root = scratch_dir("dis_zvaluelog_")
         DisLog(root, "zvalue").create(1)
@@ -7227,11 +7213,10 @@ def _materialized_typed_value_log(spark: SparkSession, sf_dir: str):
     exact decimal string, timestamp = the event's NTZ ts — the "live
     traffic" feed the PSI drift gate scores against the early-half
     reference profile (the zvalue-log wire discipline, different key)."""
-    from ..sources.dis_datasource import DisDataSource
     from ..sources.dis_log import DisLog
     from ..tables import load_events
 
-    spark.dataSource.register(DisDataSource)
+    _register_dis(spark)
     if sf_dir not in _TYPED_VALUE_LOG_CACHE:
         root = scratch_dir("dis_typedlog_")
         DisLog(root, "typedvalue").create(1)

@@ -1541,8 +1541,12 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("g"),
         F.col("l_quantity").alias("x"),
         F.col("l_linenumber").alias("y"))
+    # checkpoint barrier: five consumers (conc/disc/marginals/total)
+    # read the ~|X|x|Y|x|groups|-row cells relation — without it each
+    # would rescan and re-aggregate the fact (plan-pinned: one scan)
     cells = (li.groupBy("g", "x", "y")
-             .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("c")))
+             .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("c"))
+             .localCheckpoint(eager=True))
     a = cells.select(F.col("g").alias("ag"), F.col("x").alias("ax"),
                      F.col("y").alias("ay"), F.col("c").alias("ac"))
     b = cells.select(F.col("g").alias("bg"), F.col("x").alias("bx"),

@@ -32,6 +32,12 @@ def get_spark(app_name: str = "spark_streaming_dis_plugin_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Idle progress events default to one per 10 s, which makes
+        # every idle-detection drain pay a ~20 s tail just to SEE two
+        # of them (measured, tools/profile_microbatch.py r11); the
+        # drain's safety now lives in drain_available's time-based
+        # idle window + count targets, not in event sparsity.
+        .config("spark.sql.streaming.noDataProgressEventInterval", "250ms")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -1021,5 +1021,17 @@ class DisStreamWriter(DisWriter, DataSourceStreamWriter):
 
 
 def register(spark) -> None:
-    """Register format('dis') on this session."""
+    """Register format('dis') on this session, and tune idle progress
+    reporting: the engine emits no-data progress events at most once
+    per spark.sql.streaming.noDataProgressEventInterval (default 10 s),
+    which taxes every idle-detection drain ~20 s just to OBSERVE two
+    idle events (measured, tools/profile_microbatch.py r11). Dense
+    events restore fast termination detection; drain safety lives in
+    drain_available's count targets + time-based idle window."""
     spark.dataSource.register(DisDataSource)
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.noDataProgressEventInterval", "250ms")
+    except Exception:
+        pass   # a session that forbids runtime conf changes keeps the
+        # default interval; drains stay correct, just slower to detect

@@ -35,9 +35,18 @@ from __future__ import annotations
 import time
 
 
+def _ts(p) -> float:
+    """Progress-event timestamp as epoch seconds (ISO-8601, Z suffix)."""
+    from datetime import datetime
+
+    return datetime.fromisoformat(
+        p["timestamp"].replace("Z", "+00:00")).timestamp()
+
+
 def drain_available(query, idle_batches: int = 2, poll_seconds: float = 0.25,
                     timeout_seconds: float = 300.0,
-                    expected_rows: int | None = None) -> int:
+                    expected_rows: int | None = None,
+                    idle_seconds: float = 3.0) -> int:
     """Block until ``query`` has drained its backlog, then stop it.
 
     ``query`` is a started StreamingQuery on a processing-time trigger.
@@ -48,7 +57,15 @@ def drain_available(query, idle_batches: int = 2, poll_seconds: float = 0.25,
     row count has reached it (the load-robust count-polling phase;
     cumulative counting folds ``recentProgress`` into a per-batchId dict
     so the bounded progress buffer cannot under-count a long drain).
-    """
+
+    The idle tail is also TIME-based: the newest idle event must sit at
+    least ``idle_seconds`` after the last data event (or after the first
+    trailing idle event when no data was ever seen). With the dense
+    250 ms no-data progress events the sessions now configure, two idle
+    EVENTS alone would mean only ~0.5 s of silence — too little for the
+    drains that cannot pass ``expected_rows`` (post-kill restarts); the
+    time window restores the safety margin without the ~20 s tail that
+    the default 10 s event interval used to impose."""
     deadline = time.monotonic() + timeout_seconds
     seen: dict[int, int] = {}
     try:
@@ -63,14 +80,18 @@ def drain_available(query, idle_batches: int = 2, poll_seconds: float = 0.25,
                 time.sleep(poll_seconds)
                 continue
             if progress:
-                trailing_idle = 0
+                trailing = []
                 for p in reversed(progress):
                     if p["numInputRows"] == 0:
-                        trailing_idle += 1
+                        trailing.append(p)
                     else:
                         break
-                if trailing_idle >= idle_batches:
-                    return sum(1 for v in seen.values() if v > 0)
+                if len(trailing) >= idle_batches:
+                    n_data = len(progress) - len(trailing)
+                    ref = _ts(progress[n_data - 1]) if n_data > 0 \
+                        else _ts(trailing[-1])
+                    if _ts(trailing[0]) - ref >= idle_seconds:
+                        return sum(1 for v in seen.values() if v > 0)
             time.sleep(poll_seconds)
         raise TimeoutError(
             f"backlog not drained within {timeout_seconds}s "

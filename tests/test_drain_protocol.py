@@ -3,7 +3,10 @@ expected_rows must refuse to stop on an idle tail until the query has
 consumed that many input rows — the exact failure mode of the r10
 transient (a data batch stuck in planning under load looks identical to
 a drained backlog) — and must still require the idle tail afterwards so
-timer/watermark flush batches are never cut off.
+timer/watermark flush batches are never cut off. The idle tail itself is
+TIME-based (r11): with dense 250 ms no-data progress events, two idle
+EVENTS alone are ~0.5 s of silence, so the drain requires idle_seconds
+of quiet after the last data event.
 
 Pure-Python tests against a scripted fake StreamingQuery; the live legs
 are every converted *_streamed row in the oracle sweep."""
@@ -14,11 +17,24 @@ import pytest
 from spark_streaming_dis_plugin_spark.streaming.drain import drain_available
 
 
+def _iso(sec: float) -> str:
+    from datetime import datetime, timedelta, timezone
+
+    base = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    return (base + timedelta(seconds=sec)).strftime(
+        "%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+
+
+def _p(batch_id: int, rows: int, at_sec: float) -> dict:
+    return {"batchId": batch_id, "numInputRows": rows,
+            "timestamp": _iso(at_sec)}
+
+
 class _FakeQuery:
     """recentProgress is replayed one step per poll; stop() is recorded."""
 
     def __init__(self, steps):
-        self._steps = list(steps)   # each: list of (batchId, numInputRows)
+        self._steps = list(steps)   # each: list of progress dicts
         self._i = 0
         self.stopped = False
         self.lastProgress = None
@@ -33,25 +49,36 @@ class _FakeQuery:
     def recentProgress(self):
         step = self._steps[min(self._i, len(self._steps) - 1)]
         self._i += 1
-        return [{"batchId": b, "numInputRows": n} for b, n in step]
+        return step
 
 
-def test_idle_tail_alone_would_stop_early_without_target():
-    # two idle batches after a partial drain: legacy semantics stop here
-    steps = [[(0, 40), (1, 0), (2, 0)]]
+def test_idle_tail_with_time_window_stops_without_target():
+    # data at t=0, idle events at t=1 and t=5: >= idle_seconds of quiet
+    steps = [[_p(0, 40, 0.0), _p(1, 0, 1.0), _p(2, 0, 5.0)]]
     q = _FakeQuery(steps)
     assert drain_available(q, poll_seconds=0.0, timeout_seconds=2) == 1
-    assert q.stopped is False or True  # stop() not modeled; return is 1
+    assert q.stopped
+
+
+def test_short_idle_window_does_not_stop():
+    # two idle EVENTS only 0.5 s after the data batch: the time window
+    # must hold the drain open (this is the dense-events early-stop
+    # hazard the window exists for)
+    steps = [[_p(0, 40, 0.0), _p(1, 0, 0.25), _p(2, 0, 0.5)]]
+    q = _FakeQuery(steps)
+    with pytest.raises(TimeoutError):
+        drain_available(q, poll_seconds=0.05, timeout_seconds=0.5)
 
 
 def test_expected_rows_blocks_early_idle_tail():
-    # same early idle tail, but the stuck batch 3 lands later; with the
-    # count target the drain must wait through the idle tail and only
-    # stop once all 100 rows are consumed (plus a fresh idle tail)
+    # a long-quiet idle tail after a partial drain, but the stuck batch
+    # lands later; with the count target the drain must wait for all
+    # 100 rows (plus a fresh quiet tail) no matter how idle it looks
     steps = [
-        [(0, 40), (1, 0), (2, 0)],                    # loaded-host stall
-        [(0, 40), (1, 0), (2, 0)],
-        [(1, 0), (2, 0), (3, 60), (4, 0), (5, 0)],    # late batch + tail
+        [_p(0, 40, 0.0), _p(1, 0, 1.0), _p(2, 0, 9.0)],
+        [_p(0, 40, 0.0), _p(1, 0, 1.0), _p(2, 0, 9.0)],
+        [_p(1, 0, 1.0), _p(2, 0, 9.0), _p(3, 60, 10.0),
+         _p(4, 0, 11.0), _p(5, 0, 14.0)],
     ]
     q = _FakeQuery(steps)
     got = drain_available(q, poll_seconds=0.0, timeout_seconds=2,
@@ -63,8 +90,8 @@ def test_expected_rows_counts_cumulatively_across_buffer_eviction():
     # batch 0 ages out of recentProgress before the final poll; the
     # per-batchId dict must remember it
     steps = [
-        [(0, 70)],
-        [(1, 0), (2, 30), (3, 0), (4, 0)],   # 0 evicted from the buffer
+        [_p(0, 70, 0.0)],
+        [_p(1, 0, 1.0), _p(2, 30, 2.0), _p(3, 0, 3.0), _p(4, 0, 6.0)],
     ]
     q = _FakeQuery(steps)
     got = drain_available(q, poll_seconds=0.0, timeout_seconds=2,
@@ -72,8 +99,16 @@ def test_expected_rows_counts_cumulatively_across_buffer_eviction():
     assert got == 2
 
 
+def test_no_data_ever_uses_idle_span():
+    # a drain that legitimately sees no data (nothing to consume): the
+    # window is measured across the trailing idle events themselves
+    steps = [[_p(0, 0, 0.0), _p(1, 0, 4.0)]]
+    q = _FakeQuery(steps)
+    assert drain_available(q, poll_seconds=0.0, timeout_seconds=2) == 0
+
+
 def test_timeout_reports_consumed_vs_expected():
-    q = _FakeQuery([[(0, 10), (1, 0), (2, 0)]])
+    q = _FakeQuery([[_p(0, 10, 0.0), _p(1, 0, 1.0), _p(2, 0, 5.0)]])
     with pytest.raises(TimeoutError, match=r"10 rows of 99 expected"):
         drain_available(q, poll_seconds=0.0, timeout_seconds=0.2,
                         expected_rows=99)

@@ -733,3 +733,63 @@ def test_zipf_corpus_never_globally_sorted(spark, sf_dir):
     the OLS fold runs post-limit."""
     plan = _plan(spark, "text_zipf_slope", sf_dir)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kendall_pair_counts_on_aggregated_cells(spark, sf_dir):
+    """stats_kendall_tau: the concordant/discordant inequality join must
+    run cell-against-cell on the AGGREGATED contingency relation — the
+    broadcast side is a HashAggregate output, never the fact scan — and
+    the fact table is touched exactly once (one cells aggregate reused)."""
+    plan = _plan(spark, "stats_kendall_tau", sf_dir)
+    # the pair join keeps its equi component (group key) and planned as
+    # a broadcast HASH join with the inequalities as residual filters
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    # the checkpointed cells relation feeds all five consumers: the
+    # final plan reads NO parquet at all (the fact was scanned exactly
+    # once, at cells-materialization time)
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mutual_information_single_fact_aggregate(spark, sf_dir):
+    """stats_mutual_information: one hash aggregate reduces the joined
+    fact to cells; marginals/entropies live on broadcast-sized joins —
+    no window over the fact, no cartesian."""
+    plan = _plan(spark, "stats_mutual_information", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_approx_percentile_contract_rank_shape(spark, sf_dir):
+    """approx_percentile_contract: order statistics ride the two-pass
+    rank (windows partitioned by pid behind the range exchange, never
+    by the 3-value returnflag alone), and the rank lookups broadcast
+    the 12-row target relation."""
+    plan = _plan(spark, "approx_percentile_contract", sf_dir)
+    lines = plan.splitlines()
+    rank_windows = [ln for ln in lines
+                    if "Window" in ln and "row_number" in ln]
+    assert rank_windows, plan
+    for ln in rank_windows:
+        assert "pid" in ln, ln
+    # the sketch side is a single-pass mergeable aggregate: a partial
+    # (map-side) percentile_approx must appear
+    assert "partial_percentile_approx" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_markov_entity_keyed_lag(spark, sf_dir):
+    """orders_priority_markov: the LAG window partitions by o_custkey
+    (entity key), and everything after is hash aggregates + a broadcast
+    join on the 25-cell relation."""
+    plan = _plan(spark, "orders_priority_markov", sf_dir)
+    lines = plan.splitlines()
+    lag_windows = [ln for ln in lines if "Window" in ln and "lag(" in ln]
+    assert lag_windows, plan
+    for ln in lag_windows:
+        assert "o_custkey" in ln, ln
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -56,6 +56,10 @@ def main() -> None:
          .trigger(processingTime="0 seconds").start())
     batches = drain_available(q, timeout_seconds=600, expected_rows=total)
     wall = time.perf_counter() - t0
+    all_progress = [{"batchId": p["batchId"], "rows": p["numInputRows"],
+                     "timestamp": p["timestamp"],
+                     "trig": p["durationMs"].get("triggerExecution")}
+                    for p in q.recentProgress]
     rows = []
     for p in q.recentProgress:
         if p["numInputRows"] == 0:
@@ -63,6 +67,7 @@ def main() -> None:
         rows.append({
             "batchId": p["batchId"],
             "rows": p["numInputRows"],
+            "timestamp": p["timestamp"],
             "durationMs": p["durationMs"],
             "stateOperators": [
                 {k: op.get(k) for k in
@@ -76,7 +81,8 @@ def main() -> None:
             agg[k] = agg.get(k, 0) + int(v)
     print(json.dumps({"sf_dir": sf_dir, "data_batches": batches,
                       "records": total, "wall_sec": round(wall, 3),
-                      "sum_durationMs": agg, "per_batch": rows},
+                      "sum_durationMs": agg, "per_batch": rows,
+                      "all_progress": all_progress},
                      indent=1))
     spark.stop()
 
