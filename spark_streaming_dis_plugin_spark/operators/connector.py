@@ -1206,7 +1206,7 @@ def dis_join_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid
 
-    from ..streaming.drain import drain_available
+    from ..streaming.drain import checkpoint_committed_rows, drain_available
     from ..streaming.queries import purchase_click_join
 
     log = _materialized_ordered_log(spark, sf_dir)
@@ -1254,11 +1254,16 @@ def dis_join_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
             q.awaitTermination(60)
+        # Count floor derived from the checkpoint WAL (r11 verdict #5):
+        # what phases 1-2 actually committed is nondeterministic, but it
+        # is RECORDED — the resume must consume at least the uncommitted
+        # remainder before idling. The self-join plans two source
+        # instances (numInputRows counts both, and the WAL carries both
+        # sources' offsets), so the total doubles and the WAL sum
+        # already matches that accounting.
+        floor = max(2 * total - checkpoint_committed_rows(ckpt), 0)
         q = start({"processingTime": "0 seconds"}, rate_limited=False)
-        # idle-detection kept deliberately: the backlog remaining after a
-        # nondeterministic mid-drain kill (or availableNow prefix) is not
-        # computable, so no count target exists (r10 verdict #4 audit)
-        drain_available(q, timeout_seconds=180)
+        drain_available(q, timeout_seconds=180, expected_rows=floor)
         final = spark.read.parquet(out)
     finally:
         try:
@@ -1980,7 +1985,7 @@ def _restart_drain(spark: SparkSession, sf_dir: str, build,
     import time as _time
     import uuid
 
-    from ..streaming.drain import drain_available
+    from ..streaming.drain import checkpoint_committed_rows, drain_available
 
     log = _materialized_log(spark, sf_dir)
     total = sum(log.latest_offsets().values())
@@ -2021,12 +2026,13 @@ def _restart_drain(spark: SparkSession, sf_dir: str, build,
             q.stop()
             q.awaitTermination(60)
         # run 3: resumed unthrottled, drained to idle (see docstring for
-        # why this is not availableNow)
+        # why this is not availableNow). Count floor from the checkpoint
+        # WAL (r11 verdict #5): runs 1-2 committed a nondeterministic
+        # prefix, but the WAL records it — the resume must consume at
+        # least the remainder before the idle tail may stop it.
+        floor = max(total - checkpoint_committed_rows(ckpt), 0)
         q = start({"processingTime": "0 seconds"}, rate_limited=False)
-        # idle-detection kept deliberately: the backlog remaining after a
-        # nondeterministic mid-drain kill (or availableNow prefix) is not
-        # computable, so no count target exists (r10 verdict #4 audit)
-        drain_available(q, timeout_seconds=180)
+        drain_available(q, timeout_seconds=180, expected_rows=floor)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
@@ -2582,7 +2588,7 @@ def dis_sink_restart_roundtrip(spark: SparkSession,
     import time as _time
 
     from ..sources.dis_log import DisLog
-    from ..streaming.drain import drain_available
+    from ..streaming.drain import checkpoint_committed_rows, drain_available
 
     log = _materialized_log(spark, sf_dir)
     total = sum(log.latest_offsets().values())
@@ -2624,11 +2630,12 @@ def dis_sink_restart_roundtrip(spark: SparkSession,
         finally:
             q.stop()
             q.awaitTermination(60)
+        # Count floor from the checkpoint WAL (r11 verdict #5): the kill
+        # point is nondeterministic but recorded — the resume must
+        # consume at least the uncommitted remainder before idling.
+        floor = max(total - checkpoint_committed_rows(ckpt), 0)
         q = start({"processingTime": "0 seconds"}, rate_limited=False)
-        # idle-detection kept deliberately: the backlog remaining after a
-        # nondeterministic mid-drain kill (or availableNow prefix) is not
-        # computable, so no count target exists (r10 verdict #4 audit)
-        drain_available(q, timeout_seconds=180)
+        drain_available(q, timeout_seconds=180, expected_rows=floor)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     df = (spark.read.format("dis")
@@ -3138,7 +3145,7 @@ def dis_stream_dedup_tws_streamed(spark: SparkSession,
     import time as _time
     import uuid
 
-    from ..streaming.drain import drain_available
+    from ..streaming.drain import checkpoint_committed_rows, drain_available
     from ..streaming.stateful import dedup_first_seen_tws
 
     log = _materialized_log(spark, sf_dir)
@@ -3176,11 +3183,13 @@ def dis_stream_dedup_tws_streamed(spark: SparkSession,
             q.awaitTermination(60)
             batches1 = sum(1 for p in q.recentProgress
                            if p["numInputRows"] > 0)
+            # Count floor from the checkpoint WAL (r11 verdict #5): the
+            # kill point is nondeterministic but recorded — the resume
+            # must consume at least the uncommitted remainder.
+            floor = max(total - checkpoint_committed_rows(ckpt), 0)
             q = start()
-            # idle-detection kept deliberately: the backlog remaining after a
-            # nondeterministic mid-drain kill (or availableNow prefix) is not
-            # computable, so no count target exists (r10 verdict #4 audit)
-            batches2 = drain_available(q, timeout_seconds=300)
+            batches2 = drain_available(q, timeout_seconds=300,
+                                       expected_rows=floor)
             if batches1 + batches2 < 3:
                 raise AssertionError(
                     f"stream-dedup drained in {batches1}+{batches2} data "
@@ -3372,7 +3381,7 @@ def dis_tws_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid
 
-    from ..streaming.drain import drain_available
+    from ..streaming.drain import checkpoint_committed_rows, drain_available
     from ..streaming.stateful import cdc_changes_tws
 
     log = _materialized_log(spark, sf_dir)
@@ -3415,11 +3424,12 @@ def dis_tws_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             finally:
                 q.stop()               # the mid-drain kill
                 q.awaitTermination(60)
+            # Count floor from the checkpoint WAL (r11 verdict #5): the
+            # kill point is nondeterministic but recorded — the resume
+            # must consume at least the uncommitted remainder.
+            floor = max(total - checkpoint_committed_rows(ckpt), 0)
             q = start({"processingTime": "0 seconds"}, rate_limited=False)
-            # idle-detection kept deliberately: the backlog remaining after a
-            # nondeterministic mid-drain kill (or availableNow prefix) is not
-            # computable, so no count target exists (r10 verdict #4 audit)
-            drain_available(q, timeout_seconds=180)
+            drain_available(q, timeout_seconds=180, expected_rows=floor)
         final = spark.read.parquet(out)
     finally:
         try:
@@ -4148,7 +4158,7 @@ def dis_state_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid
 
-    from ..streaming.drain import drain_available
+    from ..streaming.drain import checkpoint_committed_rows, drain_available
     from ..streaming.stateful import sessions_with_timeout
 
     log = _materialized_ordered_log(spark, sf_dir)
@@ -4188,11 +4198,13 @@ def dis_state_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(60)
+    # Count floor from the checkpoint WAL (r11 verdict #5): the kill
+    # point is nondeterministic but recorded — the resume must consume
+    # at least the uncommitted remainder before the idle tail (which
+    # stays required: trailing session timeouts fire on no-data batches).
+    floor = max(total - checkpoint_committed_rows(ckpt), 0)
     q = start({"processingTime": "0 seconds"}, rate_limited=False)
-    # idle-detection kept deliberately: the backlog remaining after a
-    # nondeterministic mid-drain kill (or availableNow prefix) is not
-    # computable, so no count target exists (r10 verdict #4 audit)
-    drain_available(q, timeout_seconds=180)
+    drain_available(q, timeout_seconds=180, expected_rows=floor)
     shutil.rmtree(ckpt, ignore_errors=True)
     return (spark.read.parquet(out)
             .select("key", "session_start", "session_last", "n_events"))
@@ -4860,7 +4872,7 @@ def dis_maintenance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.dis_log import create_log_from_events, \
         merge_small_segments
-    from ..streaming.drain import drain_available
+    from ..streaming.drain import checkpoint_committed_rows, drain_available
     from ..streaming.queries import running_wordcount
 
     _register_dis(spark)
@@ -4891,11 +4903,12 @@ def dis_maintenance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         eliminated = merge_small_segments(log, target_rows=2000)
         assert sum(eliminated.values()) > 0, \
             "maintenance merged nothing — gate is vacuous"
+        # Count floor from the checkpoint WAL (r11 verdict #5): phase 1's
+        # availableNow prefix is nondeterministic in size but recorded —
+        # the resume must consume at least the uncommitted remainder.
+        floor = max(total - checkpoint_committed_rows(ckpt), 0)
         q = start(False, {"processingTime": "0 seconds"})
-        # idle-detection kept deliberately: the backlog remaining after a
-        # nondeterministic mid-drain kill (or availableNow prefix) is not
-        # computable, so no count target exists (r10 verdict #4 audit)
-        drain_available(q, timeout_seconds=180)
+        drain_available(q, timeout_seconds=180, expected_rows=floor)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
@@ -7560,7 +7573,7 @@ def dis_sample_restart_streamed(spark: SparkSession,
     import shutil
     import time as _time
 
-    from ..streaming.drain import drain_available
+    from ..streaming.drain import checkpoint_committed_rows, drain_available
     from ..streaming.stateful import sample_gate_tws
 
     log = _materialized_typed_value_log(spark, sf_dir)
@@ -7606,11 +7619,13 @@ def dis_sample_restart_streamed(spark: SparkSession,
             finally:
                 q.stop()               # the mid-drain kill
                 q.awaitTermination(60)
+            # Count floor from the checkpoint WAL (r11 verdict #5): the
+            # kill point is nondeterministic but recorded — the resume
+            # must consume at least the uncommitted remainder.
+            floor = max(total - checkpoint_committed_rows(ckpt), 0)
             q = start({"processingTime": "0 seconds"},
                       rate_limited=False)
-            # idle-detection kept deliberately: the backlog remaining
-            # after the kill is not computable (r10 verdict #4 audit)
-            drain_available(q, timeout_seconds=180)
+            drain_available(q, timeout_seconds=180, expected_rows=floor)
         final = spark.read.parquet(out)
     finally:
         try:

@@ -386,7 +386,17 @@ def ivf_maybe_retrain(spark: SparkSession, root: str,
                    .select("vec_id", "e",
                            F.col("centroid_id").alias("cluster")))
     # stage next to the live dirs, then swap — the writes read the live
-    # index, so they cannot overwrite it in place
+    # index, so they cannot overwrite it in place. The rmtree->replace
+    # window (and the cross-dir window between the three swaps) is never
+    # reader-visible: every reader of this index root is either the SAME
+    # foreachBatch chain (micro-batches are serialized on the stream's
+    # single execution thread, and this call runs inside/after a batch)
+    # or post-drain driver code — there is no concurrent second process,
+    # unlike the log's metadata.json (which IS read cross-process and is
+    # therefore tmp+os.replace). On a multi-writer deployment this swap
+    # would need a manifest pointer (one atomic file naming the live
+    # index generation) — noted, out of scope for the single-maintainer
+    # index lifecycle this models.
     cent.write.mode("overwrite").parquet(f"{root}/centroids_stage")
     re_inverted.write.mode("overwrite").parquet(
         f"{root}/inverted_stage/src=base")

@@ -164,8 +164,19 @@ class DisLog:
                 f"no DIS log for stream '{self.stream}' under '{self.root}' "
                 f"(missing {self._meta_path}); create one with "
                 f"DisLog(root, stream).create(n) or create_log_from_events()")
-        with open(self._meta_path) as f:
-            return int(json.load(f)["num_partitions"])
+        # Writers are atomic (tmp + os.replace), so a reader should never
+        # see a torn file — the short retry below is belt-and-braces for
+        # filesystems without atomic-rename visibility (e.g. some network
+        # mounts) and costs nothing on the happy path.
+        last_err: Exception | None = None
+        for _ in range(5):
+            try:
+                with open(self._meta_path) as f:
+                    return int(json.load(f)["num_partitions"])
+            except (json.JSONDecodeError, KeyError, ValueError, OSError) as e:
+                last_err = e
+                time.sleep(0.02)
+        raise last_err  # type: ignore[misc]
 
     def partitions(self) -> list[int]:
         """Readable partitions — cf. DISUtils.getTopicPartitions (:345-361)."""
@@ -343,11 +354,23 @@ class DisLog:
 
     # -------------------------------------------------------------- writing
 
+    def _write_meta(self, payload: dict) -> None:
+        """Atomic meta write: temp file + os.replace, same idiom as the
+        commit ledger (record_txn) and segment merge. The streaming
+        planner re-reads metadata.json from a SEPARATE worker process on
+        every latestOffset() trigger; a truncating in-place ``open(path,
+        "w")`` gives that reader a window where the file is empty and
+        json.load raises — a real cross-process race observed as a
+        transient latestOffset failure in dynamic-add streams."""
+        tmp = self._meta_path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, self._meta_path)
+
     def create(self, num_partitions: int) -> "DisLog":
         os.makedirs(self.stream_dir, exist_ok=True)
-        with open(self._meta_path, "w") as f:
-            json.dump({"num_partitions": num_partitions,
-                       "created_ms": int(time.time() * 1000)}, f)
+        self._write_meta({"num_partitions": num_partitions,
+                          "created_ms": int(time.time() * 1000)})
         for p in range(num_partitions):
             os.makedirs(self._part_dir(p), exist_ok=True)
         return self
@@ -360,9 +383,8 @@ class DisLog:
         clamp() starts unknown partitions at offset 0, mirroring the
         dynamic-add path (DirectDISInputDStream.scala:185-220)."""
         total = self.num_partitions() + n
-        with open(self._meta_path, "w") as f:
-            json.dump({"num_partitions": total,
-                       "updated_ms": int(time.time() * 1000)}, f)
+        self._write_meta({"num_partitions": total,
+                          "updated_ms": int(time.time() * 1000)})
         for p in range(total - n, total):
             os.makedirs(self._part_dir(p), exist_ok=True)
         return total
@@ -509,14 +531,25 @@ def create_log_from_events(spark: SparkSession, events_path: str, root: str,
 
 def _write_segment(table, path: str) -> None:
     """Write a segment with microsecond timestamps — pandas produces
-    nanosecond columns, which Spark's parquet reader rejects."""
+    nanosecond columns, which Spark's parquet reader rejects.
+
+    ATOMIC: bytes land under a ``.tmp-<hex>`` suffix that the anchored
+    ``_SEG_RE`` (``\\.parquet$``) can never match, then os.replace makes
+    the final name appear with its content complete. Without this, a
+    producer appending to a log while a stream of the same log runs
+    races the planner: ``latest_offsets``/``segment_infos`` parse the
+    FILENAME (which under a direct write exists before the bytes do),
+    so the planner could schedule offsets whose parquet an executor then
+    reads torn — the same cross-process class as the metadata.json race."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     fields = [pa.field(f.name, pa.timestamp("us"))
               if pa.types.is_timestamp(f.type) else f
               for f in table.schema]
-    pq.write_table(table.cast(pa.schema(fields)), path)
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table.cast(pa.schema(fields)), tmp)
+    os.replace(tmp, path)
 
 
 def merge_small_segments(log: DisLog, target_rows: int) -> dict[int, int]:
@@ -555,16 +588,15 @@ def merge_small_segments(log: DisLog, target_rows: int) -> dict[int, int]:
             table = pa.concat_tables(pq.read_table(s.path) for s in run)
             new_path = os.path.join(part_dir, segment_name(
                 run[0].from_offset, run[-1].until_offset, table.num_rows))
-            # Crash-safe swap, mirroring record_txn's tmp+rename discipline:
-            # write under a name the segment regex does NOT match, make the
-            # merged file appear atomically, THEN delete the originals. A
-            # crash before the rename leaves only an invisible tmp file; a
-            # crash after it leaves merged + originals coexisting, which
-            # segment_infos resolves by preferring the widest span — no
-            # window ever double-reads or loses offsets.
-            tmp_path = new_path + ".tmp"
-            _write_segment(table, tmp_path)
-            os.replace(tmp_path, new_path)
+            # Crash-safe swap: _write_segment is internally atomic (tmp
+            # name the segment regex does NOT match, then os.replace), so
+            # the merged file appears complete-or-not-at-all BEFORE the
+            # originals are deleted. A crash pre-rename leaves only an
+            # invisible tmp file; a crash post-rename leaves merged +
+            # originals coexisting, which segment_infos resolves by
+            # preferring the widest span — no window ever double-reads
+            # or loses offsets.
+            _write_segment(table, new_path)
             for s in run:
                 os.remove(s.path)
             return len(run) - 1

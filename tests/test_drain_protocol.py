@@ -112,3 +112,88 @@ def test_timeout_reports_consumed_vs_expected():
     with pytest.raises(TimeoutError, match=r"10 rows of 99 expected"):
         drain_available(q, poll_seconds=0.0, timeout_seconds=0.2,
                         expected_rows=99)
+
+
+# ---------------------------------------------------------------- WAL floor
+
+def test_checkpoint_committed_rows_parses_real_wal(tmp_path):
+    """The restart gates' count floor (r11 verdict #5) reads the
+    checkpoint's offset WAL: end offsets of the newest COMMITTED batch.
+    Pin the parse against a hand-built WAL in Spark's on-disk format —
+    v1 line, metadata JSON line, then one offset line per source."""
+    import json
+    import os
+
+    from spark_streaming_dis_plugin_spark.streaming.drain import (
+        checkpoint_committed_rows,
+    )
+
+    ckpt = str(tmp_path)
+    os.makedirs(f"{ckpt}/offsets")
+    os.makedirs(f"{ckpt}/commits")
+    meta = json.dumps({"batchWatermarkMs": 0, "batchTimestampMs": 1})
+    # batch 0 committed, batch 1 planned-but-uncommitted
+    with open(f"{ckpt}/offsets/0", "w") as f:
+        f.write("v1\n" + meta + "\n" + json.dumps({"0": 120, "1": 80}))
+    with open(f"{ckpt}/offsets/1", "w") as f:
+        f.write("v1\n" + meta + "\n" + json.dumps({"0": 300, "1": 300}))
+    with open(f"{ckpt}/commits/0", "w") as f:
+        f.write("v1\n{}")
+    # the floor uses the COMMITTED batch (0), never the planned one (1)
+    assert checkpoint_committed_rows(ckpt) == 200
+
+
+def test_checkpoint_committed_rows_two_sources_and_edge_cases(tmp_path):
+    import json
+    import os
+
+    from spark_streaming_dis_plugin_spark.streaming.drain import (
+        checkpoint_committed_rows,
+    )
+
+    # no checkpoint at all / empty commits -> 0 (floor degrades loose)
+    assert checkpoint_committed_rows(str(tmp_path / "nope")) == 0
+    ckpt = str(tmp_path)
+    os.makedirs(f"{ckpt}/offsets")
+    os.makedirs(f"{ckpt}/commits")
+    assert checkpoint_committed_rows(ckpt) == 0
+    # self-join: two source lines, both summed (numInputRows counts both)
+    meta = json.dumps({"batchWatermarkMs": 0})
+    with open(f"{ckpt}/offsets/3", "w") as f:
+        f.write("v1\n" + meta + "\n"
+                + json.dumps({"0": 50}) + "\n"
+                + json.dumps({"0": 50}))
+    with open(f"{ckpt}/commits/3", "w") as f:
+        f.write("v1\n{}")
+    assert checkpoint_committed_rows(ckpt) == 100
+
+
+def test_checkpoint_committed_rows_live_roundtrip(spark, sf_dir, tmp_path):
+    """End-to-end: after a full drain, the WAL floor equals the log
+    total — so a restart gate's resume floor is exactly zero."""
+    from spark_streaming_dis_plugin_spark.sources.dis_datasource import (
+        DisDataSource,
+    )
+    from spark_streaming_dis_plugin_spark.sources.dis_log import (
+        create_log_from_events,
+    )
+    from spark_streaming_dis_plugin_spark.streaming.drain import (
+        checkpoint_committed_rows, drain_available,
+    )
+
+    spark.dataSource.register(DisDataSource)
+    log = create_log_from_events(
+        spark, f"{sf_dir}/events.parquet", str(tmp_path / "log"),
+        segment_rows=500)
+    total = sum(log.latest_offsets().values())
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("dis")
+         .option("path", log.root).option("stream", log.stream)
+         .option("maxOffsetsPerTrigger", str(max(total // 3, 1)))
+         .load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="0 seconds").start())
+    drain_available(q, timeout_seconds=120, expected_rows=total)
+    assert checkpoint_committed_rows(ckpt) == total
