@@ -297,6 +297,13 @@ def dis_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LOG_CACHE: dict[str, str] = {}
 
+# Segment size of the shared materialized log. 4000 (was 2000) per the
+# r12 addBatch decomposition: ~25% of the Python source's warm per-batch
+# cost was per-segment overhead. Every oracle that derives the segment
+# LAYOUT from the data must interpolate this constant, not hardcode it
+# (dis_segment_stats caught the r12 bump as a 4-vs-8-row NY mismatch).
+MAT_LOG_SEGMENT_ROWS = 4000
+
 
 def _materialized_log(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir per process) a real on-disk DisLog from the
@@ -307,8 +314,14 @@ def _materialized_log(spark: SparkSession, sf_dir: str):
     _register_dis(spark)
     if sf_dir not in _LOG_CACHE:
         root = scratch_dir("dis_log_")
+        # MAT_LOG_SEGMENT_ROWS=4000 (was 2000): the r12 addBatch
+        # decomposition (tools/profile_addbatch.py) measured ~25% of the
+        # Python source's warm per-batch cost as per-segment overhead —
+        # halving the file count cut warm addBatch 445 -> 331 ms at ~17k
+        # rows/batch. Segment-granular behaviors (pruning, boundaries,
+        # compaction, merge) keep their own purpose-built logs.
         create_log_from_events(spark, f"{sf_dir}/events.parquet", root,
-                               segment_rows=2000)
+                               segment_rows=MAT_LOG_SEGMENT_ROWS)
         _LOG_CACHE[sf_dir] = root
     return DisLog(_LOG_CACHE[sf_dir], "events")
 
@@ -4517,7 +4530,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dis_segment_stats",
     oracle=f"""
     SELECT "partition",
-           "offset" // 2000 AS segment_idx,
+           "offset" // {MAT_LOG_SEGMENT_ROWS} AS segment_idx,
            MIN("offset") AS from_offset,
            MAX("offset") + 1 AS until_offset,
            COUNT(*) AS n_rows
@@ -4533,8 +4546,10 @@ def dis_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     span and row count, read from SEGMENT FILENAMES ONLY (zero data
     I/O, DISRDD.scala:89-112's metadata-count discipline extended to a
     queryable relation). The oracle re-derives the layout from the DATA
-    (the ingest writer cuts segments every 2000 offsets, so
-    segment_idx = offset // 2000), which pins the writer's segmentRows
+    (the ingest writer cuts segments every MAT_LOG_SEGMENT_ROWS offsets,
+    so segment_idx = offset // MAT_LOG_SEGMENT_ROWS — the constant is
+    interpolated into the SQL, never hardcoded, so a segment-size retune
+    cannot silently skew this gate), which pins the writer's segmentRows
     contract AND that every filename's embedded span/count is honest —
     a segment whose name lies about its contents breaks the hash.
     Driver-side listing of a few hundred filenames, not a data collect;

@@ -1637,3 +1637,220 @@ def orders_priority_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.round(F.col("n").cast("double")
                              / F.col("rn").cast("double"), 9) + 0.0)
                     .alias("p_transition")))
+
+
+@register(
+    "stats_js_divergence",
+    oracle=f"""
+    WITH ids AS (
+      SELECT MIN(event_id) AS mn, MAX(event_id) AS mx FROM events
+    ), ev AS (
+      SELECT event_type, "value",
+             CASE WHEN event_id <= (mn + mx) // 2 THEN 1 ELSE 0 END AS early
+      FROM events, ids
+    ), rng AS (
+      SELECT event_type, MIN("value") AS vmin, MAX("value") AS vmax
+      FROM ev GROUP BY 1
+    ), binned AS (
+      SELECT e.event_type, e.early,
+             CASE WHEN r.vmax = r.vmin THEN 0
+                  ELSE LEAST({PSI_BINS - 1},
+                             CAST(FLOOR((e."value" - r.vmin)
+                                  / ((r.vmax - r.vmin) / {PSI_BINS}.0))
+                                  AS INT)) END AS bin
+      FROM ev e JOIN rng r ON e.event_type = r.event_type
+    ), counts AS (
+      SELECT event_type, bin, SUM(early) AS ce, SUM(1 - early) AS cl
+      FROM binned GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, CAST(g.range AS INT) AS bin
+      FROM (SELECT DISTINCT event_type FROM ev) t, range({PSI_BINS}) g
+    ), filled AS (
+      SELECT g.event_type, g.bin,
+             COALESCE(c.ce, 0) AS ce, COALESCE(c.cl, 0) AS cl
+      FROM grid g LEFT JOIN counts c
+        ON g.event_type = c.event_type AND g.bin = c.bin
+    ), tot AS (
+      SELECT event_type, SUM(ce) AS ne, SUM(cl) AS nl
+      FROM filled GROUP BY 1
+    ), pq AS (
+      SELECT f.event_type, f.bin, t.ne, t.nl,
+             (CAST(f.ce AS DOUBLE) + 1.0)
+               / (CAST(t.ne AS DOUBLE) + {PSI_BINS}.0) AS p,
+             (CAST(f.cl AS DOUBLE) + 1.0)
+               / (CAST(t.nl AS DOUBLE) + {PSI_BINS}.0) AS q
+      FROM filled f JOIN tot t ON f.event_type = t.event_type
+    ), contribs AS (
+      SELECT event_type, bin, ne, nl,
+             0.5 * (p * ln(p / ((p + q) / 2.0)))
+             + 0.5 * (q * ln(q / ((p + q) / 2.0))) AS contrib
+      FROM pq
+    )
+    SELECT event_type,
+           CAST(MAX(ne) AS BIGINT) AS n_early,
+           CAST(MAX(nl) AS BIGINT) AS n_late,
+           round(list_reduce(list_prepend(0.0, list(contrib ORDER BY bin)),
+                             (a, b) -> a + b), 6) + 0.0 AS js
+    FROM contribs GROUP BY event_type
+    """,
+    tags=("connector", "statistics", "drift"))
+def stats_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON DIVERGENCE per event_type between the id-ordered
+    first and second halves of the event log — the SYMMETRIC, bounded
+    ([0, ln 2]) companion to stats_psi_binned_drift: PSI explodes when a
+    bin's share collapses toward zero (its ln(p/q) term is unbounded),
+    while JS stays finite and comparable across features, which is why
+    drift dashboards track both. Same construction as the PSI row
+    (id-midpoint split, per-type equal-width {PSI_BINS}-bin grid
+    densified in both engines, +1 Laplace smoothing) so the two scores
+    are computed over the IDENTICAL binned relation; js = 0.5*sum(p *
+    ln(p/m)) + 0.5*sum(q * ln(q/m)) with m = (p+q)/2.
+
+    Exactness: integer bin counts; p, q, m are fixed-shape double
+    expressions; the sum is an ORDERED fold over the bin list; round(6)
+    absorbs the last-ulp libm ln() difference (the PSI discipline).
+
+    Scale shape: identical to PSI — two fact scans, hash aggregates to
+    the |types| x {PSI_BINS} grid, folds on the aggregated relation, no
+    fact-scale shuffle after the binned counts."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    ids = ev.agg(F.min("event_id").alias("mn"), F.max("event_id").alias("mx"))
+    ev2 = (ev.crossJoin(F.broadcast(ids))
+           .withColumn("early",
+                       (F.col("event_id") <= F.expr("(mn + mx) div 2"))
+                       .cast("int")))
+    rng = ev2.groupBy("event_type").agg(F.min("value").alias("vmin"),
+                                        F.max("value").alias("vmax"))
+    binned = (ev2.join(F.broadcast(rng), "event_type")
+              .select("event_type", "early",
+                      F.when(F.col("vmax") == F.col("vmin"), F.lit(0))
+                      .otherwise(F.least(
+                          F.lit(PSI_BINS - 1),
+                          F.floor((F.col("value") - F.col("vmin"))
+                                  / ((F.col("vmax") - F.col("vmin"))
+                                     / float(PSI_BINS))).cast("int")))
+                      .alias("bin")))
+    counts = (binned.groupBy("event_type", "bin")
+              .agg(F.sum("early").alias("ce"),
+                   F.sum(F.lit(1) - F.col("early")).alias("cl")))
+    grid = (counts.select("event_type").distinct()
+            .crossJoin(spark.range(PSI_BINS)
+                       .select(F.col("id").cast("int").alias("bin"))))
+    filled = (grid.join(counts, ["event_type", "bin"], "left")
+              .fillna(0, ["ce", "cl"]))
+    tot = filled.groupBy("event_type").agg(F.sum("ce").alias("ne"),
+                                           F.sum("cl").alias("nl"))
+    j = filled.join(F.broadcast(tot), "event_type")
+    p = (F.col("ce").cast("double") + 1.0) \
+        / (F.col("ne").cast("double") + float(PSI_BINS))
+    q = (F.col("cl").cast("double") + 1.0) \
+        / (F.col("nl").cast("double") + float(PSI_BINS))
+    m = (p + q) / 2.0
+    contribs = j.select(
+        "event_type", "bin", "ne", "nl",
+        (F.lit(0.5) * (p * F.log(p / m))
+         + F.lit(0.5) * (q * F.log(q / m))).alias("contrib"))
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("bin", "contrib"))),
+        lambda s: s["contrib"])
+    return (contribs.groupBy("event_type")
+            .agg(F.max("ne").cast("bigint").alias("n_early"),
+                 F.max("nl").cast("bigint").alias("n_late"),
+                 (F.round(F.aggregate(arr, F.lit(0.0),
+                                      lambda a, x: a + x), 6)
+                  + 0.0).alias("js")))
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             COUNT(*) AS o
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), marg AS (
+      SELECT segment, priority, o,
+             SUM(o) OVER (PARTITION BY segment) AS rt,
+             SUM(o) OVER (PARTITION BY priority) AS ct,
+             SUM(o) OVER () AS n
+      FROM obs
+    ), contribs AS (
+      SELECT segment, priority, n,
+             (CAST(o AS DOUBLE)
+              - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               AS contrib
+      FROM marg
+    ), agg AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT segment) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT priority) AS BIGINT) AS c,
+             list_reduce(
+               list_prepend(0.0, list(contrib ORDER BY segment, priority)),
+               (a, b) -> a + b) AS chi2
+      FROM contribs
+    )
+    SELECT n_orders, r AS n_segments, c AS n_priorities,
+           round(chi2, 9) + 0.0 AS chi2,
+           round(sqrt(chi2 / (CAST(n_orders AS DOUBLE)
+                 * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 9) + 0.0
+             AS cramers_v
+    FROM agg
+    """,
+    tags=("connector", "statistics", "independence", "effect-size"))
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER'S V effect size over the segment x priority contingency —
+    the companion stats_chi_square_independence needs to be read
+    correctly at scale: chi2 grows linearly with n, so at 100 TB row
+    counts EVERYTHING is "significant"; V = sqrt(chi2 / (n * min(r-1,
+    c-1))) is the n-normalized [0, 1] association strength that stays
+    comparable across datasets and is what a feature-audit actually
+    thresholds on.
+
+    Exactness: identical contingency construction (exact integer counts,
+    ordered fold over (segment, priority)); V adds one sqrt on the
+    1-row aggregate; round(9) on both chi2 and V absorbs last-ulp libm
+    differences.
+
+    Scale shape: one keyed join + hash aggregate to the 25-cell
+    relation; windows, fold, and sqrt all run on constant-bounded
+    rows."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    obs = (orders.join(customer, orders.o_custkey == customer.c_custkey)
+           .groupBy(F.col("c_mktsegment").alias("segment"),
+                    F.col("o_orderpriority").alias("priority"))
+           .agg(F.count(F.lit(1)).alias("o")))
+    marg = obs.select(
+        "segment", "priority", "o",
+        F.sum("o").over(Window.partitionBy("segment")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("priority")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"))
+    e = (F.col("rt").cast("double") * F.col("ct").cast("double")
+         / F.col("n").cast("double"))
+    contribs = marg.select(
+        "segment", "priority", "n",
+        ((F.col("o").cast("double") - e)
+         * (F.col("o").cast("double") - e) / e).alias("contrib"))
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("segment", "priority",
+                                             "contrib"))),
+        lambda s: s["contrib"])
+    agg = contribs.groupBy().agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.countDistinct("segment").cast("bigint").alias("n_segments"),
+        F.countDistinct("priority").cast("bigint").alias("n_priorities"),
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x).alias("chi2_raw"))
+    dof_min = F.least(F.col("n_segments") - 1,
+                      F.col("n_priorities") - 1).cast("double")
+    return agg.select(
+        "n_orders", "n_segments", "n_priorities",
+        (F.round(F.col("chi2_raw"), 9) + 0.0).alias("chi2"),
+        (F.round(F.sqrt(F.col("chi2_raw")
+                        / (F.col("n_orders").cast("double") * dof_min)), 9)
+         + 0.0).alias("cramers_v"))

@@ -793,3 +793,31 @@ def test_priority_markov_entity_keyed_lag(spark, sf_dir):
         assert "o_custkey" in ln, ln
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_levenshtein_blocked_is_equi_join_on_token(spark, sf_dir):
+    """dedup_levenshtein_blocked: the pair generator must be an
+    EQUI-join keyed on the blocking token (hash or broadcast-hash),
+    with the length band and key order as residual conditions — never
+    a cartesian/nested-loop pairing, which is the all-pairs plan the
+    blocking exists to forbid. The near flag must ride the
+    threshold-capped levenshtein (3-arg form compiles to the banded
+    O(k*len) kernel)."""
+    plan = _plan(spark, "dedup_levenshtein_blocked", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    join_lines = [ln for ln in plan.splitlines() if "HashJoin" in ln]
+    assert join_lines, plan
+    assert any("tok" in ln for ln in join_lines), plan
+    assert "levenshtein" in plan, plan
+
+
+def test_js_divergence_shares_psi_shape(spark, sf_dir):
+    """stats_js_divergence: same aggregate-to-grid shape as the PSI row
+    — the fold runs on the |types| x bins relation, the corpus is never
+    re-shuffled after the binned counts, and the 1-row id-midpoint
+    relation arrives by broadcast, not collect."""
+    plan = _plan(spark, "stats_js_divergence", sf_dir)
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan.replace(
+        "BroadcastNestedLoopJoin", ""), plan
