@@ -7459,6 +7459,17 @@ def dis_psi_drift_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         drained = _drain_multibatch(spark, psi_gate_tws(env, edges),
                                     "psigate", output_mode="update",
                                     expected_rows=total)
+    return _psi_score_board(drained, ref_long)
+
+
+def _psi_score_board(drained: DataFrame, ref_long: DataFrame) -> DataFrame:
+    """Shared tail of the PSI gates (live + restart): pick each (type,
+    day) cell's FINAL update-mode emission (n_cur is monotone per cell,
+    so max n_cur = last board), explode its bin counts, and score
+    Laplace-smoothed PSI against the broadcast reference — all on the
+    |cells| x bins relation, never fact-scale."""
+    from .statistics import PSI_BINS
+
     w = Window.partitionBy("key", "win").orderBy(F.desc("n_cur"))
     final = (drained.withColumn("rn", F.row_number().over(w))
              .where(F.col("rn") == 1)
@@ -7482,6 +7493,96 @@ def dis_psi_drift_tws_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(F.aggregate(arr, F.lit(0.0),
                                       lambda a, x: a + x), 6)
                   + 0.0).alias("psi")))
+
+
+@register(
+    "dis_psi_drift_restart_streamed",
+    oracle=_psi_oracle(),
+    tags=("connector", "streaming", "stateful", "tws", "drift",
+          "restart", "e2e"))
+def dis_psi_drift_restart_streamed(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """PSI-GATE STATE across CHECKPOINT RESTART — the kill/resume leg
+    for the drift-monitor state class (per-(type, day) integer bin
+    counts in ValueState), keeping the 'every stateful class has a
+    restart gate' family complete after r11 added the live PSI gate: a
+    bin count rolled back short under-counts the cell forever (counting
+    is monotone — a lost increment can never be re-observed), a
+    replayed batch must overwrite its own emission directory rather
+    than double-count, and the recovered state must keep extending the
+    SAME reference-edged bins. Three runs over ONE checkpoint
+    (dis_sample_restart_streamed's protocol, WAL-floored final drain);
+    update-mode emissions land via foreachBatch in per-batch overwrite
+    directories, the final board per cell is its max-n_cur emission,
+    scored by the SAME broadcast-reference PSI tail and hash-matched
+    against the SAME batch oracle as the live gate."""
+    import shutil
+    import time as _time
+
+    from ..streaming.drain import checkpoint_committed_rows, drain_available
+    from ..streaming.stateful import psi_gate_tws
+
+    ref_long, edges = _psi_reference(spark, sf_dir)
+    log = _materialized_typed_value_log(spark, sf_dir)
+    total = sum(log.latest_offsets().values())
+    per_trigger = max(total // 6, 1)
+    out = scratch_dir("psirestart_out_")
+    ckpt = scratch_dir("psirestart_ckpt_")
+
+    def sink(bdf, batch_id):
+        bdf.write.mode("overwrite").parquet(f"{out}/src=b{batch_id}")
+
+    def start(trigger: dict, rate_limited: bool):
+        r = (spark.readStream.format("dis")
+             .option("path", log.root).option("stream", log.stream))
+        if rate_limited:
+            r = r.option("maxOffsetsPerTrigger", str(per_trigger))
+        env = (r.load().where(F.col("key").isin(list(edges)))
+               .select("key",
+                       F.date_format("timestamp", "yyyy-MM-dd")
+                       .alias("win"),
+                       "offset", "value"))
+        return (psi_gate_tws(env, edges)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(**trigger).start())
+
+    q = None
+    try:
+        with _rocksdb_state(spark):
+            q = start({"availableNow": True}, rate_limited=True)
+            if not q.awaitTermination(120):
+                raise TimeoutError("psi-restart phase 1 did not terminate")
+            q = start({"processingTime": "0 seconds"}, rate_limited=True)
+            deadline = _time.monotonic() + 120
+            try:
+                while _time.monotonic() < deadline:
+                    if q.exception() is not None:
+                        raise q.exception()
+                    if any(p["numInputRows"] > 0
+                           for p in q.recentProgress):
+                        break
+                    _time.sleep(0.05)
+                else:
+                    raise TimeoutError("psi-restart phase 2: no progress")
+            finally:
+                q.stop()               # the mid-drain kill
+                q.awaitTermination(60)
+            floor = max(total - checkpoint_committed_rows(ckpt), 0)
+            q = start({"processingTime": "0 seconds"},
+                      rate_limited=False)
+            drain_available(q, timeout_seconds=180, expected_rows=floor)
+        board = spark.read.parquet(out)
+    finally:
+        try:
+            if q is not None and q.isActive:
+                q.stop()
+                q.awaitTermination(60)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return _psi_score_board(board, ref_long)
 
 
 def _sample_tws_oracle() -> str:
