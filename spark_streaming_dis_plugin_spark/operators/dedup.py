@@ -1749,7 +1749,7 @@ LEV_LEN_BAND = 2
            CAST(SUM(near) AS BIGINT) AS n_near_pairs
     FROM pairs GROUP BY tok
     """,
-    tags=("connector", "dedup", "fuzzy", "blocking"))
+    tags=("connector", "dedup", "fuzzy", "blocking"), bench=True)
 def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOCKED EDIT-DISTANCE NEAR-DUP DETECTION — the fuzzy-matching
     tier the shingle/LSH family can't express: Jaccard on shingles is
