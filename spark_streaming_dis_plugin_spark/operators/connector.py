@@ -1219,7 +1219,7 @@ def dis_join_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid
 
-    from ..streaming.drain import checkpoint_committed_rows, drain_available
+    from ..streaming.drain import drain_available, resume_floor
     from ..streaming.queries import purchase_click_join
 
     log = _materialized_ordered_log(spark, sf_dir)
@@ -1274,7 +1274,7 @@ def dis_join_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instances (numInputRows counts both, and the WAL carries both
         # sources' offsets), so the total doubles and the WAL sum
         # already matches that accounting.
-        floor = max(2 * total - checkpoint_committed_rows(ckpt), 0)
+        floor = resume_floor(ckpt, 2 * total)
         q = start({"processingTime": "0 seconds"}, rate_limited=False)
         drain_available(q, timeout_seconds=180, expected_rows=floor)
         final = spark.read.parquet(out)
@@ -1998,7 +1998,7 @@ def _restart_drain(spark: SparkSession, sf_dir: str, build,
     import time as _time
     import uuid
 
-    from ..streaming.drain import checkpoint_committed_rows, drain_available
+    from ..streaming.drain import drain_available, resume_floor
 
     log = _materialized_log(spark, sf_dir)
     total = sum(log.latest_offsets().values())
@@ -2043,7 +2043,7 @@ def _restart_drain(spark: SparkSession, sf_dir: str, build,
         # WAL (r11 verdict #5): runs 1-2 committed a nondeterministic
         # prefix, but the WAL records it — the resume must consume at
         # least the remainder before the idle tail may stop it.
-        floor = max(total - checkpoint_committed_rows(ckpt), 0)
+        floor = resume_floor(ckpt, total)
         q = start({"processingTime": "0 seconds"}, rate_limited=False)
         drain_available(q, timeout_seconds=180, expected_rows=floor)
     finally:
@@ -2601,7 +2601,7 @@ def dis_sink_restart_roundtrip(spark: SparkSession,
     import time as _time
 
     from ..sources.dis_log import DisLog
-    from ..streaming.drain import checkpoint_committed_rows, drain_available
+    from ..streaming.drain import drain_available, resume_floor
 
     log = _materialized_log(spark, sf_dir)
     total = sum(log.latest_offsets().values())
@@ -2646,7 +2646,7 @@ def dis_sink_restart_roundtrip(spark: SparkSession,
         # Count floor from the checkpoint WAL (r11 verdict #5): the kill
         # point is nondeterministic but recorded — the resume must
         # consume at least the uncommitted remainder before idling.
-        floor = max(total - checkpoint_committed_rows(ckpt), 0)
+        floor = resume_floor(ckpt, total)
         q = start({"processingTime": "0 seconds"}, rate_limited=False)
         drain_available(q, timeout_seconds=180, expected_rows=floor)
     finally:
@@ -3158,7 +3158,7 @@ def dis_stream_dedup_tws_streamed(spark: SparkSession,
     import time as _time
     import uuid
 
-    from ..streaming.drain import checkpoint_committed_rows, drain_available
+    from ..streaming.drain import drain_available, resume_floor
     from ..streaming.stateful import dedup_first_seen_tws
 
     log = _materialized_log(spark, sf_dir)
@@ -3199,7 +3199,7 @@ def dis_stream_dedup_tws_streamed(spark: SparkSession,
             # Count floor from the checkpoint WAL (r11 verdict #5): the
             # kill point is nondeterministic but recorded — the resume
             # must consume at least the uncommitted remainder.
-            floor = max(total - checkpoint_committed_rows(ckpt), 0)
+            floor = resume_floor(ckpt, total)
             q = start()
             batches2 = drain_available(q, timeout_seconds=300,
                                        expected_rows=floor)
@@ -3394,7 +3394,7 @@ def dis_tws_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid
 
-    from ..streaming.drain import checkpoint_committed_rows, drain_available
+    from ..streaming.drain import drain_available, resume_floor
     from ..streaming.stateful import cdc_changes_tws
 
     log = _materialized_log(spark, sf_dir)
@@ -3440,7 +3440,7 @@ def dis_tws_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Count floor from the checkpoint WAL (r11 verdict #5): the
             # kill point is nondeterministic but recorded — the resume
             # must consume at least the uncommitted remainder.
-            floor = max(total - checkpoint_committed_rows(ckpt), 0)
+            floor = resume_floor(ckpt, total)
             q = start({"processingTime": "0 seconds"}, rate_limited=False)
             drain_available(q, timeout_seconds=180, expected_rows=floor)
         final = spark.read.parquet(out)
@@ -3947,9 +3947,13 @@ def _register_ann_query():
         import shutil
 
         from ..streaming.drain import drain_available
-        from .similarity import _ivf_index_root, _ivf_search_for_queries
+        from .similarity import (
+            _ivf_index_root,
+            _ivf_search_for_queries,
+            ivf_resolve_live,
+        )
 
-        root = _ivf_index_root(spark, sf_dir)
+        root = ivf_resolve_live(_ivf_index_root(spark, sf_dir))
         inverted = spark.read.parquet(f"{root}/inverted")
         cent = spark.read.parquet(f"{root}/centroids")
         qlog = _materialized_ann_query_log(spark, sf_dir)
@@ -4171,7 +4175,7 @@ def dis_state_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid
 
-    from ..streaming.drain import checkpoint_committed_rows, drain_available
+    from ..streaming.drain import drain_available, resume_floor
     from ..streaming.stateful import sessions_with_timeout
 
     log = _materialized_ordered_log(spark, sf_dir)
@@ -4215,7 +4219,7 @@ def dis_state_restart_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point is nondeterministic but recorded — the resume must consume
     # at least the uncommitted remainder before the idle tail (which
     # stays required: trailing session timeouts fire on no-data batches).
-    floor = max(total - checkpoint_committed_rows(ckpt), 0)
+    floor = resume_floor(ckpt, total)
     q = start({"processingTime": "0 seconds"}, rate_limited=False)
     drain_available(q, timeout_seconds=180, expected_rows=floor)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -4887,7 +4891,7 @@ def dis_maintenance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.dis_log import create_log_from_events, \
         merge_small_segments
-    from ..streaming.drain import checkpoint_committed_rows, drain_available
+    from ..streaming.drain import drain_available, resume_floor
     from ..streaming.queries import running_wordcount
 
     _register_dis(spark)
@@ -4921,7 +4925,7 @@ def dis_maintenance_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Count floor from the checkpoint WAL (r11 verdict #5): phase 1's
         # availableNow prefix is nondeterministic in size but recorded —
         # the resume must consume at least the uncommitted remainder.
-        floor = max(total - checkpoint_committed_rows(ckpt), 0)
+        floor = resume_floor(ckpt, total)
         q = start(False, {"processingTime": "0 seconds"})
         drain_available(q, timeout_seconds=180, expected_rows=floor)
     finally:
@@ -7519,7 +7523,7 @@ def dis_psi_drift_restart_streamed(spark: SparkSession,
     import shutil
     import time as _time
 
-    from ..streaming.drain import checkpoint_committed_rows, drain_available
+    from ..streaming.drain import drain_available, resume_floor
     from ..streaming.stateful import psi_gate_tws
 
     ref_long, edges = _psi_reference(spark, sf_dir)
@@ -7569,7 +7573,7 @@ def dis_psi_drift_restart_streamed(spark: SparkSession,
             finally:
                 q.stop()               # the mid-drain kill
                 q.awaitTermination(60)
-            floor = max(total - checkpoint_committed_rows(ckpt), 0)
+            floor = resume_floor(ckpt, total)
             q = start({"processingTime": "0 seconds"},
                       rate_limited=False)
             drain_available(q, timeout_seconds=180, expected_rows=floor)
@@ -7689,7 +7693,7 @@ def dis_sample_restart_streamed(spark: SparkSession,
     import shutil
     import time as _time
 
-    from ..streaming.drain import checkpoint_committed_rows, drain_available
+    from ..streaming.drain import drain_available, resume_floor
     from ..streaming.stateful import sample_gate_tws
 
     log = _materialized_typed_value_log(spark, sf_dir)
@@ -7738,7 +7742,7 @@ def dis_sample_restart_streamed(spark: SparkSession,
             # Count floor from the checkpoint WAL (r11 verdict #5): the
             # kill point is nondeterministic but recorded — the resume
             # must consume at least the uncommitted remainder.
-            floor = max(total - checkpoint_committed_rows(ckpt), 0)
+            floor = resume_floor(ckpt, total)
             q = start({"processingTime": "0 seconds"},
                       rate_limited=False)
             drain_available(q, timeout_seconds=180, expected_rows=floor)

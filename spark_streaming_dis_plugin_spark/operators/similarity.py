@@ -292,23 +292,116 @@ def _ivf_ingest_batch(parsed: DataFrame, cent: DataFrame,
     batch directory (O(batch) read-back of a file this batch produced),
     never from ``inverted/`` as a whole — the maintenance analog of the
     connector's count-from-metadata discipline (DISRDD.scala:89-94)."""
+    live = ivf_resolve_live(ingest_root)
     assigned = (_rank_to_centroids(parsed, cent)
                 .where(F.col("rnk") == 1)
                 .select("vec_id", "e",
                         F.col("centroid_id").alias("cluster")))
     assigned.write.mode("overwrite").parquet(
-        f"{ingest_root}/inverted/src=b{batch_id}")
+        f"{live}/inverted/src=b{batch_id}")
     (parsed.sparkSession.read
-     .parquet(f"{ingest_root}/inverted/src=b{batch_id}")
+     .parquet(f"{live}/inverted/src=b{batch_id}")
      .groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
      .write.mode("overwrite")
-     .parquet(f"{ingest_root}/sizes/src=b{batch_id}"))
+     .parquet(f"{live}/sizes/src=b{batch_id}"))
 
 
 # Drift gate for the streamed-ingest index: retrain when the biggest
 # cluster outgrows the median by this factor (frozen centroids + drifting
 # ingest = ever-fatter hot clusters and ever-worse probe selectivity).
 IVF_RETRAIN_SKEW = 4.0
+
+# Grace window before a superseded index generation is GC'd: a reader
+# that resolved the manifest just before a flip may still be scanning
+# the old generation's files; the window must exceed the longest single
+# read (a search pass), not the longest query session — readers resolve
+# ONCE PER OPERATION by contract.
+IVF_GC_GRACE_SECONDS = 300.0
+
+
+def _ivf_manifest_path(root: str) -> str:
+    import os
+
+    return os.path.join(root, "MANIFEST.json")
+
+
+def ivf_manifest(root: str) -> dict | None:
+    """The index root's manifest — ``{"live": <gen>, "flipped_ms": ...}``
+    — or ``None`` for a legacy flat layout (centroids/inverted/sizes
+    directly under ``root``, no generations). The manifest file is only
+    ever produced by tmp + ``os.replace`` (:func:`_ivf_flip_manifest`),
+    so a cross-process reader sees the old pointer or the new one, never
+    a torn file."""
+    import json
+
+    try:
+        with open(_ivf_manifest_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def ivf_resolve_live(root: str) -> str:
+    """THE reader entry point for a stored IVF index (r12 verdict #3):
+    resolve the manifest ONCE, then read only that generation's
+    ``centroids``/``inverted``/``sizes`` dirs. Resolving once per
+    operation is what makes multi-writer deployments safe — a retrain
+    job publishes a COMPLETE new generation under ``gen=<n>/`` and then
+    atomically flips the pointer, so every reader observes either the
+    old index or the new one in full, never a mix of the two (the
+    pre-manifest swap was atomic per-dir but not across the three dirs,
+    safe only because every reader shared one serialized foreachBatch
+    chain). Legacy flat layouts resolve to ``root`` itself."""
+    import os
+
+    m = ivf_manifest(root)
+    return root if m is None else os.path.join(root, f"gen={m['live']}")
+
+
+def _ivf_flip_manifest(root: str, gen: int) -> None:
+    """Atomic pointer flip — the COMMIT POINT of an index generation
+    (same tmp + os.replace idiom as the dis log's metadata writes, and
+    for the same reason: the manifest is read cross-process)."""
+    import json
+    import os
+    import time
+    import uuid
+
+    path = _ivf_manifest_path(root)
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"live": gen, "flipped_ms": int(time.time() * 1000)}, f)
+    os.replace(tmp, path)
+
+
+def ivf_gc_generations(root: str,
+                       grace_seconds: float = IVF_GC_GRACE_SECONDS) -> int:
+    """Remove superseded index generations (and pre-manifest legacy flat
+    dirs, and orphaned ``.gen-stage-*`` build dirs) once the LIVE
+    generation has been live for at least ``grace_seconds`` — by then no
+    reader that resolved before the flip can still be mid-read (readers
+    resolve once per operation). Never touches the live generation.
+    Returns directories removed."""
+    import os
+    import shutil
+    import time
+
+    m = ivf_manifest(root)
+    if m is None:
+        return 0
+    if time.time() - m["flipped_ms"] / 1000.0 < grace_seconds:
+        return 0
+    live = f"gen={m['live']}"
+    removed = 0
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        if not os.path.isdir(path) or name == live:
+            continue
+        if (name.startswith("gen=") or name.startswith(".gen-stage-")
+                or name in ("centroids", "inverted", "sizes")):
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def ivf_cluster_sizes(spark: SparkSession, root: str) -> DataFrame:
@@ -326,11 +419,12 @@ def ivf_cluster_sizes(spark: SparkSession, root: str) -> DataFrame:
     take, paid only on recovery, never per batch."""
     import os
 
-    if not os.path.isdir(f"{root}/sizes"):
-        (spark.read.parquet(f"{root}/inverted")
+    live = ivf_resolve_live(root)
+    if not os.path.isdir(f"{live}/sizes"):
+        (spark.read.parquet(f"{live}/inverted")
          .groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
-         .write.mode("overwrite").parquet(f"{root}/sizes/src=recovered"))
-    return (spark.read.parquet(f"{root}/sizes")
+         .write.mode("overwrite").parquet(f"{live}/sizes/src=recovered"))
+    return (spark.read.parquet(f"{live}/sizes")
             .groupBy("cluster").agg(F.sum("n").alias("n")))
 
 
@@ -361,17 +455,29 @@ def ivf_maybe_retrain(spark: SparkSession, root: str,
     broadcast reassignment pass over the corpus — paid only when the
     gate trips, amortized across every batch since the last repair; the
     swap also rewrites the sidecar from the reassigned index so the
-    next probe stays O(C). The directory swap is the micro-batch-scale
-    stand-in for a table format's atomic snapshot commit (same caveat
-    the upsert view documents)."""
-    import os
-    import shutil
-    import statistics
+    next probe stays O(C).
 
+    Commit protocol (r12 verdict #3 — multi-writer safe): the repair
+    writes a COMPLETE new index generation under a hidden staging dir,
+    renames it to ``gen=<n>/`` (complete-or-invisible), then atomically
+    flips ``MANIFEST.json`` — the one commit point. Readers resolve the
+    manifest once per operation (:func:`ivf_resolve_live`), so a retrain
+    running as a SEPARATE job from serving (the 100 TB deployment shape)
+    can never expose a torn or mixed-generation index; superseded
+    generations are GC'd after a grace window
+    (:func:`ivf_gc_generations`). Two racing retrainers both publish
+    complete generations (the dir rename arbitrates numbering; the last
+    manifest flip wins) — the table-format snapshot-commit idiom, not
+    the single-chain rmtree+replace this replaced."""
+    import os
+    import statistics
+    import uuid
+
+    live = ivf_resolve_live(root)
     sizes = [r["n"] for r in ivf_cluster_sizes(spark, root).collect()]
     if not sizes or max(sizes) <= skew_threshold * statistics.median(sizes):
         return False
-    inverted = spark.read.parquet(f"{root}/inverted")
+    inverted = spark.read.parquet(f"{live}/inverted")
     dim_avgs = [
         (F.sum(F.element_at("e", i + 1).cast("decimal(27,8)"))
          .cast("double") / F.count(F.lit(1))).alias(f"d{i}")
@@ -385,29 +491,34 @@ def ivf_maybe_retrain(spark: SparkSession, root: str,
                    .where(F.col("rnk") == 1)
                    .select("vec_id", "e",
                            F.col("centroid_id").alias("cluster")))
-    # stage next to the live dirs, then swap — the writes read the live
-    # index, so they cannot overwrite it in place. The rmtree->replace
-    # window (and the cross-dir window between the three swaps) is never
-    # reader-visible: every reader of this index root is either the SAME
-    # foreachBatch chain (micro-batches are serialized on the stream's
-    # single execution thread, and this call runs inside/after a batch)
-    # or post-drain driver code — there is no concurrent second process,
-    # unlike the log's metadata.json (which IS read cross-process and is
-    # therefore tmp+os.replace). On a multi-writer deployment this swap
-    # would need a manifest pointer (one atomic file naming the live
-    # index generation) — noted, out of scope for the single-maintainer
-    # index lifecycle this models.
-    cent.write.mode("overwrite").parquet(f"{root}/centroids_stage")
+    # Publish a complete new generation, then flip the pointer. The
+    # staging dir's leading dot keeps a half-built generation invisible
+    # to both readers (they only follow the manifest) and GC's gen=
+    # listing until the rename makes it complete-or-not-at-all.
+    m = ivf_manifest(root)
+    stage = f"{root}/.gen-stage-{uuid.uuid4().hex[:8]}"
+    cent.write.mode("overwrite").parquet(f"{stage}/centroids")
     re_inverted.write.mode("overwrite").parquet(
-        f"{root}/inverted_stage/src=base")
+        f"{stage}/inverted/src=base")
     # the sidecar must describe the REASSIGNED index: fold the staged
     # inverted file's counts (read-back of data this call just wrote)
-    (spark.read.parquet(f"{root}/inverted_stage/src=base")
+    (spark.read.parquet(f"{stage}/inverted/src=base")
      .groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
-     .write.mode("overwrite").parquet(f"{root}/sizes_stage/src=base"))
-    for name in ("centroids", "inverted", "sizes"):
-        shutil.rmtree(f"{root}/{name}", ignore_errors=True)
-        os.replace(f"{root}/{name}_stage", f"{root}/{name}")
+     .write.mode("overwrite").parquet(f"{stage}/sizes/src=base"))
+    # dir rename arbitrates the generation number: a crashed retrain's
+    # already-renamed-but-never-flipped generation, or a concurrent
+    # retrainer, just pushes this one to the next free slot
+    gen = (m["live"] if m else 0) + 1
+    while True:
+        try:
+            os.rename(stage, f"{root}/gen={gen}")
+            break
+        except OSError:
+            if not os.path.exists(f"{root}/gen={gen}"):
+                raise
+            gen += 1
+    _ivf_flip_manifest(root, gen)          # commit point
+    ivf_gc_generations(root)
     return True
 
 
@@ -472,10 +583,12 @@ def _ivf_search_prebuilt(spark: SparkSession, sf_dir: str,
     n_probe clusters, then score only those clusters' members. Each
     query touches ~|corpus| / C * n_probe vectors; the corpus-side scan
     carries no Lloyd work at all (pinned by test_plan_shapes).
-    ``root`` overrides the index location (streaming-ingest gate)."""
-    root = root or _ivf_index_root(spark, sf_dir)
-    inverted = spark.read.parquet(f"{root}/inverted")
-    cent = spark.read.parquet(f"{root}/centroids")
+    ``root`` overrides the index location (streaming-ingest gate).
+    The live generation is resolved ONCE here — both relations below
+    come from the same generation by construction."""
+    live = ivf_resolve_live(root or _ivf_index_root(spark, sf_dir))
+    inverted = spark.read.parquet(f"{live}/inverted")
+    cent = spark.read.parquet(f"{live}/centroids")
     queries = (inverted.where(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("e").alias("qe")))

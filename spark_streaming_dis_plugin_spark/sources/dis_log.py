@@ -354,6 +354,34 @@ class DisLog:
 
     # -------------------------------------------------------------- writing
 
+    def sweep_stale_tmps(self, min_age_seconds: float = 60.0) -> int:
+        """Remove orphaned ``*.tmp-<hex>`` staging files left by a crash
+        between write and ``os.replace`` (r12 advice #2). The uuid suffix
+        that makes concurrent writers collision-free also means a crashed
+        run's tmp is never self-overwritten by a retry, so orphans would
+        otherwise accumulate forever (invisible to ``_SEG_RE``, so reads
+        are unaffected — this is a disk-leak sweep, not a correctness
+        one). Only files older than ``min_age_seconds`` are removed: a
+        LIVE writer's tmp exists for milliseconds, so the age gate keeps
+        the sweep safe to run next to a concurrent writer. Called from
+        the writer-side entry points (create, merge_small_segments)."""
+        cutoff = time.time() - min_age_seconds
+        removed = 0
+        if not os.path.isdir(self.stream_dir):
+            return 0
+        for dirpath, _dirnames, filenames in os.walk(self.stream_dir):
+            for name in filenames:
+                if ".tmp-" not in name:
+                    continue
+                path = os.path.join(dirpath, name)
+                try:
+                    if os.path.getmtime(path) < cutoff:
+                        os.remove(path)
+                        removed += 1
+                except OSError:
+                    pass          # racing writer finished its replace
+        return removed
+
     def _write_meta(self, payload: dict) -> None:
         """Atomic meta write: temp file + os.replace, same idiom as the
         commit ledger (record_txn) and segment merge. The streaming
@@ -369,6 +397,7 @@ class DisLog:
 
     def create(self, num_partitions: int) -> "DisLog":
         os.makedirs(self.stream_dir, exist_ok=True)
+        self.sweep_stale_tmps()
         self._write_meta({"num_partitions": num_partitions,
                           "created_ms": int(time.time() * 1000)})
         for p in range(num_partitions):
@@ -576,6 +605,7 @@ def merge_small_segments(log: DisLog, target_rows: int) -> dict[int, int]:
     import pyarrow.parquet as pq
 
     committed = log.committed_txns()
+    log.sweep_stale_tmps()
     eliminated: dict[int, int] = {}
 
     for p in log.partitions():

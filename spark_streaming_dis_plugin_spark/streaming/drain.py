@@ -37,7 +37,7 @@ import os
 import time
 
 
-def checkpoint_committed_rows(ckpt: str) -> int:
+def checkpoint_committed_rows(ckpt: str) -> int | None:
     """Rows ALREADY COMMITTED per a checkpoint's write-ahead log: the sum
     of end offsets recorded in ``offsets/<b>`` for the newest batch ``b``
     present in ``commits/``. dis-log offsets are 0-based row positions,
@@ -47,20 +47,27 @@ def checkpoint_committed_rows(ckpt: str) -> int:
     post-kill resume drains (r11 verdict #5): a restarted query replays
     any planned-but-uncommitted batch, so it must consume at least
     ``total_rows_in_log - checkpoint_committed_rows(ckpt)`` input rows
-    before it can legitimately go idle. Returns 0 when no batch has
-    committed (the resume must then consume the whole log).
+    before it can legitimately go idle. Returns 0 when NO batch has
+    committed (the resume must then consume the whole log) and ``None``
+    when batches HAVE committed but their WAL entry cannot be parsed —
+    "unknown" is NOT zero: treating a parse failure as 0 would demand
+    the resume re-consume rows the engine will never replay, turning a
+    cosmetic WAL-format drift into a guaranteed drain timeout (r12
+    advice #1). Callers must map ``None`` to "no count floor"
+    (:func:`resume_floor` does).
 
     WAL format (OffsetSeqLog v1): line 0 ``v1``, line 1 the batch
     metadata JSON, then ONE line per source holding that source's
     serialized offset — for the dis source a ``{"<partition>": end}``
     JSON object (dis_datasource.latestOffset's return, stored verbatim).
-    A ``-`` line means that source had no offset yet. Unparseable or
-    absent WAL state degrades to 0 — the floor gets looser, never wrong.
+    A ``-`` line means that source had no offset yet.
     """
     try:
+        # batch ids are never negative; non-numeric names are Spark's
+        # in-flight ".<id>.<uuid>.tmp" staging files — skip both
         batches = [int(n) for n in os.listdir(os.path.join(ckpt, "commits"))
-                   if n.lstrip("-").isdigit()]
-    except FileNotFoundError:
+                   if n.isdigit()]
+    except (FileNotFoundError, NotADirectoryError):
         return 0
     if not batches:
         return 0
@@ -78,7 +85,19 @@ def checkpoint_committed_rows(ckpt: str) -> int:
             total += sum(int(v) for v in off.values())
         return total
     except (OSError, ValueError, KeyError, AttributeError):
-        return 0
+        return None
+
+
+def resume_floor(ckpt: str, total_rows: int) -> int | None:
+    """The conservative ``expected_rows`` floor for a post-kill resume
+    drain: rows in the log the checkpoint has NOT yet committed. ``None``
+    (no floor — idle-tail detection only) when the WAL exists but cannot
+    be parsed, because an unknown committed count admits no sound floor
+    in either direction."""
+    committed = checkpoint_committed_rows(ckpt)
+    if committed is None:
+        return None
+    return max(total_rows - committed, 0)
 
 
 def _ts(p) -> float:

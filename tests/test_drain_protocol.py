@@ -197,3 +197,80 @@ def test_checkpoint_committed_rows_live_roundtrip(spark, sf_dir, tmp_path):
          .trigger(processingTime="0 seconds").start())
     drain_available(q, timeout_seconds=120, expected_rows=total)
     assert checkpoint_committed_rows(ckpt) == total
+
+
+def test_checkpoint_committed_rows_unknown_is_none_not_zero(tmp_path):
+    """r12 advice #1: a COMMITTED batch whose WAL entry cannot be parsed
+    must read as 'unknown' (None), never 0 — a 0 would inflate the
+    resume floor to the full log, rows the engine will never replay, so
+    every restart gate would time out. 0 is reserved for the genuine
+    no-commits case."""
+    import json
+    import os
+
+    from spark_streaming_dis_plugin_spark.streaming.drain import (
+        checkpoint_committed_rows, resume_floor,
+    )
+
+    ckpt = str(tmp_path)
+    os.makedirs(f"{ckpt}/offsets")
+    os.makedirs(f"{ckpt}/commits")
+    with open(f"{ckpt}/commits/0", "w") as f:
+        f.write("v1\n{}")
+    # committed batch 0 but its offsets entry is garbage
+    with open(f"{ckpt}/offsets/0", "w") as f:
+        f.write("v1\n" + json.dumps({"batchWatermarkMs": 0})
+                + "\nnot json at all")
+    assert checkpoint_committed_rows(ckpt) is None
+    # ...and the floor degrades to 'no floor', not 'whole log again'
+    assert resume_floor(ckpt, 1000) is None
+
+    # missing offsets file for the committed batch -> same unknown
+    os.remove(f"{ckpt}/offsets/0")
+    assert checkpoint_committed_rows(ckpt) is None
+
+
+def test_checkpoint_committed_rows_ignores_non_batch_names(tmp_path):
+    """r12 advice #3: names like '--1' or Spark's '.<id>.<uuid>.tmp'
+    staging files in commits/ must be skipped, not crash int()."""
+    import json
+    import os
+
+    from spark_streaming_dis_plugin_spark.streaming.drain import (
+        checkpoint_committed_rows,
+    )
+
+    ckpt = str(tmp_path)
+    os.makedirs(f"{ckpt}/offsets")
+    os.makedirs(f"{ckpt}/commits")
+    for junk in ("--1", "-3", ".2.abc123.tmp", "_spark_metadata"):
+        with open(f"{ckpt}/commits/{junk}", "w") as f:
+            f.write("x")
+    assert checkpoint_committed_rows(ckpt) == 0   # no REAL commit yet
+    meta = json.dumps({"batchWatermarkMs": 0})
+    with open(f"{ckpt}/offsets/7", "w") as f:
+        f.write("v1\n" + meta + "\n" + json.dumps({"0": 42}))
+    with open(f"{ckpt}/commits/7", "w") as f:
+        f.write("v1\n{}")
+    assert checkpoint_committed_rows(ckpt) == 42
+
+
+def test_resume_floor_known_cases(tmp_path):
+    import json
+    import os
+
+    from spark_streaming_dis_plugin_spark.streaming.drain import resume_floor
+
+    # no checkpoint -> everything must be consumed
+    assert resume_floor(str(tmp_path / "nope"), 500) == 500
+    ckpt = str(tmp_path)
+    os.makedirs(f"{ckpt}/offsets")
+    os.makedirs(f"{ckpt}/commits")
+    meta = json.dumps({"batchWatermarkMs": 0})
+    with open(f"{ckpt}/offsets/0", "w") as f:
+        f.write("v1\n" + meta + "\n" + json.dumps({"0": 300}))
+    with open(f"{ckpt}/commits/0", "w") as f:
+        f.write("v1\n{}")
+    assert resume_floor(ckpt, 500) == 200
+    # committed can exceed the caller's total (restart after growth): clamp
+    assert resume_floor(ckpt, 100) == 0

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from spark_streaming_dis_plugin_spark.operators.similarity import (
     DIM, _ivf_ingest_batch, _ivf_search_prebuilt, ivf_maybe_retrain,
+    ivf_resolve_live,
 )
 
 
@@ -50,10 +51,13 @@ def _write_index(spark, root, cent_rows, inv_rows, sizes=True):
 
 
 def _read_index(spark, root):
+    # readers resolve the manifest once per operation (r12 verdict #3);
+    # pre-retrain roots have no manifest and resolve to themselves
+    live = ivf_resolve_live(root)
     cent = {r["centroid_id"]: list(r["ce"]) for r in
-            spark.read.parquet(f"{root}/centroids").collect()}
+            spark.read.parquet(f"{live}/centroids").collect()}
     inv = {r["vec_id"]: (list(r["e"]), r["cluster"]) for r in
-           spark.read.parquet(f"{root}/inverted").collect()}
+           spark.read.parquet(f"{live}/inverted").collect()}
     return cent, inv
 
 
@@ -154,7 +158,7 @@ def test_post_retrain_search_equals_rebuilt_index_search(spark, skewed_root,
     # later ingest assigns against the RETRAINED geometry: a vector at
     # the drift mass's new home lands in cluster 0 only because the
     # centroid moved (it was nearer neither frozen centroid's basin edge)
-    cent1 = spark.read.parquet(f"{skewed_root}/centroids")
+    cent1 = spark.read.parquet(f"{ivf_resolve_live(skewed_root)}/centroids")
     probe = spark.createDataFrame([(900, _vec([4.5, 3.0]))],
                                   "vec_id bigint, e array<double>")
     _ivf_ingest_batch(probe, cent1, skewed_root, batch_id=1)

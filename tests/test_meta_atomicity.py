@@ -184,3 +184,29 @@ def test_no_leftover_tmp_files(tmp_path):
     leftovers = [n for n in os.listdir(log.stream_dir) if ".tmp-" in n]
     assert leftovers == []
     assert log.num_partitions() == 13
+
+
+def test_sweep_stale_tmps_removes_only_old_orphans(tmp_path):
+    """r12 advice #2: uuid-suffixed tmp files orphaned by a crash between
+    write and os.replace are swept by writer-side entry points — but only
+    when older than the age gate, so a LIVE concurrent writer's tmp (ms
+    of life) is never yanked out from under its os.replace."""
+    log = DisLog(str(tmp_path), "sweepy").create(2)
+    part_dir = log._part_dir(0)
+    old_orphan = os.path.join(part_dir, "seg.parquet.tmp-deadbeef")
+    fresh = os.path.join(part_dir, "seg.parquet.tmp-cafebabe")
+    for p in (old_orphan, fresh):
+        with open(p, "w") as f:
+            f.write("partial bytes")
+    past = time.time() - 3600
+    os.utime(old_orphan, (past, past))
+
+    removed = log.sweep_stale_tmps(min_age_seconds=60)
+    assert removed == 1
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(fresh)          # age-gated: live writer safe
+
+    # create() on an existing stream dir sweeps too (crash-restart path)
+    os.utime(fresh, (past, past))
+    DisLog(str(tmp_path), "sweepy").create(2)
+    assert not os.path.exists(fresh)
