@@ -1796,3 +1796,258 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.groupBy("tok")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
                  F.sum("near").cast("bigint").alias("n_near_pairs")))
+
+
+# Sorted-neighborhood window (r12 verdict #4): inside each first-token
+# block, members are sorted lexicographically and each is compared only
+# to its next LEV_WINDOW neighbors. Per-member work is <= LEV_WINDOW
+# comparisons BY CONSTRUCTION — a hot block of m members costs
+# m * LEV_WINDOW pairs (linear), never m^2/2, no matter how skewed the
+# token distribution gets. The classic SNM bound (Hernandez & Stolfo,
+# "The merge/purge problem", SIGMOD '95 — published method, public
+# knowledge).
+LEV_WINDOW = 8
+
+
+@register(
+    "dedup_levenshtein_capped",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[1] AS tok,
+             length(p_name) AS ln
+      FROM part
+    ), ranked AS (
+      SELECT p_partkey, p_name, tok, ln,
+             ROW_NUMBER() OVER (PARTITION BY tok
+                                ORDER BY p_name, p_partkey) AS rn
+      FROM p
+    ), pairs AS (
+      SELECT a.tok AS tok,
+             CASE WHEN levenshtein(a.p_name, b.p_name) <= {LEV_THRESHOLD}
+                  THEN 1 ELSE 0 END AS near
+      FROM ranked a JOIN ranked b
+        ON a.tok = b.tok
+       AND b.rn - a.rn BETWEEN 1 AND {LEV_WINDOW}
+       AND abs(a.ln - b.ln) <= {LEV_LEN_BAND}
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(near) AS BIGINT) AS n_near_pairs
+    FROM pairs GROUP BY tok
+    """,
+    tags=("connector", "dedup", "fuzzy", "blocking", "capped"), bench=True)
+def dedup_levenshtein_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE NEAR-DUP with hot-block work CAPPED BY CONSTRUCTION
+    (r12 verdict #4): dedup_levenshtein_blocked's equi-join compares all
+    pairs inside a block, so a hot first token ("the", a dominant brand)
+    makes that block's pair count quadratic — AQE skew-splitting
+    redistributes that work across tasks, it does not shrink it. This
+    variant bounds the WORK itself with the sorted-neighborhood method:
+    members of a block are sorted lexicographically (p_name, then key
+    for determinism) and each member is compared ONLY to its next
+    {LEV_WINDOW} neighbors in that order. Total comparisons are
+    <= n * {LEV_WINDOW} — linear in the corpus no matter how skewed the
+    token distribution gets; the bound holds at 100 TB by algebra, not
+    by runtime mitigation. (Sub-blocking-with-drop — the n-gram df-cap
+    idiom — was rejected for this row: the fixture's fixed two-token
+    vocabulary makes EVERY composite key over-cap beyond sf0.01, i.e.
+    drops degenerate to an empty relation; SNM keeps real kernel work
+    at every scale with the same hard bound.)
+
+    The recall tradeoff is declared, like LSH banding's: a true
+    near-pair is found iff the two strings land within {LEV_WINDOW}
+    positions in their block's sort order — small edits mostly preserve
+    lexicographic locality (the method's published premise), with
+    first-character edits the known blind spot (they are also the
+    first-token BLOCK's blind spot, so nothing new is lost here). The
+    length band stays as a pre-kernel admissibility filter, and the
+    kernel is the threshold-capped levenshtein(l, r, k) banded DP
+    (O(k*len)/pair).
+
+    Plan shape: ONE shuffle (by tok, sorting within the window
+    partition), then {LEV_WINDOW} lead() columns, posexplode, filter,
+    kernel, map-side-combinable aggregate — NO join anywhere, so there
+    is no join-key skew to mitigate and nothing for AQE to repair; the
+    hottest block costs one task m*log(m) sort + m*{LEV_WINDOW} kernel
+    calls (pytest-pinned join-free in test_plan_shapes)."""
+    from pyspark.sql import Window
+
+    p = (load(spark, sf_dir, "part")
+         .select("p_partkey", "p_name",
+                 F.split("p_name", " ").getItem(0).alias("tok"),
+                 F.length("p_name").alias("ln")))
+    w = Window.partitionBy("tok").orderBy("p_name", "p_partkey")
+    with_leads = p.select(
+        "tok", "p_name", "ln",
+        F.array(*[
+            F.struct(F.lead("p_name", i).over(w).alias("nb_name"),
+                     F.lead("ln", i).over(w).alias("nb_ln"))
+            for i in range(1, LEV_WINDOW + 1)]).alias("neighbors"))
+    cand = (with_leads
+            .select("tok", "p_name", "ln",
+                    F.explode("neighbors").alias("nb"))
+            .where(F.col("nb.nb_name").isNotNull()
+                   & (F.abs(F.col("ln") - F.col("nb.nb_ln"))
+                      <= LEV_LEN_BAND)))
+    pairs = cand.select(
+        "tok",
+        F.when(F.levenshtein(F.col("p_name"), F.col("nb.nb_name"),
+                             LEV_THRESHOLD) >= 0, 1)
+        .otherwise(0).alias("near"))
+    return (pairs.groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+                 F.sum("near").cast("bigint").alias("n_near_pairs")))
+
+
+# Entity-resolution scoring threshold: lev <= 3 is the band where the
+# fixture's name vocabulary has real transitive structure (bolt ~ rod ~
+# ring chains) — the composition's CC stage then does non-trivial work.
+ER_LEV_THRESHOLD = 3
+ER_LEN_BAND = 3
+
+
+def _er_distinct_names(part: DataFrame) -> DataFrame:
+    """ER stage 1, the exact collapse: one map-side-combinable aggregate
+    turns the corpus into the distinct-name relation (p_name, n_records,
+    name_key) that every quadratic stage downstream operates on."""
+    d = (part.groupBy("p_name")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_records"),
+              F.min("p_partkey").alias("name_key")))
+    return d.select(
+        "p_name", "n_records", "name_key",
+        F.split("p_name", " ").getItem(0).alias("tok"),
+        F.length("p_name").alias("ln"))
+
+
+def _er_candidate_pairs(nd: DataFrame) -> DataFrame:
+    """ER stages 2-3, block + score + threshold on the COLLAPSED
+    relation: first-token equi-join with the admissible length band as
+    residual, thresholded by the capped levenshtein kernel. Input is
+    vocabulary-sized, so the self-join's quadratic worst case is
+    |vocab|^2 / |blocks| — never a corpus-scale pairing (plan-pinned:
+    the equi-join's inputs are aggregates, not scans)."""
+    a, b = nd.alias("a"), nd.alias("b")
+    return (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                   & (F.col("a.name_key") < F.col("b.name_key"))
+                   & (F.abs(F.col("a.ln") - F.col("b.ln"))
+                      <= ER_LEN_BAND)
+                   & (F.levenshtein(F.col("a.p_name"), F.col("b.p_name"),
+                                    ER_LEV_THRESHOLD) >= 0))
+            .select(F.col("a.name_key").alias("doc_a"),
+                    F.col("b.name_key").alias("doc_b")))
+
+
+@register(
+    "dedup_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_records,
+             MIN(p_partkey) AS name_key
+      FROM part GROUP BY p_name
+    ), nd AS (
+      SELECT p_name, n_records, name_key,
+             string_split(p_name, ' ')[1] AS tok,
+             length(p_name) AS ln
+      FROM d
+    ), pairs AS (
+      SELECT a.name_key AS ka, b.name_key AS kb
+      FROM nd a JOIN nd b
+        ON a.tok = b.tok
+       AND a.name_key < b.name_key
+       AND abs(a.ln - b.ln) <= {ER_LEN_BAND}
+       AND levenshtein(a.p_name, b.p_name) <= {ER_LEV_THRESHOLD}
+    ), edges AS (
+      SELECT ka AS src, kb AS dst FROM pairs
+      UNION ALL
+      SELECT kb, ka FROM pairs
+    ), reach(k, label) AS (
+      SELECT name_key, name_key FROM nd
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.k
+    ), comp AS (
+      SELECT k AS name_key, MIN(label) AS entity_id FROM reach GROUP BY k
+    ), members AS (
+      SELECT nd.p_name, nd.n_records, nd.name_key, comp.entity_id
+      FROM nd JOIN comp USING (name_key)
+    ), canon AS (
+      SELECT entity_id, p_name AS canonical_name
+      FROM (SELECT entity_id, p_name,
+                   ROW_NUMBER() OVER (PARTITION BY entity_id
+                                      ORDER BY n_records DESC,
+                                               name_key) AS rn
+            FROM members)
+      WHERE rn = 1
+    ), ent AS (
+      SELECT m.entity_id, c.canonical_name,
+             CAST(SUM(m.n_records) AS BIGINT) AS entity_records
+      FROM members m JOIN canon c ON m.entity_id = c.entity_id
+      GROUP BY m.entity_id, c.canonical_name
+    )
+    SELECT p.p_partkey, p.p_name, m.entity_id, e.canonical_name,
+           e.entity_records
+    FROM part p
+    JOIN members m ON p.p_name = m.p_name
+    JOIN ent e ON m.entity_id = e.entity_id
+    """,
+    tags=("dedup", "fuzzy", "blocking", "graph", "iterative", "e2e",
+          "entity-resolution"), bench=True)
+def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION END-TO-END (r12 verdict #5) — the composition
+    every catalog/dedup user actually runs: block -> score -> threshold
+    -> connected components -> canonical survivor per entity, mapped
+    back onto every source record. The delegated-surface pattern of
+    DISSparkStreamingSubscribeExample.scala:46 taken to its real-world
+    endpoint (SURVEY §2c).
+
+    Stage order is the 100 TB design decision: EXACT COLLAPSE FIRST.
+    The fuzzy stages run on the DISTINCT-name relation (one groupBy
+    over the fact), so the quadratic machinery — candidate pairs, edit
+    distance, CC iterations — sees |vocabulary| rows, not |corpus|
+    rows. On this fixture the vocabulary is scale-invariant (64 names
+    at every SF), which is the realistic shape: spellings grow far
+    slower than records. The corpus itself is touched exactly twice,
+    both linearly: the collapse aggregate and the final map-back, and
+    the map-back join is BROADCAST (the entity table is
+    vocabulary-sized), so no corpus shuffle happens anywhere in the
+    pipeline (plan-pinned).
+
+    Stages: (1) exact collapse: p_name -> (n_records, name_key =
+    min(p_partkey)); (2) candidates: first-token block + length band
+    {ER_LEN_BAND} on the distinct relation; (3) score/threshold:
+    capped levenshtein(l, r, {ER_LEV_THRESHOLD}) — admissible band,
+    same kernel as the blocked row; (4) entities: min-label connected
+    components over the thresholded pair graph (the shared CC kernel,
+    _min_label_components), singletons labeling themselves; (5)
+    survivor: per entity the most-frequent spelling wins (canonical-
+    form heuristic), ties to the smallest name_key — SemDeDup's
+    keep-one-per-cluster discipline on record counts; (6) map-back:
+    every record gets (entity_id, canonical_name, entity_records).
+    Oracle: the same pipeline with the CC stage as a recursive CTE —
+    the dedup_connected_components oracle idiom over the scored pair
+    relation."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    nd = _er_distinct_names(part)
+    pairs = _er_candidate_pairs(nd)
+    labels = _min_label_components(pairs)
+    members = (nd.join(labels, nd["name_key"] == labels["doc_id"],
+                       "left_outer")
+               .select("p_name", "n_records", "name_key",
+                       F.coalesce(F.col("label"), F.col("name_key"))
+                       .alias("entity_id")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity_id").orderBy(
+        F.desc("n_records"), "name_key")
+    canon = (members.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .select("entity_id", F.col("p_name").alias("canonical_name")))
+    ent = (members.groupBy("entity_id")
+           .agg(F.sum("n_records").cast("bigint").alias("entity_records"))
+           .join(canon, "entity_id"))
+    entity_map = (members.select("p_name", "entity_id")
+                  .join(ent, "entity_id")
+                  .select("p_name", "entity_id", "canonical_name",
+                          "entity_records"))
+    return part.join(F.broadcast(entity_map), "p_name").select(
+        "p_partkey", "p_name", "entity_id", "canonical_name",
+        "entity_records")

@@ -812,6 +812,27 @@ def test_levenshtein_blocked_is_equi_join_on_token(spark, sf_dir):
     assert "levenshtein" in plan, plan
 
 
+def test_levenshtein_capped_is_join_free_window(spark, sf_dir):
+    """dedup_levenshtein_capped (r12 verdict #4): the sorted-neighborhood
+    construction must contain NO join of any kind — the pair generator
+    is lead() columns over a window partitioned by the blocking token,
+    so per-member work is <= LEV_WINDOW comparisons by construction and
+    there is no join-key skew for AQE to mitigate. One shuffle (the
+    window partition), one generator (the neighbor explode), the capped
+    3-arg levenshtein kernel, then a map-side-combinable aggregate."""
+    plan = _plan(spark, "dedup_levenshtein_capped", sf_dir)
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    window_lines = [ln for ln in plan.splitlines()
+                    if "Window" in ln and "lead(" in ln]
+    assert window_lines, plan
+    assert any("tok" in ln for ln in window_lines), plan
+    assert "Generate" in plan and "explode" in plan, plan
+    assert "levenshtein" in plan, plan
+    # exactly one exchange feeds the window sort: the block shuffle
+    assert "partial_count" in plan or "partial" in plan, plan
+
+
 def test_js_divergence_shares_psi_shape(spark, sf_dir):
     """stats_js_divergence: same aggregate-to-grid shape as the PSI row
     — the fold runs on the |types| x bins relation, the corpus is never
@@ -821,3 +842,42 @@ def test_js_divergence_shares_psi_shape(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan.replace(
         "BroadcastNestedLoopJoin", ""), plan
+
+
+def test_entity_resolution_never_shuffles_corpus(spark, sf_dir):
+    """dedup_entity_resolution (r12 verdict #5): the corpus is touched
+    exactly twice, both linearly — the exact-collapse aggregate (a
+    partial/map-side-combinable groupBy) and the final map-back, which
+    must be a BROADCAST join (the entity table is vocabulary-sized).
+    All quadratic machinery (candidate pairs, lev kernel, CC joins)
+    runs on the collapsed distinct-name relation — so no SortMergeJoin
+    may touch the part scan, and nothing is ever cartesian."""
+    plan = _plan(spark, "dedup_entity_resolution", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the fact's only joins are broadcast: a SortMergeJoin keyed on the
+    # corpus column p_partkey would mean the corpus itself shuffled
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert not any("p_partkey#" in ln for ln in smj), smj
+
+    # the CANDIDATE stage (runs eagerly inside the CC kernel, so it is
+    # pinned on its own plan): the lev equi-join's both inputs are the
+    # collapse AGGREGATE — a map-side-combinable partial_count feeds
+    # each side, and the blocking key is the equi condition
+    from spark_streaming_dis_plugin_spark.operators.dedup import (
+        _er_candidate_pairs, _er_distinct_names,
+    )
+    from spark_streaming_dis_plugin_spark.tables import load
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = _er_candidate_pairs(_er_distinct_names(part))
+    cplan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in cplan, cplan
+    assert "BroadcastNestedLoopJoin" not in cplan, cplan
+    assert "levenshtein" in cplan, cplan
+    # column pruning drops the unused n_records count from this stage,
+    # so the collapse shows as its partial_min(name_key) half
+    assert "partial_min" in cplan, cplan
+    join_lines = [ln for ln in cplan.splitlines() if "Join" in ln]
+    assert join_lines and any("tok" in ln for ln in join_lines), cplan
