@@ -85,3 +85,65 @@ def test_summarize_r11_artifact_is_not_green():
     line = mod.summarize(os.path.join(REPO, "SWEEP_r11.json"))
     assert "NOT GREEN" in line
     assert "sf0.01-UTC: 316/317 RED" in line
+
+
+def _sweep_mod():
+    spec = importlib.util.spec_from_file_location(
+        "sweep_mod3", os.path.join(REPO, "tools", "sweep.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_rotation_chooser_is_deterministic_and_rotates():
+    """r12 verdict #2: the per-round rotation set is a pure function of
+    (round, declared) — same inputs, same set — and PROVABLY rotates:
+    consecutive rounds pick substantially different subsets, and over a
+    handful of rounds the union covers far more than one round's N."""
+    mod = _sweep_mod()
+    declared = {f"q{i:03d}" for i in range(321)}
+    r13a = mod.rotation_names(13, declared)
+    r13b = mod.rotation_names(13, declared)
+    assert r13a == r13b                       # deterministic
+    assert len(r13a) == mod.ROTATION_N
+    assert set(r13a) <= declared
+    r14 = mod.rotation_names(14, declared)
+    overlap = len(set(r13a) & set(r14))
+    # hash-ranked: expected overlap ~ N^2/|declared| ≈ 2; anything near
+    # N would mean the set is NOT rotating
+    assert overlap < mod.ROTATION_N // 2, (overlap, r13a, r14)
+    union = set()
+    for rnd in range(13, 21):
+        union |= set(mod.rotation_names(rnd, declared))
+    assert len(union) > 3 * mod.ROTATION_N    # coverage accumulates
+
+
+def test_rotation_chooser_tracks_declared_changes():
+    """Adding a declared row reshuffles fairly: the chooser never
+    crashes on set growth and stays within the declared set."""
+    mod = _sweep_mod()
+    declared = {f"q{i:03d}" for i in range(50)}
+    base = mod.rotation_names(13, declared)
+    grown = mod.rotation_names(13, declared | {"brand_new_row"})
+    assert set(base) <= declared
+    assert set(grown) <= declared | {"brand_new_row"}
+    assert len(grown) == mod.ROTATION_N
+
+
+def test_summarize_includes_rotation_leg_and_refuses_green_on_red(tmp_path):
+    """A red rotation row must flip the whole claim to NOT GREEN even
+    when all matrix legs are clean."""
+    mod = _sweep_mod()
+    art = {
+        "round": 13, "declared_count": 321, "all_green": False,
+        "summary": {"sf0.01-UTC": {"ok": 321, "mismatched": 0,
+                                   "flaky": [], "complete": True}},
+        "rotation": {"rotation-sf0.01-UTC-local[32]": {
+            "ok": 24, "mismatched": 1, "flaky": [], "complete": True}},
+    }
+    path = str(tmp_path / "SWEEP_rot.json")
+    with open(path, "w") as f:
+        json.dump(art, f)
+    line = mod.summarize(path)
+    assert "NOT GREEN" in line
+    assert "rotation-sf0.01-UTC-local[32]: 24/25 RED" in line

@@ -22,11 +22,21 @@ if "--json" in argv:
     i = argv.index("--json")
     json_out = argv[i + 1]
     del argv[i:i + 2]
+only = None
+if "--only" in argv:
+    # rotation-leg support (r12 verdict #2): check just the named rows,
+    # comma-separated — the sweep uses this with a DIFFERENT master /
+    # shuffle-partition config for config-sensitivity coverage
+    i = argv.index("--only")
+    only = set(argv[i + 1].split(","))
+    del argv[i:i + 2]
 
 from pyspark.sql import SparkSession
-builder = (SparkSession.builder.master("local[8]")
+builder = (SparkSession.builder
+           .master(os.environ.get("SPARK_GRAFT_MASTER", "local[8]"))
            .appName("driver-sim").config("spark.ui.enabled","false")
-           .config("spark.sql.shuffle.partitions","8")
+           .config("spark.sql.shuffle.partitions",
+                   os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
            # Without this the session runs on pyspark's 1g default heap.
            # The grading driver's 50-row sf0.01 shape survives that; a
            # full-registry sweep leg (236 rows, one session) does not —
@@ -65,6 +75,10 @@ def norm(v):
     return v
 
 qs, oracles = E.queries(), E.oracle_sql()
+if only is not None:
+    unknown = sorted(only - set(qs))
+    assert not unknown, f"--only names not declared: {unknown}"
+    qs = {k: v for k, v in qs.items() if k in only}
 ok = bad = 0
 report: dict[str, dict] = {}
 for name in sorted(qs):
@@ -126,13 +140,14 @@ for name in sorted(qs):
                     **({"err_attempt1": err_attempt1, "attempts": 2,
                         "flaky": True} if err_attempt1 else {})}
 flaky = sorted(n for n, r in report.items() if r.get("flaky"))
-print(f"RESULT: {ok} ok, {bad} mismatched, {len(qs)-len(oracles)} rows-only"
+rows_only_n = sum(1 for n in qs if n not in oracles)
+print(f"RESULT: {ok} ok, {bad} mismatched, {rows_only_n} rows-only"
       + (f", {len(flaky)} flaky (passed on retry: {flaky})" if flaky else ""))
 if json_out:
     with open(json_out, "w") as f:
         json.dump({"sf_dir": SF, "timezone": argv[0] if argv else "UTC",
                    "ok": ok, "mismatched": bad,
-                   "rows_only": len(qs) - len(oracles),
+                   "rows_only": rows_only_n,
                    "flaky": flaky, "retry_policy":
                        "errored rows retried once; both attempts recorded; "
                        "mismatches never retried",

@@ -25,6 +25,32 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Rotation leg (r12 verdict #2): the grading driver has sampled the SAME
+# 50 rows for four straight rounds, so builder-side evidence must rotate
+# where the driver won't. Each round, ROTATION_N rows chosen by
+# hash(round, name) get a SECOND independent check in a fresh process
+# under a DIFFERENT engine config (local[32] + 32 shuffle partitions vs
+# the matrix legs' local[8] + 8) — config-sensitivity coverage the
+# matrix legs never vary (partition-count-dependent bugs: accidental
+# order dependence, single-partition assumptions, skew-split behavior).
+ROTATION_N = 25
+ROTATION_MASTER = "local[32]"
+ROTATION_SHUFFLE = "32"
+
+
+def rotation_names(rnd: int, declared: set[str],
+                   n: int = ROTATION_N) -> list[str]:
+    """Deterministic per-round rotation set: rank every declared name by
+    sha256(f"{rnd}:{name}") and take the first n. Pure function of
+    (round, declared set) — auditable, and provably rotates because the
+    hash reshuffles the ranking every round (pytest-pinned)."""
+    import hashlib
+
+    return sorted(
+        sorted(declared),
+        key=lambda nm: hashlib.sha256(f"{rnd}:{nm}".encode()).hexdigest()
+    )[:n]
+
 
 def declared_set() -> set[str]:
     """The registry's declared query names at current HEAD (no Spark
@@ -48,6 +74,11 @@ def main() -> None:
             ("America/New_York", "/root/testdata/sf0.01")]
     if not fast:
         legs.append(("UTC", "/root/testdata/sf0.1"))
+        # Standing fourth leg (r12 verdict #7): sf0.1 x NY ran ad-hoc in
+        # r12 and has caught NY-only bugs the other legs missed
+        # (dis_segment_stats); it is matrix now, not a commit-message
+        # extra.
+        legs.append(("America/New_York", "/root/testdata/sf0.1"))
 
     declared = declared_set()
     matrix: dict[str, dict] = {}
@@ -82,6 +113,46 @@ def main() -> None:
             matrix[key] = {"err": "no artifact (contract crashed)",
                            "tail": tail}
 
+    # Rotation leg (r12 verdict #2): fresh process, different engine
+    # config, deterministic per-round row subset.
+    rot_names = rotation_names(rnd, declared)
+    rot_key = f"rotation-sf0.01-UTC-{ROTATION_MASTER}"
+    out = os.path.join(REPO, ".sweep_rotation.json")
+    print(f"=== sweep rotation leg {rot_key} ({len(rot_names)} rows) ===",
+          flush=True)
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    env["SPARK_GRAFT_MASTER"] = ROTATION_MASTER
+    env["SPARK_GRAFT_SHUFFLE"] = ROTATION_SHUFFLE
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/drive_contract.py"),
+         "UTC", "/root/testdata/sf0.01", "--json", out,
+         "--only", ",".join(rot_names)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env)
+    print("\n".join(proc.stdout.strip().splitlines()[-3:]), flush=True)
+    if proc.returncode != 0:
+        failed = True
+    try:
+        with open(out) as f:
+            rotation = json.load(f)
+        os.remove(out)
+    except FileNotFoundError:
+        failed = True
+        rotation = {"err": "no artifact (rotation leg crashed)"}
+    rotation["config"] = {"master": ROTATION_MASTER,
+                          "shuffle_partitions": int(ROTATION_SHUFFLE),
+                          "chooser": "first %d of declared ranked by "
+                                     "sha256('%d:'+name)"
+                                     % (ROTATION_N, rnd),
+                          "names": rot_names}
+    rot_swept = set(rotation.get("queries", {}))
+    rotation["complete"] = rot_swept == set(rot_names)
+    if not rotation["complete"]:
+        failed = True
+        print(f"INCOMPLETE rotation leg: swept {len(rot_swept)} of "
+              f"{len(rot_names)}", flush=True)
+
     # Completeness invariant: each leg must have swept EXACTLY the
     # declared set at this HEAD. Fail loudly, naming the rows.
     completeness: dict[str, dict] = {}
@@ -107,9 +178,12 @@ def main() -> None:
     # recorded 316/317 on one leg). any_mismatch covers errored rows too
     # (drive_contract counts a persistent error as mismatched after its
     # one recorded retry).
-    any_mismatch = any((v.get("mismatched") or 0) > 0 for v in matrix.values())
+    any_mismatch = (any((v.get("mismatched") or 0) > 0
+                        for v in matrix.values())
+                    or (rotation.get("mismatched") or 0) > 0)
     all_green = (not any_mismatch and not failed
-                 and all(c["complete"] for c in completeness.values()))
+                 and all(c["complete"] for c in completeness.values())
+                 and rotation.get("complete", False))
     artifact = os.path.join(REPO, f"SWEEP_r{rnd:02d}.json")
     with open(artifact, "w") as f:
         json.dump({"round": rnd,
@@ -120,7 +194,8 @@ def main() -> None:
                    "retry_policy": "errored rows retried once in-leg; both "
                        "attempts recorded per-row (err_attempt1/flaky); "
                        "mismatches never retried",
-                   "summary": summary, "matrix": matrix},
+                   "summary": summary, "matrix": matrix,
+                   "rotation": {rot_key: rotation}},
                   f, indent=1, sort_keys=True)
     print(f"wrote {artifact}: declared={len(declared)} "
           f"{json.dumps(summary)}")
@@ -149,6 +224,17 @@ def summarize(artifact_path: str) -> str:
         if mis:
             bit += " RED"
         if not s.get("complete", True):
+            bit += " INCOMPLETE"
+        legs.append(bit)
+    for key in sorted(a.get("rotation", {})):
+        r = a["rotation"][key]
+        ok, mis = r.get("ok") or 0, r.get("mismatched") or 0
+        bit = f"{key}: {ok}/{ok + mis}"
+        if r.get("flaky"):
+            bit += f" ({len(r['flaky'])} flaky)"
+        if mis:
+            bit += " RED"
+        if not r.get("complete", True):
             bit += " INCOMPLETE"
         legs.append(bit)
     verdict = "ALL GREEN" if a.get("all_green") else "NOT GREEN"
