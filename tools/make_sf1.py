@@ -93,17 +93,79 @@ def build_embeddings(out_dir: str) -> int:
     return full.num_rows
 
 
+def build_events(out_dir: str) -> int:
+    """10x events for the STREAMING scale probe (r12 verdict #1): each
+    replica keeps sf0.1's timestamp distribution (the window/session/
+    watermark gates depend on its shape) but gets a disjoint event_id
+    range, shifted user_ids (so per-key state cardinality scales 10x —
+    the dimension that stresses a state store), and a per-replica
+    microsecond nudge so no two replicas are byte-identical."""
+    t = pq.read_table(f"{SRC}/events.parquet")
+    event_id = t.column("event_id").to_numpy()
+    ts = t.column("ts").cast(pa.timestamp("us")).to_numpy()
+    user_id = t.column("user_id").to_numpy()
+    etype = t.column("event_type")
+    value = t.column("value").to_numpy()
+    props = t.column("props")
+    parts = []
+    for r in range(REPLICAS):
+        if r == 0:
+            parts.append(pa.table({
+                "event_id": t.column("event_id"),
+                "ts": t.column("ts").cast(pa.timestamp("us")),
+                "user_id": t.column("user_id"),
+                "event_type": etype, "value": t.column("value"),
+                "props": props}))
+            continue
+        parts.append(pa.table({
+            "event_id": pa.array(event_id + r * ID_STRIDE,
+                                 type=pa.int64()),
+            "ts": pa.array(ts + np.timedelta64(r, "us")),
+            "user_id": pa.array(user_id + r * ID_STRIDE,
+                                 type=pa.int64()),
+            "event_type": etype,
+            "value": pa.array(value + r * 1e-3, type=pa.float64()),
+            "props": props,
+        }))
+    full = pa.concat_tables(parts)
+    pq.write_table(full, f"{out_dir}/events.parquet")
+    return full.num_rows
+
+
+def build_part(out_dir: str) -> int:
+    """10x part for the fuzzy-dedup scale probes: disjoint p_partkey
+    ranges, names UNCHANGED — record count grows while the name
+    vocabulary stays fixed, which is exactly the saturation shape that
+    separates the blocked row (per-block pairs grow quadratically) from
+    the capped/SNM row (work stays linear by construction)."""
+    t = pq.read_table(f"{SRC}/part.parquet")
+    key = t.column("p_partkey").to_numpy()
+    parts = []
+    for r in range(REPLICAS):
+        if r == 0:
+            parts.append(t)
+            continue
+        cols = {name: t.column(name) for name in t.column_names}
+        cols["p_partkey"] = pa.array(key + r * ID_STRIDE, type=pa.int64())
+        parts.append(pa.table(cols))
+    full = pa.concat_tables(parts)
+    pq.write_table(full, f"{out_dir}/part.parquet")
+    return full.num_rows
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.sf1"
     os.makedirs(out_dir, exist_ok=True)
     nd = build_documents(out_dir)
     ne = build_embeddings(out_dir)
-    for name in ("region", "nation", "customer", "supplier", "part",
-                 "orders", "lineitem", "events"):
+    nev = build_events(out_dir)
+    np_ = build_part(out_dir)
+    for name in ("region", "nation", "customer", "supplier",
+                 "orders", "lineitem"):
         shutil.copyfile(f"{SRC}/{name}.parquet",
                         f"{out_dir}/{name}.parquet")
-    print(f"wrote {out_dir}: documents={nd} embeddings={ne} "
-          f"(+8 tables copied from sf0.1)")
+    print(f"wrote {out_dir}: documents={nd} embeddings={ne} events={nev} "
+          f"part={np_} (+6 tables copied from sf0.1)")
 
 
 if __name__ == "__main__":
