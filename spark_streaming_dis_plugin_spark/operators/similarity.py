@@ -380,8 +380,10 @@ def ivf_gc_generations(root: str,
     dirs, and orphaned ``.gen-stage-*`` build dirs) once the LIVE
     generation has been live for at least ``grace_seconds`` — by then no
     reader that resolved before the flip can still be mid-read (readers
-    resolve once per operation). Never touches the live generation.
-    Returns directories removed."""
+    resolve once per operation). Never touches the live generation; a
+    stage dir is additionally removed only when its own mtime is older
+    than the grace window, so a CONCURRENT retrainer's live staging is
+    never yanked mid-build. Returns directories removed."""
     import os
     import shutil
     import time
@@ -397,8 +399,19 @@ def ivf_gc_generations(root: str,
         path = os.path.join(root, name)
         if not os.path.isdir(path) or name == live:
             continue
-        if (name.startswith("gen=") or name.startswith(".gen-stage-")
-                or name in ("centroids", "inverted", "sizes")):
+        if name.startswith(".gen-stage-"):
+            # an orphan stage is only dead if it has sat UNMODIFIED for
+            # the grace window — a concurrent retrainer's live staging
+            # dir is written continuously and must never be yanked
+            try:
+                if time.time() - os.path.getmtime(path) < grace_seconds:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
+        elif name.startswith("gen=") or name in ("centroids", "inverted",
+                                                 "sizes"):
             shutil.rmtree(path, ignore_errors=True)
             removed += 1
     return removed

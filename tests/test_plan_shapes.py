@@ -881,3 +881,17 @@ def test_entity_resolution_never_shuffles_corpus(spark, sf_dir):
     assert "partial_min" in cplan, cplan
     join_lines = [ln for ln in cplan.splitlines() if "Join" in ln]
     assert join_lines and any("tok" in ln for ln in join_lines), cplan
+
+
+def test_levenshtein_multipass_join_free_two_windows(spark, sf_dir):
+    """dedup_levenshtein_multipass: two independent SNM passes = two
+    lead() windows on different blocking keys, union + distinct — still
+    no join operator anywhere, so total work is 2*n*W by construction."""
+    plan = _plan(spark, "dedup_levenshtein_multipass", sf_dir)
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    window_lines = [ln for ln in plan.splitlines()
+                    if "Window" in ln and "lead(" in ln]
+    assert len(window_lines) >= 2, plan
+    assert any("tok_last" in ln for ln in window_lines), plan
+    assert "levenshtein" in plan, plan
