@@ -116,7 +116,10 @@ def main() -> None:
     # Rotation leg (r12 verdict #2): fresh process, different engine
     # config, deterministic per-round row subset.
     rot_names = rotation_names(rnd, declared)
-    rot_key = f"rotation-sf0.01-UTC-{ROTATION_MASTER}"
+    # the timezone alternates by round parity, so over two rounds the
+    # rotation covers both TZ legs under the alternate engine config
+    rot_tz = "America/New_York" if rnd % 2 else "UTC"
+    rot_key = f"rotation-sf0.01-{rot_tz}-{ROTATION_MASTER}"
     out = os.path.join(REPO, ".sweep_rotation.json")
     print(f"=== sweep rotation leg {rot_key} ({len(rot_names)} rows) ===",
           flush=True)
@@ -126,7 +129,7 @@ def main() -> None:
     env["SPARK_GRAFT_SHUFFLE"] = ROTATION_SHUFFLE
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools/drive_contract.py"),
-         "UTC", "/root/testdata/sf0.01", "--json", out,
+         rot_tz, "/root/testdata/sf0.01", "--json", out,
          "--only", ",".join(rot_names)],
         cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, env=env)
@@ -142,6 +145,7 @@ def main() -> None:
         rotation = {"err": "no artifact (rotation leg crashed)"}
     rotation["config"] = {"master": ROTATION_MASTER,
                           "shuffle_partitions": int(ROTATION_SHUFFLE),
+                          "timezone": rot_tz,
                           "chooser": "first %d of declared ranked by "
                                      "sha256('%d:'+name)"
                                      % (ROTATION_N, rnd),
