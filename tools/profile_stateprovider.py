@@ -20,7 +20,15 @@ in a fresh checkpoint; provider configs are session confs read at query
 start. Print one JSON line per variant + a markdown table for
 BENCH_NOTES; run on a QUIET machine.
 
-Usage: python tools/profile_stateprovider.py [sf_dir]
+Usage: python tools/profile_stateprovider.py [sf_dir] [--agg value]
+                                             [--variants H,Rc]
+
+--agg value switches the aggregation from the 101-key wordcount to a
+per-distinct-VALUE count — state cardinality ~= record count (100k rows
+at sf0.1, 1M at the derived sf1), the LARGE-STATE regime where RocksDB
+is supposed to earn its keep (update mode + noop foreachBatch sink, so
+the sink never collects the big state). --variants limits the provider
+list (labels' first token).
 """
 from __future__ import annotations
 
@@ -56,7 +64,20 @@ def med(vals):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = list(sys.argv[1:])
+    agg = "word"
+    if "--agg" in argv:
+        i = argv.index("--agg")
+        agg = argv[i + 1]
+        del argv[i:i + 2]
+    variants = VARIANTS
+    if "--variants" in argv:
+        i = argv.index("--variants")
+        keys = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+        variants = [(lb, c) for lb, c in VARIANTS
+                    if lb.split()[0] in keys]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
 
     from spark_streaming_dis_plugin_spark.operators.connector import (
         _materialized_log,
@@ -77,6 +98,19 @@ def main() -> None:
     log = _materialized_log(spark, sf_dir)
     total = sum(log.latest_offsets().values())
     per = max(-(-total // 6), 1)
+    from pyspark.sql import functions as F
+
+    def make_agg(sdf):
+        if agg == "value":
+            # per-record-identity running count: state rows ~= corpus
+            # (the envelope's value column alone has only ~100 distinct
+            # strings; (timestamp, key) is unique per record) — the
+            # large-state regime. Update mode + noop foreachBatch sink
+            # so the sink never collects the big state.
+            return (sdf.groupBy("timestamp", "key")
+                    .agg(F.count(F.lit(1)).alias("n")))
+        return running_wordcount(sdf)
+
     rec = make_recorder()
     spark.streams.addListener(rec)
     baseline = {k: spark.conf.get(k, None)
@@ -85,19 +119,18 @@ def main() -> None:
     # Unrecorded warmup drain: the first query in a fresh JVM pays
     # whole-stage codegen + classloading; without this the first
     # VARIANT absorbs it and the comparison is order-biased.
-    warm_q = (running_wordcount(
+    warm_q = (make_agg(
         spark.readStream.format("dis")
         .option("path", log.root).option("stream", log.stream)
         .option("maxOffsetsPerTrigger", str(per)).load())
-        .writeStream.format("memory")
-        .queryName(f"spwarm_{uuid.uuid4().hex[:8]}")
-        .outputMode("complete")
+        .writeStream.foreachBatch(lambda bdf, bid: bdf.count())
+        .outputMode("update")
         .option("checkpointLocation", scratch_dir("spwarm_ckpt_"))
         .trigger(processingTime="0 seconds").start())
     drain_available(warm_q, timeout_seconds=600, expected_rows=total)
 
     results = []
-    for label, confs in VARIANTS:
+    for label, confs in variants:
         for k, v in confs.items():
             spark.conf.set(k, v)
         try:
@@ -106,16 +139,25 @@ def main() -> None:
                    .option("path", log.root).option("stream", log.stream)
                    .option("maxOffsetsPerTrigger", str(per)).load())
             t0 = time.perf_counter()
-            q = (running_wordcount(sdf)
-                 .writeStream.format("memory")
-                 .queryName(f"sp_{uuid.uuid4().hex[:8]}")
-                 .outputMode("complete")
-                 .option("checkpointLocation", scratch_dir("sp_ckpt_"))
-                 .trigger(processingTime="0 seconds").start())
+            if agg == "value":
+                q = (make_agg(sdf)
+                     .writeStream
+                     .foreachBatch(lambda bdf, bid: bdf.count())
+                     .outputMode("update")
+                     .option("checkpointLocation", scratch_dir("sp_ckpt_"))
+                     .trigger(processingTime="0 seconds").start())
+            else:
+                q = (make_agg(sdf)
+                     .writeStream.format("memory")
+                     .queryName(f"sp_{uuid.uuid4().hex[:8]}")
+                     .outputMode("complete")
+                     .option("checkpointLocation", scratch_dir("sp_ckpt_"))
+                     .trigger(processingTime="0 seconds").start())
             drain_available(q, timeout_seconds=600, expected_rows=total)
             wall = time.perf_counter() - t0
             time.sleep(1.0)
-            rep = {"variant": label, "wall_sec": round(wall, 2),
+            rep = {"variant": label, "agg": agg, "sf_dir": sf_dir,
+                   "wall_sec": round(wall, 2),
                    **summarize(rec.progress[start_idx:])}
             rep["records_per_sec"] = round(total / wall)
             print(json.dumps(rep), flush=True)
