@@ -274,7 +274,13 @@ def dedup_ngram_jaccard_capped(spark: SparkSession,
     posting = sets.select("doc_id", F.explode("sh").alias("s"))
     heavy = (posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
              .where(F.col("df") > DF_CAP).select("s"))
-    capped = posting.join(F.broadcast(heavy), "s", "left_anti")
+    # The capped posting relation feeds THREE consumers (sizes + both
+    # self-join sides); persisting it folds the tokenize/shingle/anti-join
+    # recompute into one pass (A/B at sf0.1: ~5% median, identical rows —
+    # small because the cap already removed ~90% of postings, but it also
+    # bounds the recompute at 100 TB where the scan is the expensive part)
+    capped = (posting.join(F.broadcast(heavy), "s", "left_anti")
+              .persist())
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ca, cb = capped.alias("a"), capped.alias("b")
     inter = (ca.join(cb, (F.col("a.s") == F.col("b.s"))
@@ -352,6 +358,11 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                                    edges["dst"] == labels["doc_id"])
                         .groupBy("src")
                         .agg(F.min("label").alias("nmin")))
+        # Carry the previous label INSIDE the checkpointed relation so the
+        # convergence test is a filter-count over cached partitions — the
+        # former new-vs-old join re-shuffled both label relations every
+        # round just to count diffs (one whole exchange+join job per
+        # iteration, measured ~25% of the row's wall at sf0.1).
         new_labels = (labels.join(neighbor_min,
                                   labels["doc_id"] == neighbor_min["src"],
                                   "left")
@@ -359,12 +370,12 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                               F.least(labels["label"],
                                       F.coalesce(F.col("nmin"),
                                                  labels["label"]))
-                              .alias("label"))
+                              .alias("label"),
+                              labels["label"].alias("prev_label"))
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
+        changed = (new_labels
+                   .where(F.col("label") != F.col("prev_label")).count())
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
     edges.unpersist()
@@ -443,13 +454,17 @@ def _two_phase_components(pairs: DataFrame) -> DataFrame:
              .distinct().localCheckpoint())
 
     def edge_fingerprint(e: DataFrame):
-        row = (e.select(F.least("u", "v").alias("a"),
-                        F.greatest("u", "v").alias("b")).distinct()
-               .agg(F.count(F.lit(1)).alias("n"),
-                    # decimal sum: int64 hash values overflow a LONG sum
-                    # under ANSI mode on any non-trivial edge set
-                    F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))
-                    .alias("h")).collect()[0])
+        # The small-star output this runs on is already DISTINCT with
+        # u > v on every row (m = min of the closed neighborhood and
+        # n != m is filtered), so (least, greatest) = (v, u) and the
+        # former canonicalize+distinct was an identity — at the cost of
+        # one full exchange per round. Aggregate the cached relation
+        # directly: map-side partial agg, no shuffle of the edge set.
+        row = (e.agg(F.count(F.lit(1)).alias("n"),
+                     # decimal sum: int64 hash values overflow a LONG sum
+                     # under ANSI mode on any non-trivial edge set
+                     F.sum(F.xxhash64("v", "u").cast("decimal(38,0)"))
+                     .alias("h")).collect()[0])
         return row["n"], row["h"]
 
     prev_fp = None
@@ -1370,9 +1385,18 @@ def dedup_jaccard_prefix_filter(spark: SparkSession,
     postings by token and each doc sorts its own tokens row-locally;
     the only quadratic work is the prefix-posting join, whose per-token
     fan-out is bounded by the df of RARE tokens by construction (the
-    exact opposite of the full index's skew profile)."""
+    exact opposite of the full index's skew profile).
+
+    The shingle-set relation feeds FOUR consumers here (posting for the
+    df relation, posting for the ordered-prefix build, and both verify
+    sides) — one more than _jaccard_pairs' three, and that tips the
+    recompute-vs-persist tradeoff the other way: A/B at sf0.1 measured
+    the persist barrier ~25% faster end-to-end (5.0 -> 3.9 s median,
+    identical output), where _jaccard_pairs measured recompute cheaper
+    at three consumers. Persist is a tool, not a default — in both
+    directions."""
     docs = load(spark, sf_dir, "documents")
-    sets = _shingle_sets(docs).withColumnRenamed("sh", "tk")
+    sets = _shingle_sets(docs).withColumnRenamed("sh", "tk").persist()
     posting = sets.select("doc_id", F.explode("tk").alias("s"))
     df_rel = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # (df, token)-sorted tokens per doc, prefix sliced row-locally
