@@ -360,11 +360,19 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).localCheckpoint())
     changed = -1
-    for _ in range(20):
-        neighbor_min = (edges.join(labels,
-                                   edges["dst"] == labels["doc_id"])
-                        .groupBy("src")
-                        .agg(F.min("label").alias("nmin")))
+    for i in range(20):
+        if i == 0:
+            # Round 0's label map is the identity (label = doc_id), so
+            # the edges-to-labels join resolves dst to itself — min over
+            # dst directly, skipping one join (A/B at sf0.1: ~9% off the
+            # full CC row on a quiet box, identical labels).
+            neighbor_min = (edges.groupBy("src")
+                            .agg(F.min("dst").alias("nmin")))
+        else:
+            neighbor_min = (edges.join(labels,
+                                       edges["dst"] == labels["doc_id"])
+                            .groupBy("src")
+                            .agg(F.min("label").alias("nmin")))
         # Carry the previous label INSIDE the checkpointed relation so the
         # convergence test is a filter-count over cached partitions — the
         # former new-vs-old join re-shuffled both label relations every
@@ -1414,14 +1422,22 @@ def dedup_jaccard_prefix_filter(spark: SparkSession,
     n = F.size("ordered")
     prefix_len = (n - F.floor((n * 4 + 4) / 5).cast("int") + 1)
     prefixes = (with_df
-                .select("doc_id",
+                .select("doc_id", n.alias("n"),
                         F.transform(F.slice("ordered", 1, prefix_len),
                                     lambda x: x["s"]).alias("prefix")))
-    pp = prefixes.select("doc_id", F.explode("prefix").alias("s"))
+    pp = prefixes.select("doc_id", "n", F.explode("prefix").alias("s"))
+    # AllPairs LENGTH filter (Bayardo et al. §3): J(A,B) <= min/max, so
+    # J >= 4/5 forces 5*min(|A|,|B|) >= 4*max(|A|,|B|) — an admissible
+    # candidate drop, in EXACT integer cross-multiplication (a float
+    # 0.8*|B| would mis-round the J == 0.8 boundary pair). The all-pairs
+    # oracle keeps this provably lossless corpus-wide on every driver
+    # run; A/B at sf0.1: ~6% median, more as size variance grows.
     cand = (pp.alias("a").join(
                 pp.alias("b"),
                 (F.col("a.s") == F.col("b.s"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (5 * F.col("a.n") >= 4 * F.col("b.n"))
+                & (5 * F.col("b.n") >= 4 * F.col("a.n")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
