@@ -3720,8 +3720,11 @@ def _register_ann_ingest():
             q = (sdf.writeStream.foreachBatch(ingest)
                  .option("checkpointLocation", ckpt)
                  .trigger(processingTime="0 seconds").start())
+            # pure foreachBatch ingest — no timers/watermarks, so the
+            # count target alone proves drained (no idle-tail wait)
             batches = drain_available(q, timeout_seconds=300,
-                                      expected_rows=total)
+                                      expected_rows=total,
+                                      stop_at_count=True)
             if batches < 3:
                 raise AssertionError(
                     f"ann ingest drained in {batches} data batches; "
@@ -3838,8 +3841,12 @@ def _register_ann_retrain():
             q = (sdf.writeStream.foreachBatch(ingest)
                  .option("checkpointLocation", ckpt)
                  .trigger(processingTime="0 seconds").start())
+            # pure foreachBatch ingest + in-loop gate probe — no
+            # timers/watermarks, so the count target alone proves
+            # drained (no idle-tail wait)
             batches = drain_available(q, timeout_seconds=300,
-                                      expected_rows=total)
+                                      expected_rows=total,
+                                      stop_at_count=True)
             if batches < 3:
                 raise AssertionError(
                     f"ann retrain drained in {batches} data batches; "
@@ -4495,25 +4502,25 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     or an exact count — no interpolation, no epsilon; |v - median| and
     the 3x threshold are the same IEEE ops in both engines.
 
-    Scale shape (upgraded r9): each discrete median selects by GLOBAL
-    within-group rank computed with the two-pass range-partition +
-    prefix-count carry (_two_pass_rank) — event_type has ~5 values, so
-    the previous event_type-partitioned window was 5 group-sized
-    single-task sorts at 10^9 rows (the abc_pareto trap; now no window
-    partition is ever group-sized). The broadcast-sized (type, median,
-    mad) relation then joins back for the outlier scan. Swap in the
-    approx-quantile sketch (approx_aggregates) when rank error is
-    acceptable."""
+    Scale shape (upgraded r9, selection-pruned r13): each discrete
+    median selects by GLOBAL within-group rank — event_type has ~5
+    values, so a group-partitioned window would be 5 group-sized
+    single-task sorts at 10^9 rows (the abc_pareto trap). Since only
+    the ceil(n/2)-th row survives, the rank uses _two_pass_kth: the
+    range-partition + carry pass locates the ONE physical partition
+    per group that can hold the target rank, and only that partition's
+    rows reach the rank window's exchange+sort (~1/N of the data; the
+    r13 plan shows the window input drop from the full relation to the
+    pruned slice). The broadcast-sized (type, median, mad) relation
+    then joins back for the outlier scan. Swap in the approx-quantile
+    sketch (approx_aggregates) when rank error is acceptable."""
     events = load(spark, sf_dir, "events")
 
     def disc_median(df, val_col, out_name):
-        ranked = _two_pass_rank(
+        kth = _two_pass_kth(
             spark, df.select("event_type", val_col, "event_id"),
             ["event_type"], [val_col, "event_id"])
-        return (ranked
-                .where(F.col("rn") == F.ceil(F.col("n") / 2.0)
-                       .cast("bigint"))
-                .select("event_type", F.col(val_col).alias(out_name)))
+        return kth.select("event_type", F.col(val_col).alias(out_name))
 
     med = disc_median(events, "value", "median_v")
     devs = (events.join(F.broadcast(med), "event_type")
@@ -6681,6 +6688,48 @@ def _two_pass_rank(spark: SparkSession, df: DataFrame,
     return (local.join(F.broadcast(carries), [*group_cols, "pid"])
             .withColumn("rn", F.col("lrn") + F.col("carry"))
             .drop("lrn", "carry", "pid"))
+
+
+def _two_pass_kth(spark: SparkSession, df: DataFrame,
+                  group_cols: list, order_cols: list) -> DataFrame:
+    """The ceil(n/2)-th row per group in ``order_cols`` order — the
+    SELECTION-ONLY twin of :func:`_two_pass_rank` for discrete medians.
+
+    A consumer that keeps only rn == ceil(n/2) does not need every
+    row's global rank: after the same range-partition + per-(group,
+    pid) count pass, exactly ONE pid per group can contain the target
+    rank (the unique one with carry < k <= carry + pc, carries being
+    strictly increasing in pid). Filtering the checkpointed relation to
+    that pid BEFORE the rank window means the window's hash exchange
+    and sort see ~1/N of the data instead of all of it — at 10^9 rows
+    the full-relation exchange+sort was the dominant cost of a median
+    whose output is |groups| rows. Selected row identity is proven
+    equal to the _two_pass_rank slice: global rn = lrn + carry, so
+    rn == k  <=>  (row in the qualifying pid) AND lrn == k - carry.
+    Returns the selected rows with ``df``'s columns plus ``n``."""
+    nb = spark.sparkContext.defaultParallelism
+    bucketed = (df.repartitionByRange(nb, *group_cols, *order_cols)
+                .withColumn("pid", F.spark_partition_id())
+                .localCheckpoint())
+    pcnt = (bucketed.groupBy(*group_cols, "pid")
+            .agg(F.count(F.lit(1)).alias("pc")))
+    wc = (Window.partitionBy(*group_cols).orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = Window.partitionBy(*group_cols)
+    k = F.ceil(F.col("n") / 2.0).cast("bigint")
+    hit = (pcnt.select(
+               *group_cols, "pid", "pc",
+               (F.sum("pc").over(wc) - F.col("pc")).alias("carry"),
+               F.sum("pc").over(wn).alias("n"))
+           .where((F.col("carry") < k)
+                  & (F.col("carry") + F.col("pc") >= k)))
+    wl = Window.partitionBy(*group_cols, "pid").orderBy(*order_cols)
+    return (bucketed.join(F.broadcast(hit), [*group_cols, "pid"])
+            .withColumn("lrn", F.row_number().over(wl))
+            .where(F.col("lrn")
+                   == F.ceil(F.col("n") / 2.0).cast("bigint")
+                   - F.col("carry"))
+            .drop("lrn", "carry", "pc", "pid"))
 
 
 TRIM_DIV = 20   # trim/winsorize k = n div 20 (5%) from each tail

@@ -138,20 +138,24 @@ def dedup_ngram_jaccard_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.transform(word_shingles("tk", SHINGLE_N),
                                     lambda s: F.xxhash64(s))).alias("sh"))
             .where(F.size("sh") > 0))
-    sizes = sets.select("doc_id", F.size("sh").alias("n"))
-    posting = sets.select("doc_id", F.explode("sh").alias("s"))
+    # r13: posting rows carry their set size (same shape as
+    # _jaccard_pairs) — no sizes-relation joins, one consumer of the
+    # shingle scan, and the lossless 5*min >= 4*max length band prunes
+    # candidates before the pair aggregation
+    posting = (sets.select("doc_id", F.size("sh").alias("n"),
+                           F.explode("sh").alias("s")))
     pa, pb = posting.alias("a"), posting.alias("b")
     inter = (pa.join(pb, (F.col("a.s") == F.col("b.s"))
-                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+                     & (F.col("a.doc_id") < F.col("b.doc_id"))
+                     & (5 * F.least("a.n", "b.n")
+                        >= 4 * F.greatest("a.n", "b.n")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("both_n")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+             .agg(F.count(F.lit(1)).alias("both_n"),
+                  F.min("a.n").alias("na"), F.min("b.n").alias("nb")))
     jac = F.col("both_n").cast("double") / (F.col("na") + F.col("nb")
                                             - F.col("both_n"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .select("doc_a", "doc_b", jac.alias("jaccard"))
+    return (inter.select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= JACCARD_THRESHOLD))
 
 
@@ -181,27 +185,35 @@ def _jaccard_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-dup pairs — the Spark twin of
     :func:`_jaccard_pairs_ctes`.
 
-    The shingle-set relation feeds three consumers (sizes, and both sides
-    of the posting self-join), so each re-runs the tokenize+shingle scan —
-    measured CHEAPER than a persist barrier here (A/B at sf0.1: ~1.3 s
-    recompute vs ~1.6 s persisted): regex shingling is light per row,
-    unlike the K-fold md5 amplification that makes persist a 16x win in
-    _with_signature. Persist is a tool, not a default."""
+    r13 shape: each posting row CARRIES its set size, so the pair
+    aggregate reads na/nb off its own group (every row of a group
+    agrees) instead of joining a separate sizes relation back twice —
+    two joins gone, and the shingle-set scan now has ONE consumer
+    (the old 3-consumer recompute-vs-persist question dissolves: the
+    tokenize+shingle pass runs exactly once). The carried sizes also
+    admit the LENGTH-BAND filter inside the candidate join:
+    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) <= min/max, so J >= 4/5 forces
+    5*min(|A|,|B|) >= 4*max(|A|,|B|) — exact integer
+    cross-multiplication (a float 0.8*n comparison would mis-round the
+    J == 0.8 boundary), provably lossless, and it drops off-band
+    candidate rows BEFORE the pair aggregation's shuffle. Cost: +8
+    bytes per posting row through the self-join exchange — repaid by
+    two fewer exchanges, two fewer doc scans, and the pruned agg."""
     sets = _shingle_sets(docs)
-    sizes = sets.select("doc_id", F.size("sh").alias("n"))
-    posting = sets.select("doc_id", F.explode("sh").alias("s"))
+    posting = (sets.select("doc_id", F.size("sh").alias("n"),
+                           F.explode("sh").alias("s")))
     pa, pb = posting.alias("a"), posting.alias("b")
     inter = (pa.join(pb, (F.col("a.s") == F.col("b.s"))
-                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+                     & (F.col("a.doc_id") < F.col("b.doc_id"))
+                     & (5 * F.least("a.n", "b.n")
+                        >= 4 * F.greatest("a.n", "b.n")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
                       F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("both_n")))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+             .agg(F.count(F.lit(1)).alias("both_n"),
+                  F.min("a.n").alias("na"), F.min("b.n").alias("nb")))
     jac = F.col("both_n").cast("double") / (F.col("na") + F.col("nb")
                                             - F.col("both_n"))
-    return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .select("doc_a", "doc_b", jac.alias("jaccard"))
+    return (inter.select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= JACCARD_THRESHOLD))
 
 

@@ -2369,11 +2369,14 @@ def mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     median = the ceil(n/2)-th value in (value, orderkey, linenumber)
     order. Mode ranks the AGGREGATED counts relation (tiny); the median
     rank runs over the fact table whose group key has 3 values, so it
-    uses the two-pass range-partition + carry rank (_two_pass_rank,
-    upgraded r9 — the previous returnflag-partitioned window was 3
-    fact-sized single-task sorts). Being explicit, both are portable to
-    ANY engine, which is the production value of pinning tie-breaks."""
-    from .connector import _two_pass_rank
+    uses the two-pass range-partition + carry SELECTION (_two_pass_kth,
+    r13 — only the one physical partition per group that can hold the
+    ceil(n/2)-th rank reaches the rank window; the r9 _two_pass_rank
+    form ranked the whole fact table to keep one row per group, and
+    the pre-r9 returnflag-partitioned window was 3 fact-sized
+    single-task sorts). Being explicit, both are portable to ANY
+    engine, which is the production value of pinning tie-breaks."""
+    from .connector import _two_pass_kth
 
     (li,) = _t(spark, sf_dir, "lineitem")
     counts = (li.groupBy("l_returnflag", "l_linenumber")
@@ -2384,15 +2387,14 @@ def mode_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .where(F.col("rn") == 1)
                  .select("l_returnflag",
                          F.col("l_linenumber").alias("mode_line")))
-    ranked = _two_pass_rank(
+    kth = _two_pass_kth(
         spark,
         li.select("l_returnflag", "l_quantity", "l_orderkey",
                   "l_linenumber"),
         ["l_returnflag"], ["l_quantity", "l_orderkey", "l_linenumber"])
-    med = (ranked
-           .where(F.col("rn") == F.ceil(F.col("n") / 2.0).cast("bigint"))
-           .select("l_returnflag",
-                   F.col("l_quantity").cast("double").alias("median_disc")))
+    med = kth.select("l_returnflag",
+                     F.col("l_quantity").cast("double")
+                     .alias("median_disc"))
     return (mode_pick.join(med, "l_returnflag")
             .select(F.col("l_returnflag").alias("returnflag"),
                     "mode_line", "median_disc"))

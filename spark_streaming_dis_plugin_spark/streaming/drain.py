@@ -111,7 +111,8 @@ def _ts(p) -> float:
 def drain_available(query, idle_batches: int = 2, poll_seconds: float = 0.25,
                     timeout_seconds: float = 300.0,
                     expected_rows: int | None = None,
-                    idle_seconds: float = 3.0) -> int:
+                    idle_seconds: float = 3.0,
+                    stop_at_count: bool = False) -> int:
     """Block until ``query`` has drained its backlog, then stop it.
 
     ``query`` is a started StreamingQuery on a processing-time trigger.
@@ -130,7 +131,19 @@ def drain_available(query, idle_batches: int = 2, poll_seconds: float = 0.25,
     EVENTS alone would mean only ~0.5 s of silence — too little for the
     drains that cannot pass ``expected_rows`` (post-kill restarts); the
     time window restores the safety margin without the ~20 s tail that
-    the default 10 s event interval used to impose."""
+    the default 10 s event interval used to impose.
+
+    ``stop_at_count=True`` is the caller's assertion that the query
+    emits NOTHING after its last input row — no event-time timers,
+    watermark flushes, or other no-data-batch output (e.g. a pure
+    foreachBatch ingest, or a complete-mode aggregation whose sink state
+    is rewritten per batch). With a reached ``expected_rows`` target the
+    drain then stops IMMEDIATELY: a progress event is only published
+    after its batch (sink work included) has committed, so once the
+    cumulative count covers the backlog there is nothing left to wait
+    for and the idle tail is pure wall-clock (~idle_seconds + polling,
+    paid once per drain). Ignored without ``expected_rows`` — an idle
+    tail is the only drained-ness signal a countless drain has."""
     deadline = time.monotonic() + timeout_seconds
     seen: dict[int, int] = {}
     try:
@@ -144,6 +157,8 @@ def drain_available(query, idle_batches: int = 2, poll_seconds: float = 0.25,
                     and sum(seen.values()) < expected_rows:
                 time.sleep(poll_seconds)
                 continue
+            if stop_at_count and expected_rows is not None:
+                return sum(1 for v in seen.values() if v > 0)
             if progress:
                 trailing = []
                 for p in reversed(progress):

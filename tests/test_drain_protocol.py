@@ -107,6 +107,41 @@ def test_no_data_ever_uses_idle_span():
     assert drain_available(q, poll_seconds=0.0, timeout_seconds=2) == 0
 
 
+def test_stop_at_count_skips_idle_tail():
+    # the count target is reached on the very poll that reports the last
+    # data batch: a stop_at_count drain must return right there, with no
+    # trailing idle events required at all
+    steps = [
+        [_p(0, 40, 0.0)],
+        [_p(0, 40, 0.0), _p(1, 60, 1.0)],
+    ]
+    q = _FakeQuery(steps)
+    got = drain_available(q, poll_seconds=0.0, timeout_seconds=2,
+                          expected_rows=100, stop_at_count=True)
+    assert got == 2
+    assert q.stopped
+
+
+def test_stop_at_count_still_waits_for_the_count():
+    # short of the target, stop_at_count must keep polling (and time out
+    # here) — the fast path can never stop an underfilled drain early
+    steps = [[_p(0, 40, 0.0), _p(1, 0, 1.0), _p(2, 0, 5.0)]]
+    q = _FakeQuery(steps)
+    with pytest.raises(TimeoutError):
+        drain_available(q, poll_seconds=0.0, timeout_seconds=0.2,
+                        expected_rows=100, stop_at_count=True)
+
+
+def test_stop_at_count_without_target_keeps_idle_tail():
+    # without expected_rows the flag is ignored: the only drained-ness
+    # signal is the timed idle tail, which this trace does not yet have
+    steps = [[_p(0, 40, 0.0), _p(1, 0, 0.25), _p(2, 0, 0.5)]]
+    q = _FakeQuery(steps)
+    with pytest.raises(TimeoutError):
+        drain_available(q, poll_seconds=0.05, timeout_seconds=0.5,
+                        stop_at_count=True)
+
+
 def test_timeout_reports_consumed_vs_expected():
     q = _FakeQuery([[_p(0, 10, 0.0), _p(1, 0, 1.0), _p(2, 0, 5.0)]])
     with pytest.raises(TimeoutError, match=r"10 rows of 99 expected"):
