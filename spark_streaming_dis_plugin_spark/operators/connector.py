@@ -3628,7 +3628,11 @@ def _register_stream_neardup():
                                         output_mode="append",
                                         expected_rows=total)
         cand = drained.select("doc_a", "doc_b").distinct()
-        sets = _shingle_sets(load(spark, sf_dir, "documents"))
+        # filtered=False: cand only names docs that produced band rows,
+        # so the empty-set guard is dead weight on the verify scan (its
+        # pushed form re-evaluates the shingle pipeline per row)
+        sets = _shingle_sets(load(spark, sf_dir, "documents"),
+                             filtered=False)
         sa = sets.select(F.col("doc_id").alias("doc_a"),
                          F.col("sh").alias("sha"))
         sb = sets.select(F.col("doc_id").alias("doc_b"),
@@ -4523,10 +4527,15 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         return kth.select("event_type", F.col(val_col).alias(out_name))
 
     med = disc_median(events, "value", "median_v")
+    # devs feeds TWO consumers (the MAD median's _two_pass_kth pass and
+    # the final outlier aggregate), each of which would otherwise re-run
+    # the events scan + broadcast join; persist folds that recompute
+    # into one pass (A/B at sf0.1, r13)
     devs = (events.join(F.broadcast(med), "event_type")
             .select("event_type", "event_id", "median_v",
                     F.abs(F.col("value") - F.col("median_v"))
-                    .alias("dev")))
+                    .alias("dev"))
+            .persist())
     mad = disc_median(devs, "dev", "mad_v")
     return (devs.join(F.broadcast(mad), "event_type")
             .groupBy("event_type",

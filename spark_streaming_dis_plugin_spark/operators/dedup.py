@@ -96,15 +96,25 @@ def dedup_exact_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- n-gram Jaccard
 
-def _shingle_sets(docs: DataFrame) -> DataFrame:
+def _shingle_sets(docs: DataFrame, filtered: bool = True) -> DataFrame:
     """(doc_id, sh) with tokens materialized between projections (see
     functions/portable.word_shingles for why) and input spread across all
-    cores (one small parquet file = one input split otherwise)."""
+    cores (one small parquet file = one input split otherwise).
+
+    ``filtered=False`` skips the ``size(sh) > 0`` guard: predicate
+    pushdown substitutes that condition BELOW the projections, so every
+    scan row pays two extra evaluations of the full tokenize+shingle
+    pipeline just to drop empty documents (r13 plan audit: the pushed
+    condition inlines the tokenize 6x). Consumers whose downstream
+    operations already drop empty sets — an explode_outer posting whose
+    null rows die at an equi-join, a candidate join keyed on docs that
+    have postings, or a persist barrier above which the guard is a cheap
+    cached-attribute filter — should pass filtered=False."""
     para = docs.sparkSession.sparkContext.defaultParallelism
-    return (docs.repartition(para)
+    sets = (docs.repartition(para)
             .select("doc_id", tokens("text").alias("tk"))
-            .select("doc_id", word_shingles("tk", SHINGLE_N).alias("sh"))
-            .where(F.size("sh") > 0))
+            .select("doc_id", word_shingles("tk", SHINGLE_N).alias("sh")))
+    return sets.where(F.size("sh") > 0) if filtered else sets
 
 
 def _shingle_sets_sql() -> str:
@@ -136,14 +146,16 @@ def dedup_ngram_jaccard_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.array_distinct(
                         F.transform(word_shingles("tk", SHINGLE_N),
-                                    lambda s: F.xxhash64(s))).alias("sh"))
-            .where(F.size("sh") > 0))
+                                    lambda s: F.xxhash64(s))).alias("sh")))
     # r13: posting rows carry their set size (same shape as
     # _jaccard_pairs) — no sizes-relation joins, one consumer of the
     # shingle scan, and the lossless 5*min >= 4*max length band prunes
-    # candidates before the pair aggregation
+    # candidates before the pair aggregation. explode_OUTER + no
+    # empty-set guard: the guard would be pushed below the projections
+    # as extra full-pipeline evaluations per scan row; null posting
+    # rows die at the equi self-join instead (see _jaccard_pairs).
     posting = (sets.select("doc_id", F.size("sh").alias("n"),
-                           F.explode("sh").alias("s")))
+                           F.explode_outer("sh").alias("s")))
     pa, pb = posting.alias("a"), posting.alias("b")
     inter = (pa.join(pb, (F.col("a.s") == F.col("b.s"))
                      & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -198,10 +210,15 @@ def _jaccard_pairs(docs: DataFrame) -> DataFrame:
     J == 0.8 boundary), provably lossless, and it drops off-band
     candidate rows BEFORE the pair aggregation's shuffle. Cost: +8
     bytes per posting row through the self-join exchange — repaid by
-    two fewer exchanges, two fewer doc scans, and the pruned agg."""
-    sets = _shingle_sets(docs)
+    two fewer exchanges, two fewer doc scans, and the pruned agg.
+
+    filtered=False + explode_OUTER: the empty-set guard would be pushed
+    below the projections as two full pipeline re-evaluations per scan
+    row (and plain explode would re-infer it); the outer explode's null
+    posting rows die at the equi self-join instead."""
+    sets = _shingle_sets(docs, filtered=False)
     posting = (sets.select("doc_id", F.size("sh").alias("n"),
-                           F.explode("sh").alias("s")))
+                           F.explode_outer("sh").alias("s")))
     pa, pb = posting.alias("a"), posting.alias("b")
     inter = (pa.join(pb, (F.col("a.s") == F.col("b.s"))
                      & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -282,8 +299,13 @@ def dedup_ngram_jaccard_capped(spark: SparkSession,
     uncapped kernel lacks. At sf0.1 the cap removes ~90% of posting rows
     (24.5k of 27.2k distinct shingles) while preserving the near-dup
     template families."""
-    sets = _shingle_sets(load(spark, sf_dir, "documents"))
-    posting = sets.select("doc_id", F.explode("sh").alias("s"))
+    # filtered=False + explode_OUTER (see _jaccard_pairs): empty docs'
+    # null posting rows survive the anti-join (null key never matches)
+    # but die at the equi self-join; they cannot reach `inter`, so the
+    # output is unchanged while every scan row skips the pushed
+    # empty-set guard's extra pipeline evaluations
+    sets = _shingle_sets(load(spark, sf_dir, "documents"), filtered=False)
+    posting = sets.select("doc_id", F.explode_outer("sh").alias("s"))
     heavy = (posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
              .where(F.col("df") > DF_CAP).select("s"))
     # The capped posting relation feeds THREE consumers (sizes + both
@@ -558,10 +580,15 @@ def _with_signature(docs: DataFrame, portable: bool = True) -> DataFrame:
     """
     hasher = (portable_hash if portable
               else (lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))))
-    hashed = (_shingle_sets(docs)
+    # filtered=False + the guard re-applied ABOVE the persist: below it,
+    # predicate pushdown would re-evaluate the full tokenize+shingle
+    # pipeline twice per scan row at cache fill; above it, size(sh) > 0
+    # reads the cached attribute (r13 scan-hygiene pass)
+    hashed = (_shingle_sets(docs, filtered=False)
               .withColumn("hs", F.transform(
                   F.col("sh"), lambda s: hasher(s) % MINHASH_PRIME))
-              .persist())
+              .persist()
+              .where(F.size("sh") > 0))
     sig_cols = [
         F.array_min(F.transform(
             F.col("hs"),
@@ -697,27 +724,35 @@ def dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition is the point: it puts the iterative component kernel
     (driver-checked individually in r1-r2) back under a hard row via the
     job shape users actually run. Scale: LSH pairs shuffle band keys
-    only, propagation shuffles doc ids, survivor ranking shuffles the
-    (tiny) component relation, and the corpus row is a broadcast-sized
-    aggregate union — the full corpus is scanned exactly once (the
-    signature pass)."""
-    from pyspark.sql import Window
+    only, propagation shuffles doc ids, survivor selection is ONE
+    hash aggregate over the (tiny) component relation, and the corpus
+    row is a broadcast-sized aggregate union — the full corpus is
+    scanned exactly once (the signature pass).
 
+    Survivor selection is an argmax, not a ranking: "longest doc,
+    ties to the smallest doc_id" is exactly max(struct(n_chars,
+    -doc_id)) — struct ordering compares n_chars first, then -doc_id
+    (max of the negation = min id) — and bytes_saved is
+    sum(n_chars) - survivor's n_chars. The former row_number window
+    sorted every group and blocked partial aggregation; the struct-max
+    aggregates map-side (the argmin-assignment discipline from the IVF
+    kernel applied to the survivor stage)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     labels = _min_label_components(pairs)
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     comp = (labels.select("doc_id", F.col("label").alias("component"))
             .join(docs, "doc_id"))
-    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
-    ranked = comp.withColumn("rnk", F.row_number().over(w))
-    groups = (ranked.groupBy("component")
+    groups = (comp.groupBy("component")
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    (F.count(F.lit(1)) - 1).alias("n_removed"),
-                   F.max(F.when(F.col("rnk") == 1, F.col("doc_id")))
-                    .alias("survivor_id"),
-                   F.sum(F.when(F.col("rnk") > 1, F.col("n_chars"))
-                          .otherwise(F.lit(0)))
-                    .cast("bigint").alias("bytes_saved")))
+                   F.max(F.struct(F.col("n_chars"),
+                                  (-F.col("doc_id")).alias("neg_id")))
+                    .alias("best"),
+                   F.sum("n_chars").alias("total_chars"))
+              .select("component", "n_docs", "n_removed",
+                      (-F.col("best.neg_id")).alias("survivor_id"),
+                      (F.col("total_chars") - F.col("best.n_chars"))
+                      .cast("bigint").alias("bytes_saved")))
     total = docs.agg(F.count(F.lit(1)).alias("corpus_docs"))
     corpus = (groups.agg(
                 F.coalesce(F.sum("n_removed"), F.lit(0))
@@ -1423,7 +1458,13 @@ def dedup_jaccard_prefix_filter(spark: SparkSession,
     at three consumers. Persist is a tool, not a default — in both
     directions."""
     docs = load(spark, sf_dir, "documents")
-    sets = _shingle_sets(docs).withColumnRenamed("sh", "tk").persist()
+    # filtered=False: the persist barrier makes any downstream empty-set
+    # handling a cheap cached-attribute operation, while the pushed
+    # guard would re-evaluate the full pipeline twice per scan row at
+    # cache FILL time; empty docs never enter `cand` (no postings), so
+    # the verify joins are unchanged
+    sets = (_shingle_sets(docs, filtered=False)
+            .withColumnRenamed("sh", "tk").persist())
     posting = sets.select("doc_id", F.explode("tk").alias("s"))
     df_rel = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # (df, token)-sorted tokens per doc, prefix sliced row-locally
@@ -1505,9 +1546,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged. The MIN-side denominator needs no extra pass — both
     sizes are already in the join."""
     docs = load(spark, sf_dir, "documents")
-    sets = _shingle_sets(docs)
+    # filtered=False + explode_OUTER (see _jaccard_pairs): empty docs
+    # cannot reach `inter`, so the join-back keyed on inter's docs is
+    # unchanged and every scan row skips the pushed empty-set guard
+    sets = _shingle_sets(docs, filtered=False)
     sizes = sets.select("doc_id", F.size("sh").alias("n"))
-    posting = sets.select("doc_id", F.explode("sh").alias("s"))
+    posting = sets.select("doc_id", F.explode_outer("sh").alias("s"))
     pa_, pb_ = posting.alias("a"), posting.alias("b")
     inter = (pa_.join(pb_, (F.col("a.s") == F.col("b.s"))
                       & (F.col("a.doc_id") < F.col("b.doc_id")))

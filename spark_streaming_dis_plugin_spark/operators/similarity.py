@@ -2027,7 +2027,10 @@ def _hybrid_lex_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape = text_bm25_search: one (doc_id, term) shuffle with
     map-side combine, query terms broadcast onto the postings before
-    df/dl joins, top-k as a window group-limit over the scored
+    the df join, document length CARRIED on the posting rows (the
+    _jaccard_pairs carried-sizes idiom — the former corpus-wide dl
+    join is gone, and the corpus is tokenized twice, not three
+    times), top-k as a window group-limit over the scored
     relation."""
     from ..functions.portable import tokens
     from .text import BM25_B, BM25_K1, BM25_TOP_K
@@ -2035,11 +2038,18 @@ def _hybrid_lex_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     para = spark.sparkContext.defaultParallelism
     tks = tokens("text")
+    # stacked selects: tk referenced twice (size + explode) keeps the
+    # non-cheap tokenize expression shared under CollapseProject;
+    # explode_OUTER suppresses InferFiltersFromGenerate's size(tk)>0
+    # pre-filter (two extra tokenize passes per row) — its null terms
+    # are dropped by the query-term join
     toks = (docs.repartition(para)
-            .select("doc_id", F.explode(tks).alias("term")))
-    dl = docs.select("doc_id", F.size(tks).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.avg(F.col("dl").cast("double")).alias("avgdl"))
+            .select("doc_id", tks.alias("tk"))
+            .select("doc_id", F.size("tk").alias("dl"),
+                    F.explode_outer("tk").alias("term")))
+    stats = (docs.select(F.size(tks).alias("dl"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.avg(F.col("dl").cast("double")).alias("avgdl")))
     qt = F.slice(
         F.array_sort(F.filter(
             F.array_distinct(tks),
@@ -2048,12 +2058,16 @@ def _hybrid_lex_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (docs.where(F.col("doc_id") < N_QUERIES)
                .select(F.col("doc_id").alias("query_id"),
                        F.explode(qt).alias("term")))
+    # tf is tiny (docs matching query terms, aggregated) but feeds TWO
+    # consumers (df derivation + the contrib join) — persist so the
+    # corpus-wide posting subtree is evaluated once, not per consumer
     tf = (toks.join(F.broadcast(queries.select("term").distinct()), "term")
-          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"),
+                                         F.min("dl").alias("dl"))
+          .persist())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (tf.join(F.broadcast(queries), "term")
                .join(F.broadcast(dfreq), "term")
-               .join(dl, "doc_id")
                .crossJoin(F.broadcast(stats))
                .select(
                    "query_id", "doc_id",

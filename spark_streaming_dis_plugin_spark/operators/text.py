@@ -687,29 +687,45 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: tf is the one corpus-sized shuffle on (doc_id, term)
     with map-side combine; the query relation (a handful of terms) is
     BROADCAST onto tf, so the corpus postings are filtered to query
-    terms before df/dl joins — nothing query-independent ever moves.
-    df over query-term postings only (identical value to corpus df);
-    (n_docs, avgdl) is a two-scalar broadcast. Top-k per query is a
-    window group-limit over the tiny scored relation. Ranking keys on
-    the ROUNDED score (6 dp) in both engines so a last-ulp ln()
-    divergence cannot reorder near-ties; remaining ties break on
-    doc_id."""
+    terms before the df join — nothing query-independent ever moves.
+    Each posting row CARRIES its document length (the _jaccard_pairs
+    carried-sizes idiom): dl rides the tf aggregate as min(dl) — every
+    row of a (doc_id, term) group agrees — so the former corpus-wide
+    dl join is gone and the corpus is tokenized twice (postings +
+    stats), not three times. df over query-term postings only
+    (identical value to corpus df); (n_docs, avgdl) is a two-scalar
+    broadcast. Top-k per query is a window group-limit over the tiny
+    scored relation. Ranking keys on the ROUNDED score (6 dp) in both
+    engines so a last-ulp ln() divergence cannot reorder near-ties;
+    remaining ties break on doc_id."""
     docs = load(spark, sf_dir, "documents")
     para = spark.sparkContext.defaultParallelism
+    # two stacked selects: tk is referenced twice (size + explode), so
+    # CollapseProject keeps the non-cheap tokenize expression shared —
+    # one regex pass per row, not two. explode_OUTER suppresses
+    # InferFiltersFromGenerate's size(tk)>0 pre-filter, which would
+    # re-derive the tokenize TWICE per row below the projection; the
+    # null terms it emits instead are dropped by the query-term join.
     toks = (docs.repartition(para)
-            .select("doc_id", F.explode(tokens("text")).alias("term")))
-    dl = (docs.select("doc_id", F.size(tokens("text")).alias("dl")))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.avg(F.col("dl").cast("double")).alias("avgdl"))
+            .select("doc_id", tokens("text").alias("tk"))
+            .select("doc_id", F.size("tk").alias("dl"),
+                    F.explode_outer("tk").alias("term")))
+    stats = (docs.select(F.size(tokens("text")).alias("dl"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.avg(F.col("dl").cast("double")).alias("avgdl")))
     queries = spark.createDataFrame(
         [(q, t) for q, ts in BM25_QUERIES for t in ts],
         "query_id string, term string")
+    # tf is tiny (docs matching query terms, aggregated) but feeds TWO
+    # consumers (df derivation + the contrib join) — without the persist
+    # the corpus-wide posting subtree is evaluated once per consumer
     tf = (toks.join(F.broadcast(queries.select("term").distinct()), "term")
-          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"),
+                                         F.min("dl").alias("dl"))
+          .persist())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (tf.join(F.broadcast(queries), "term")
                .join(F.broadcast(dfreq), "term")
-               .join(dl, "doc_id")
                .crossJoin(F.broadcast(stats))
                .select(
                    "query_id", "doc_id",
