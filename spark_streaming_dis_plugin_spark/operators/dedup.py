@@ -1662,13 +1662,24 @@ def _span_frames(spark: SparkSession, sf_dir: str,
 
     docs = load(spark, sf_dir, "documents")
     para = spark.sparkContext.defaultParallelism
+    # toks keeps the >= SPAN_GRAM_N guard — pipeline_span_excision's
+    # tot relation is contractually filtered (LEFT JOIN keyed on it)
     toks = (docs.repartition(para)
             .select("doc_id", tokens("text").alias("t"))
             .where(F.size("t") >= SPAN_GRAM_N)
             .withColumn("tot_tokens", F.size("t")))
-    gram = F.posexplode(word_gram_positions("t", SPAN_GRAM_N))
-    pg = (toks
-          .select("doc_id", "tot_tokens", gram.alias("p", "g"))
+    # The positioned-gram relation is built from an UNFILTERED chain:
+    # a doc with < SPAN_GRAM_N tokens yields only null gram slots, so
+    # the g-isNotNull filter (cheap, on the generated attribute) drops
+    # exactly the rows the toks guard would have — while the guard's
+    # pushed form re-evaluated the tokenize per scan row, and plain
+    # posexplode would re-infer it (r13 scan-hygiene pass). posexplode_
+    # OUTER suppresses the inference.
+    gram = F.posexplode_outer(word_gram_positions("t", SPAN_GRAM_N))
+    pg = (docs.repartition(para)
+          .select("doc_id", tokens("text").alias("t"))
+          .select("doc_id", F.size("t").alias("tot_tokens"),
+                  gram.alias("p", "g"))
           .where(F.col("g").isNotNull()))
     if hashed:
         pg = pg.select("doc_id", "tot_tokens", "p",

@@ -623,15 +623,16 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                      < EVAL_PCT).alias("is_eval"))
             .select("doc_id", word_shingles("tk", CONTAM_N).alias("sh"),
                     "is_eval"))
-    # no explicit size(sh) > 0 filter: explode drops empty arrays, and
-    # InferFiltersFromGenerate adds the early-drop scan filter itself
-    # (recomputing the shingle expr there — same recompute-vs-persist
-    # tradeoff as _jaccard_pairs, where recompute measured cheaper)
+    # explode_OUTER: plain explode lets InferFiltersFromGenerate push a
+    # size(sh) > 0 guard below the projections, re-evaluating the full
+    # shingle pipeline per scan row (r13 plan audit: 8 inlined tokenize
+    # calls in the pushed condition); the outer explode's null rows die
+    # at the inner join on s instead
     train = (sets.where(~F.col("is_eval"))
-             .select("doc_id", F.explode("sh").alias("s")))
+             .select("doc_id", F.explode_outer("sh").alias("s")))
     ev = (sets.where(F.col("is_eval"))
           .select(F.col("doc_id").alias("eval_doc"),
-                  F.explode("sh").alias("s")))
+                  F.explode_outer("sh").alias("s")))
     return (train.join(F.broadcast(ev), "s")
             .groupBy("doc_id")
             .agg(F.countDistinct("s").alias("n_hit_shingles"),

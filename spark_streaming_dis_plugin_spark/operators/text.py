@@ -1162,8 +1162,14 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = (Window.partitionBy("doc_id").orderBy("pos")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     grp = toks.withColumn("phrase_id", F.sum("is_stop").over(wp))
-    words = grp.where(F.col("is_stop") == 0) \
-        .select("doc_id", "phrase_id", "pos", "tok")
+    # words embeds the phrase-id window (exchange + per-doc sort) and
+    # feeds THREE consumers (plen, wstat, scored) — persist computes
+    # that window once instead of once per consumer (A/B r13; the
+    # recompute-beats-persist calls elsewhere are over cheap projection
+    # subtrees, not window subtrees)
+    words = (grp.where(F.col("is_stop") == 0)
+             .select("doc_id", "phrase_id", "pos", "tok")
+             .persist())
     plen = (words.groupBy("doc_id", "phrase_id")
             .agg(F.count(F.lit(1)).alias("plen")))
     wstat = (words.join(plen, ["doc_id", "phrase_id"])
