@@ -305,7 +305,11 @@ def dedup_ngram_jaccard_capped(spark: SparkSession,
     # output is unchanged while every scan row skips the pushed
     # empty-set guard's extra pipeline evaluations
     sets = _shingle_sets(load(spark, sf_dir, "documents"), filtered=False)
-    posting = sets.select("doc_id", F.explode_outer("sh").alias("s"))
+    # posting feeds TWO consumers (the df aggregate and the cap
+    # anti-join fill) — persist folds the tokenize+shingle+explode
+    # recompute into one pass (A/B r13 session 3)
+    posting = (sets.select("doc_id", F.explode_outer("sh").alias("s"))
+               .persist())
     heavy = (posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
              .where(F.col("df") > DF_CAP).select("s"))
     # The capped posting relation feeds THREE consumers (sizes + both

@@ -69,7 +69,6 @@ def test_with_signature_still_excludes_empty_docs(spark):
     sig = _with_signature(_edge_docs(spark))
     ids = sorted(r.doc_id for r in sig.select("doc_id").collect())
     assert ids == [1, 2, 3, 8]
-    sig.unpersist = None  # (no cleanup needed; session-scoped test spark)
 
 
 def test_no_pushed_shingle_pipeline_filter_in_posting_plan(spark):
