@@ -3513,9 +3513,11 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item-adjacency wedge join (sum(deg^2), hub-dominated) does not —
     the same reshaping dedup uses posting lists for. Pair counts
     partial-aggregate map-side before one (u, w) exchange; item
-    supports are a vocabulary-sized relation joined AFTER the
-    min-support filter has shrunk the pair set; the final top-k folds
-    through TakeOrderedAndProject (no global sort). Confidence and
+    supports are a vocabulary-sized relation BROADCAST onto the basket
+    rows before the self-join (carried-metadata idiom), making the
+    Apriori min-support prune an input-side filter and the pair
+    aggregate self-sufficient; the final top-k folds through
+    TakeOrderedAndProject (no global sort). Confidence and
     lift are ratios of exact int64 supports evaluated in double —
     bit-identical cross-engine, so no rounding absorber is needed in
     the ORDER BY or the values.
@@ -3529,20 +3531,33 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = basket.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
     item = (basket.groupBy("l_partkey")
             .agg(F.count(F.lit(1)).alias("supp_i")))
-    a = basket.select(F.col("l_orderkey").alias("ok"),
-                      F.col("l_partkey").alias("u"))
-    b = basket.select(F.col("l_orderkey").alias("ok"),
-                      F.col("l_partkey").alias("w"))
+    # Carry each item's support ON the basket rows (the _jaccard_pairs
+    # carried-sizes idiom): the vocabulary-sized item relation
+    # broadcasts onto the baskets BEFORE the self-join, which buys two
+    # things at once — (a) Apriori monotonicity (supp_uw <=
+    # min(supp_u, supp_w)) becomes an admissible min-support prune on
+    # the join INPUT, before the pair exchange, and (b) the pair
+    # aggregate reads both supports off its own group (min() — every
+    # row of a (u, w) group agrees), so both post-aggregation item
+    # joins are gone. Output-identical: pruned items cannot reach the
+    # HAVING supp_uw >= {RULES_MIN_SUPPORT} cut, and conf/lift read the
+    # same int64 supports.
+    bs = (basket.join(F.broadcast(item), "l_partkey")
+          .where(F.col("supp_i") >= RULES_MIN_SUPPORT))
+    a = bs.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("u"),
+                  F.col("supp_i").alias("supp_u"))
+    b = bs.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("w"),
+                  F.col("supp_i").alias("supp_w"))
     pair = (a.join(b, "ok").where(F.col("u") < F.col("w"))
-            .groupBy("u", "w").agg(F.count(F.lit(1)).alias("supp_uw"))
+            .groupBy("u", "w")
+            .agg(F.count(F.lit(1)).alias("supp_uw"),
+                 F.min("supp_u").alias("supp_u"),
+                 F.min("supp_w").alias("supp_w"))
             .where(F.col("supp_uw") >= RULES_MIN_SUPPORT))
-    iu = item.select(F.col("l_partkey").alias("u"),
-                     F.col("supp_i").alias("supp_u"))
-    iw = item.select(F.col("l_partkey").alias("w"),
-                     F.col("supp_i").alias("supp_w"))
     supp = F.col("supp_uw").cast("double")
-    return (pair.join(iu, "u").join(iw, "w")
-            .crossJoin(F.broadcast(n))
+    return (pair.crossJoin(F.broadcast(n))
             .select("u", "w", "supp_uw",
                     (supp / F.col("supp_u")).alias("conf_u_w"),
                     (supp * F.col("n_baskets")

@@ -838,6 +838,64 @@ def _pq_sub_d2_sql(m: int) -> str:
             f"(acc, x) -> acc + x)")
 
 
+def _pq_sub_d2(m: int, a, b):
+    """Subspace-m squared L2 between two embedding columns — the Spark
+    twin of :func:`_pq_sub_d2_sql` (same zip_with fold order over the
+    same slice, so the doubles are bit-identical cross-engine)."""
+    return F.aggregate(
+        F.zip_with(F.slice(a, PQ_SUB * m + 1, PQ_SUB),
+                   F.slice(b, PQ_SUB * m + 1, PQ_SUB),
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pq_code_cols() -> list:
+    """PQ code expressions ``c0..c{M-1}``: row-local per-subspace argmin
+    of a row's ``embedding`` against the broadcast codebook array column
+    ``cbs`` (one row: array<struct<code, ce>>). array_min's struct
+    ordering (d first, then code) is the deterministic tie-break."""
+    def code_col(m: int):
+        return F.array_min(F.transform(
+            F.col("cbs"),
+            lambda c: F.struct(
+                _pq_sub_d2(m, F.col("embedding"), c["ce"]).alias("d"),
+                c["code"].alias("code"))))["code"].alias(f"c{m}")
+
+    return [code_col(m) for m in range(PQ_M)]
+
+
+def _pq_query_lut(queries: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query ADC lookup table as ONE broadcastable row per query:
+    (query_id, lut) with lut = map code -> struct(d0..d{M-1}) over the
+    (query, codebook) cross product. A consumer joins this ONCE on
+    query_id and reads each subspace's distance with a row-local map
+    lookup — replacing M separate broadcast joins (one per subspace,
+    each re-probing the candidate relation) with a single broadcast
+    join. Distances are the same _pq_sub_d2 folds the per-subspace
+    relations carried, just reshaped, so ADC sums are bit-identical."""
+    lut = queries.crossJoin(F.broadcast(cb)).select(
+        "query_id", "code",
+        *[_pq_sub_d2(m, F.col("qe"), F.col("ce")).alias(f"d{m}")
+          for m in range(PQ_M)])
+    entry = F.struct(
+        F.col("code"),
+        F.struct(*[F.col(f"d{m}") for m in range(PQ_M)]).alias("d"))
+    return (lut.groupBy("query_id")
+            .agg(F.map_from_entries(F.collect_list(entry)).alias("lut")))
+
+
+def _pq_adc_sum():
+    """ADC distance as the left-to-right chain d0 + d1 + ... + d{M-1},
+    each term a map lookup lut[c_m].d_m — the same add order as the
+    former 4-join formulation and the oracle's ``l0.d + l1.d + ...``."""
+    s = None
+    for m in range(PQ_M):
+        t = F.element_at(F.col("lut"), F.col(f"c{m}"))[f"d{m}"]
+        s = t if s is None else s + t
+    return s
+
+
 def _pq_oracle() -> str:
     subs = []
     for m in range(PQ_M):
@@ -878,31 +936,24 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential fold in both engines.
 
     Scale shape: the codebook is K x M x sub-dim tiny and broadcast;
-    encoding is one linear pass over the corpus (cross join with K=4
-    broadcast rows + row-local folds), no shuffle of the embedding
-    column anywhere — at 100 TB the PQ-coded corpus is what fits in
-    memory for the IVF-PQ search tier."""
+    encoding is one linear pass over the corpus — ZERO shuffles: at
+    100 TB the PQ-coded corpus is what fits in memory for the IVF-PQ
+    search tier, and encode is a pure map over the scan."""
     emb = load(spark, sf_dir, "embeddings")
     cb = (emb.where(F.col("vec_id") < PQ_K)
           .select(F.col("vec_id").alias("code"),
                   F.col("embedding").alias("ce")))
-    paired = emb.crossJoin(F.broadcast(cb))
-    out = paired.select("vec_id", "code", *[
-        F.aggregate(
-            F.zip_with(F.slice("embedding", PQ_SUB * m + 1, PQ_SUB),
-                       F.slice("ce", PQ_SUB * m + 1, PQ_SUB),
-                       lambda x, y: (x.cast("double") - y.cast("double"))
-                       * (x.cast("double") - y.cast("double"))),
-            F.lit(0.0), lambda acc, x: acc + x).alias(f"d{m}")
-        for m in range(PQ_M)])
-    # All M argmins fold in ONE hash aggregation (single vec_id shuffle):
-    # min_by with a (distance, code) struct makes each tie-break
-    # deterministic — the M-windows-plus-joins alternative costs M
-    # shuffles for the same answer.
-    return out.groupBy("vec_id").agg(*[
-        F.min_by("code", F.struct(F.col(f"d{m}"), F.col("code")))
-         .alias(f"c{m}")
-        for m in range(PQ_M)])
+    # All M argmins are ROW-LOCAL (the _assign_nearest discipline): the
+    # K-row codebook collapses into ONE broadcast array row and each
+    # vector reduces it in place — transform -> (d, code) structs ->
+    # array_min, whose struct ordering (d first, then code) IS min_by's
+    # deterministic tie-break over the same fold values. The former
+    # crossJoin + groupBy(vec_id) evaluated the same subspace folds,
+    # then paid a corpus-wide hash exchange just to reunite M argmins
+    # that never needed to leave the row.
+    cbarr = F.broadcast(
+        cb.agg(F.collect_list(F.struct("code", "ce")).alias("cbs")))
+    return emb.crossJoin(cbarr).select("vec_id", *_pq_code_cols())
 
 
 def _pq_adc_oracle() -> str:
@@ -951,14 +1002,15 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no raw-vector math against the corpus at query time. Top-3 by ADC
     distance per query, deterministic tie-break.
 
-    Scale shape: the LUT relation is |queries| x M x K (tiny,
-    broadcast); the corpus side is the 4-byte PQ codes, not the
-    64-float vectors — the join-probe-sum plan touches, per candidate,
-    four broadcast-hash lookups and one add chain. At 100 TB this is
-    the layout where the whole corpus's search structure fits in
-    executor memory. ADC distances are rounded(6) in both engines: the
-    M-way sum is written as one left-to-right add chain, but the ulp
-    margin on near-tied candidates is what the rounding absorbs."""
+    Scale shape: the LUT relation is |queries| x M x K (tiny), folded to
+    ONE map row per query and broadcast in a SINGLE join — M row-local
+    map lookups per candidate instead of M broadcast-hash re-probes of
+    the candidate relation; the corpus side is the 4-byte PQ codes, not
+    the 64-float vectors. At 100 TB this is the layout where the whole
+    corpus's search structure fits in executor memory. ADC distances
+    are rounded(6) in both engines: the M-way sum is written as one
+    left-to-right add chain, but the ulp margin on near-tied candidates
+    is what the rounding absorbs."""
     emb = load(spark, sf_dir, "embeddings")
     cb = (emb.where(F.col("vec_id") < PQ_K)
           .select(F.col("vec_id").alias("code"),
@@ -966,33 +1018,12 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = (emb.where(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("qe")))
-    luts = []
-    for m in range(PQ_M):
-        d = F.aggregate(
-            F.zip_with(F.slice("qe", PQ_SUB * m + 1, PQ_SUB),
-                       F.slice("ce", PQ_SUB * m + 1, PQ_SUB),
-                       lambda x, y: (x.cast("double") - y.cast("double"))
-                       * (x.cast("double") - y.cast("double"))),
-            F.lit(0.0), lambda acc, x: acc + x)
-        luts.append(queries.crossJoin(F.broadcast(cb))
-                    .select(F.col("query_id").alias(f"q{m}"),
-                            F.col("code").alias(f"k{m}"),
-                            d.alias(f"d{m}")))
     codes = sim_pq_encode(spark, sf_dir)
     scored = (codes.crossJoin(F.broadcast(
                 queries.select("query_id")))
-              .where(F.col("vec_id") != F.col("query_id")))
-    for m in range(PQ_M):
-        scored = (scored.join(
-            F.broadcast(luts[m]),
-            (F.col("query_id") == F.col(f"q{m}"))
-            & (F.col(f"c{m}") == F.col(f"k{m}")))
-            .drop(f"q{m}", f"k{m}"))
-    adc = reduce_add = None
-    for m in range(PQ_M):
-        reduce_add = (F.col(f"d{m}") if reduce_add is None
-                      else reduce_add + F.col(f"d{m}"))
-    adc = (F.round(reduce_add, 6) + 0.0).alias("adc_d2")
+              .where(F.col("vec_id") != F.col("query_id"))
+              .join(F.broadcast(_pq_query_lut(queries, cb)), "query_id"))
+    adc = (F.round(_pq_adc_sum(), 6) + 0.0).alias("adc_d2")
     w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
     return (scored.select("query_id",
                           F.col("vec_id").alias("neighbor_id"), adc)
@@ -1054,15 +1085,12 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("e"))
 
     def assign(cent: DataFrame) -> DataFrame:
-        d2 = F.aggregate(
-            F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x)
-        w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
-        return (emb.crossJoin(F.broadcast(cent))
-                .select("vec_id", "e", "centroid_id", d2.alias("d2"))
-                .withColumn("rnk", F.row_number().over(w))
-                .where(F.col("rnk") == 1)
-                .select("vec_id", "e", F.col("centroid_id").alias("cluster")))
+        # row-local argmin against the broadcast centroid array (the
+        # _assign_nearest kernel, same d2 fold and (d2, centroid_id)
+        # tie-break as the former rank-1 window) — each Lloyd pass loses
+        # its n x C Exchange + per-vector sort
+        return (_assign_nearest(emb, cent)
+                .withColumnRenamed("centroid_id", "cluster"))
 
     cent = (emb.where(F.col("vec_id") < N_CENTROIDS)
             .select(F.col("vec_id").alias("centroid_id"),
@@ -1237,71 +1265,58 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the materialized index exactly as sim_ivf_topk does.
 
     Scale shape: per query, candidates ~ corpus * n_probe / C (IVF cut)
-    and each candidate costs M=4 broadcast-hash lookups over 4-byte
+    and each candidate costs M=4 row-local map lookups over 4-byte
     codes (PQ cut) — memory-resident search structure ~ corpus * M
-    bytes, the only layout that holds 10^11 vectors. Probes and LUTs
-    are query-sized broadcasts; the corpus-side join key is the cell
-    id, so AQE handles hot cells; nothing shuffles the raw embedding
-    column at query time."""
+    bytes, the only layout that holds 10^11 vectors. The corpus side is
+    ONE row-local pass (cell argmin + M code argmins against broadcast
+    arrays — the _assign_nearest discipline; the former n x C window
+    Exchange and the codes<->assign vec_id join are gone); probes and
+    the per-query LUT map are query-sized broadcasts; nothing shuffles
+    the raw embedding column at query time."""
     emb = load(spark, sf_dir, "embeddings")
     cent = (emb.where(F.col("vec_id") < N_CENTROIDS)
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("ce")))
-    # corpus -> cell assignment (seed coarse quantizer)
-    wv = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assign = (emb.crossJoin(F.broadcast(cent))
-              .select("vec_id",
-                      _l2sq(F.col("embedding"), F.col("ce")).alias("d2"),
-                      "cid")
-              .withColumn("rnk", F.row_number().over(wv))
-              .where(F.col("rnk") == 1)
-              .select("vec_id", F.col("cid").alias("cluster")))
-    # query -> n_probe cells
+    cb = (emb.where(F.col("vec_id") < PQ_K)
+          .select(F.col("vec_id").alias("code"),
+                  F.col("embedding").alias("ce")))
+    # corpus -> (cell, PQ codes) in ONE row-local projection: nearest
+    # cell is an argmin over the broadcast centroid array (same d2
+    # fold + (d2, cid) tie-break as the former rank-1 window), and the
+    # M code argmins ride the same select (sim_pq_encode's kernel).
+    carr = F.broadcast(
+        cent.agg(F.collect_list(F.struct("cid", "ce")).alias("cents")))
+    cbarr = F.broadcast(
+        cb.agg(F.collect_list(F.struct("code", "ce")).alias("cbs")))
+    cluster = F.array_min(F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            _l2sq(F.col("embedding"), c["ce"]).alias("d2"),
+            c["cid"].alias("cid"))))["cid"]
+    coded = (emb.crossJoin(carr).crossJoin(cbarr)
+             .select("vec_id", cluster.alias("cluster"),
+                     *_pq_code_cols()))
+    # query -> n_probe cells (needs rank 2, so the query-sized window
+    # stays; its input is |queries| x C rows)
     queries = (emb.where(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("qe")))
     probes = (queries.crossJoin(F.broadcast(cent))
-              .select("query_id", "qe",
+              .select("query_id",
                       _l2sq(F.col("qe"), F.col("ce")).alias("d2"), "cid")
               .withColumn("rnk", F.row_number().over(
                   Window.partitionBy("query_id").orderBy("d2", "cid")))
               .where(F.col("rnk") <= IVFPQ_N_PROBE)
-              .select("query_id", "qe", F.col("cid").alias("probe")))
-    # query LUTs: subspace distance to each codebook entry
-    cb = (emb.where(F.col("vec_id") < PQ_K)
-          .select(F.col("vec_id").alias("code"),
-                  F.col("embedding").alias("cbe")))
-    luts = []
-    for m in range(PQ_M):
-        d = F.aggregate(
-            F.zip_with(F.slice("qe", PQ_SUB * m + 1, PQ_SUB),
-                       F.slice("cbe", PQ_SUB * m + 1, PQ_SUB),
-                       lambda x, y: (x.cast("double") - y.cast("double"))
-                       * (x.cast("double") - y.cast("double"))),
-            F.lit(0.0), lambda acc, x: acc + x)
-        luts.append(queries.crossJoin(F.broadcast(cb))
-                    .select(F.col("query_id").alias(f"q{m}"),
-                            F.col("code").alias(f"k{m}"),
-                            d.alias(f"d{m}")))
-    codes = sim_pq_encode(spark, sf_dir)
-    scored = (codes.join(assign, "vec_id")
-              .join(F.broadcast(probes.select("query_id", "probe")),
-                    (F.col("cluster") == F.col("probe"))
-                    & (F.col("vec_id") != F.col("query_id"))))
-    for m in range(PQ_M):
-        scored = (scored.join(
-            F.broadcast(luts[m]),
-            (F.col("query_id") == F.col(f"q{m}"))
-            & (F.col(f"c{m}") == F.col(f"k{m}")))
-            .drop(f"q{m}", f"k{m}"))
-    adc_sum = None
-    for m in range(PQ_M):
-        adc_sum = (F.col(f"d{m}") if adc_sum is None
-                   else adc_sum + F.col(f"d{m}"))
+              .select("query_id", F.col("cid").alias("probe")))
+    scored = (coded.join(F.broadcast(probes),
+                         (F.col("cluster") == F.col("probe"))
+                         & (F.col("vec_id") != F.col("query_id")))
+              .join(F.broadcast(_pq_query_lut(queries, cb)), "query_id"))
     w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
     return (scored.select("query_id",
                           F.col("vec_id").alias("neighbor_id"),
-                          (F.round(adc_sum, 6) + 0.0).alias("adc_d2"))
+                          (F.round(_pq_adc_sum(), 6) + 0.0)
+                          .alias("adc_d2"))
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= 3)
             .select("query_id", "neighbor_id", "adc_d2", "rnk"))
@@ -2029,33 +2044,33 @@ def _hybrid_lex_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine, query terms broadcast onto the postings before
     the df join, document length CARRIED on the posting rows (the
     _jaccard_pairs carried-sizes idiom — the former corpus-wide dl
-    join is gone, and the corpus is tokenized twice, not three
-    times), top-k as a window group-limit over the scored
-    relation."""
+    join is gone, and the corpus is tokenized ONCE behind a persisted
+    (doc_id, tk) relation), top-k as a window group-limit over the
+    scored relation."""
     from ..functions.portable import tokens
     from .text import BM25_B, BM25_K1, BM25_TOP_K
 
     docs = load(spark, sf_dir, "documents")
     para = spark.sparkContext.defaultParallelism
-    tks = tokens("text")
-    # stacked selects: tk referenced twice (size + explode) keeps the
-    # non-cheap tokenize expression shared under CollapseProject;
+    # ONE tokenize pass total (the text_bm25_search discipline): the
+    # (doc_id, tk) relation is persisted and all three consumers
+    # (postings, corpus stats, query-term extraction) read the cache.
     # explode_OUTER suppresses InferFiltersFromGenerate's size(tk)>0
-    # pre-filter (two extra tokenize passes per row) — its null terms
-    # are dropped by the query-term join
-    toks = (docs.repartition(para)
-            .select("doc_id", tks.alias("tk"))
-            .select("doc_id", F.size("tk").alias("dl"),
-                    F.explode_outer("tk").alias("term")))
-    stats = (docs.select(F.size(tks).alias("dl"))
+    # pre-filter — its null terms are dropped by the query-term join.
+    tk_rel = (docs.repartition(para)
+              .select("doc_id", tokens("text").alias("tk"))
+              .persist())
+    toks = tk_rel.select("doc_id", F.size("tk").alias("dl"),
+                         F.explode_outer("tk").alias("term"))
+    stats = (tk_rel.select(F.size("tk").alias("dl"))
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.avg(F.col("dl").cast("double")).alias("avgdl")))
     qt = F.slice(
         F.array_sort(F.filter(
-            F.array_distinct(tks),
+            F.array_distinct(F.col("tk")),
             lambda t: F.length(t) >= HYB_QTERM_MINLEN)),
         1, HYB_QTERMS_K)
-    queries = (docs.where(F.col("doc_id") < N_QUERIES)
+    queries = (tk_rel.where(F.col("doc_id") < N_QUERIES)
                .select(F.col("doc_id").alias("query_id"),
                        F.explode(qt).alias("term")))
     # tf is tiny (docs matching query terms, aggregated) but feeds TWO

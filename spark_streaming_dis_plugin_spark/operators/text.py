@@ -691,8 +691,9 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each posting row CARRIES its document length (the _jaccard_pairs
     carried-sizes idiom): dl rides the tf aggregate as min(dl) — every
     row of a (doc_id, term) group agrees — so the former corpus-wide
-    dl join is gone and the corpus is tokenized twice (postings +
-    stats), not three times. df over query-term postings only
+    dl join is gone and the corpus is tokenized ONCE (the persisted
+    (doc_id, tk) relation feeds postings + stats). df over query-term
+    postings only
     (identical value to corpus df); (n_docs, avgdl) is a two-scalar
     broadcast. Top-k per query is a window group-limit over the tiny
     scored relation. Ranking keys on the ROUNDED score (6 dp) in both
@@ -700,17 +701,20 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     remaining ties break on doc_id."""
     docs = load(spark, sf_dir, "documents")
     para = spark.sparkContext.defaultParallelism
-    # two stacked selects: tk is referenced twice (size + explode), so
-    # CollapseProject keeps the non-cheap tokenize expression shared —
-    # one regex pass per row, not two. explode_OUTER suppresses
-    # InferFiltersFromGenerate's size(tk)>0 pre-filter, which would
-    # re-derive the tokenize TWICE per row below the projection; the
-    # null terms it emits instead are dropped by the query-term join.
-    toks = (docs.repartition(para)
-            .select("doc_id", tokens("text").alias("tk"))
-            .select("doc_id", F.size("tk").alias("dl"),
-                    F.explode_outer("tk").alias("term")))
-    stats = (docs.select(F.size(tokens("text")).alias("dl"))
+    # ONE tokenize pass total: the (doc_id, tk) relation is persisted and
+    # both consumers (postings + corpus stats) read the cache — the
+    # former shape tokenized the corpus once per consumer. size/explode
+    # over the cached attribute are cheap array ops. explode_OUTER
+    # suppresses InferFiltersFromGenerate's size(tk)>0 pre-filter (its
+    # null terms are dropped by the query-term join); avg over the
+    # integer dl multiset is an exact double either way, so stats are
+    # bit-identical to the former separate-scan derivation.
+    tk_rel = (docs.repartition(para)
+              .select("doc_id", tokens("text").alias("tk"))
+              .persist())
+    toks = tk_rel.select("doc_id", F.size("tk").alias("dl"),
+                         F.explode_outer("tk").alias("term"))
+    stats = (tk_rel.select(F.size("tk").alias("dl"))
              .agg(F.count(F.lit(1)).alias("n_docs"),
                   F.avg(F.col("dl").cast("double")).alias("avgdl")))
     queries = spark.createDataFrame(

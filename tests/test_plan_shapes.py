@@ -211,13 +211,15 @@ def test_ivf_recall_reads_stored_index_no_lloyd(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
-def test_pq_encode_single_shuffle(spark, sf_dir):
-    """PQ encode: the codebook cross-join is a broadcast (K=4 rows), all
-    M per-subspace argmins fold in ONE hash aggregation — exactly one
-    vec_id shuffle, no window, no self-join."""
+def test_pq_encode_zero_shuffle(spark, sf_dir):
+    """PQ encode: the codebook collapses to ONE broadcast array row and
+    all M per-subspace argmins are row-local array_min folds — ZERO
+    shuffles (r14; the r13 shape still paid one vec_id hash exchange to
+    reunite the argmins), no window, no self-join."""
     plan = _plan(spark, "sim_pq_encode", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert plan.count("hashpartitioning(vec_id") <= 1
+    assert plan.count("hashpartitioning(vec_id") == 0
+    assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
 
@@ -243,11 +245,16 @@ def test_semantic_dedup_joins_on_cluster_id(spark, sf_dir):
 
 
 def test_ivfpq_no_raw_vectors_after_encode(spark, sf_dir):
-    """IVF-PQ search: LUTs and probes broadcast; the candidate relation
-    carries PQ codes (c0..c3), never a raw embedding shuffle."""
+    """IVF-PQ search: the LUT map and probes broadcast; the candidate
+    relation carries PQ codes (c0..c3), never a raw embedding shuffle,
+    and the corpus side is window-free (cell + code argmins are
+    row-local — r14; the r13 shape ranked an n x C window and joined
+    codes to assignments on vec_id)."""
     plan = _plan(spark, "sim_ivfpq_topk", sf_dir)
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastExchange") >= 5  # cent + probes + 4 LUTs
+    # centroid array + codebook array + probes + LUT map
+    assert plan.count("BroadcastExchange") >= 4
+    assert plan.count("hashpartitioning(vec_id") == 0
     for ex in plan.split("Exchange hashpartitioning")[1:]:
         keys = ex.split(")")[0]
         assert "embedding" not in keys, f"embedding shuffled: {keys}"

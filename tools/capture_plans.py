@@ -1,8 +1,11 @@
-"""Capture .explain('formatted') output for bench queries into plans/r13/.
+"""Capture .explain('formatted') output for bench queries into plans/<round>/.
+
+The round directory defaults to r14 and can be overridden with
+$SPARK_GRAFT_PLANS_ROUND (the r13 dumps stay in plans/r13/).
 
 Usage:
-  python tools/capture_plans.py before [name ...]   # -> plans/r13/<q>_before.txt
-  python tools/capture_plans.py after  [name ...]   # -> plans/r13/<q>_after.txt
+  python tools/capture_plans.py before [name ...]   # -> plans/r14/<q>_before.txt
+  python tools/capture_plans.py after  [name ...]   # -> plans/r14/<q>_after.txt
 
 With no names, captures every bench-set query. Streaming/protocol rows
 (whose fn drains a real stream before returning a memory table) are
@@ -31,8 +34,9 @@ def main() -> None:
     specs = all_queries()
     if not names:
         names = sorted(n for n, s in specs.items() if s.bench)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
